@@ -1,0 +1,209 @@
+"""Text normalization, the reference's exact chunking algorithm, and
+text-analysis expressions (token counts, quality scores, language ID,
+fingerprints).
+
+Reference semantics reproduced here:
+
+- normalize: ``pageText.replace("\\n", " ")`` then
+  ``replaceAll("\\s{2,}", " ")`` (Function.java:106-107).  Note the second
+  regex also collapses the spaces the first step inserted.
+- chunk: ``splitText(text, 7500)`` (Function.java:214-251): while
+  ``len(text) > 7500`` scan indexes 7500 down to 7201 for a punctuation
+  char; the chunk is ``text[:i]`` and the punctuation char *starts the next
+  chunk* (``substring(0, splitIndex)`` Function.java:220-221); if no
+  punctuation is found split at exactly 7200; the final remainder is always
+  emitted.  Punctuation set ``{. 。 ; ； ! ！ ? ？}``
+  (Function.java:248-251).  Java counts UTF-16 code units, Python counts
+  code points — semantics here are defined on code points (documented
+  divergence, SURVEY.md §7.4 item 1).
+
+The chunker is pure Python (unit-testable without Spark) wrapped in a UDF
+returning ``array<string>`` for ``explode``.  Everything else is native
+``pyspark.sql.functions`` so it stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MAX_SEPARATE_TOKEN_LENGTH",
+    "SPLIT_SEARCH_FLOOR",
+    "PUNCTUATION",
+    "normalize_text_py",
+    "split_text_py",
+    "normalize_text",
+    "chunk_udf",
+    "token_count",
+    "word_tokens",
+    "char_count",
+    "quality_metrics",
+    "language_id",
+    "fingerprint64",
+]
+
+# Function.java:40 — MAX_SEPARATE_TOKEN_LENGTH = 7500; findSplitIndex scans
+# down to index 7200 (Function.java:230-233).
+MAX_SEPARATE_TOKEN_LENGTH = 7500
+SPLIT_SEARCH_FLOOR_DELTA = 300  # 7500 - 7200
+SPLIT_SEARCH_FLOOR = MAX_SEPARATE_TOKEN_LENGTH - SPLIT_SEARCH_FLOOR_DELTA
+
+# Function.java:248-251 — isPunctuation
+PUNCTUATION = {".", "。", ";", "；", "!", "！", "?", "？"}
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference semantics (unit-testable, reused inside UDFs)
+# ---------------------------------------------------------------------------
+
+def normalize_text_py(text: str) -> str:
+    """Function.java:106-107: newline->space, collapse 2+ whitespace runs."""
+    import re
+
+    return re.sub(r"\s{2,}", " ", text.replace("\n", " "))
+
+
+def _find_split_index(text: str, max_len: int, floor_delta: int) -> int:
+    """Function.java:230-245: scan max_len down to max_len-floor_delta+1
+    inclusive for a punctuation char; 0 if none found (caller then splits at
+    max_len - floor_delta)."""
+    lo = max_len - floor_delta  # exclusive lower bound of the scan
+    for i in range(max_len, lo, -1):
+        if i < len(text) and text[i] in PUNCTUATION:
+            return i
+    return 0
+
+
+def split_text_py(
+    text: str,
+    max_len: int = MAX_SEPARATE_TOKEN_LENGTH,
+    floor_delta: int = SPLIT_SEARCH_FLOOR_DELTA,
+) -> list[str]:
+    """Function.java:214-226 ``splitText``: punctuation-aware chunking.
+
+    The punctuation char found at ``i`` begins the *next* chunk
+    (``text[:i]`` is emitted); with no punctuation in the window the split
+    is at exactly ``max_len - floor_delta`` (=7200 for reference params —
+    the ``splitIndex == 0`` branch at Function.java:241-243 is dead code
+    since the scan floor is positive; observable behavior is the
+    ``start`` fallback).  The remainder is always appended last.
+    """
+    # The reference hard-codes (7500, 300); for parameterized max_len the
+    # scan window is clamped so the fallback split index stays positive.
+    floor_delta = min(floor_delta, max_len - 1)
+    chunks: list[str] = []
+    while len(text) > max_len:
+        i = _find_split_index(text, max_len, floor_delta)
+        if i == 0:
+            i = max_len - floor_delta
+        chunks.append(text[:i])
+        text = text[i:]
+    chunks.append(text)
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# Spark expressions
+# ---------------------------------------------------------------------------
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Native-expression twin of :func:`normalize_text_py` — regexp_replace
+    runs JVM-side (codegen), no UDF."""
+    return F.regexp_replace(
+        F.regexp_replace(_col(c), "\n", " "), r"\s{2,}", " "
+    )
+
+
+def chunk_udf(
+    max_len: int = MAX_SEPARATE_TOKEN_LENGTH,
+    floor_delta: int = SPLIT_SEARCH_FLOOR_DELTA,
+):
+    """UDF ``string -> array<string>`` with the exact reference chunking.
+
+    Python-side by necessity (imperative backward scan); cheap because it
+    runs once per *document*, not per token, and the output feeds
+    ``F.explode`` + ``F.posexplode`` for chunk indexes.
+    """
+
+    @F.udf(T.ArrayType(T.StringType(), containsNull=False))
+    def _chunk(text: str) -> list[str]:
+        if text is None:
+            return []
+        return split_text_py(text, max_len, floor_delta)
+
+    return _chunk
+
+
+def word_tokens(c: Column | str) -> Column:
+    """Whitespace tokenization with empty tokens dropped (robust to leading/
+    trailing/double spaces)."""
+    return F.filter(F.split(_col(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(word_tokens(c))
+
+
+def char_count(c: Column | str) -> Column:
+    return F.length(_col(c))
+
+
+def quality_metrics(c: Column | str) -> list[Column]:
+    """Heuristic quality-scoring columns for LLM training-data filtering:
+    char/token counts, mean token length, punctuation & digit ratios.
+    All native expressions; round at the call-site for oracle comparison."""
+    col = _col(c)
+    n_chars = F.length(col).cast("double")
+    n_tokens = token_count(col).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(col, r"[\.,;:!\?]", ""))
+    )
+    n_digit = n_chars - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return [
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_chars / F.greatest(n_tokens, F.lit(1.0))).alias("mean_token_len"),
+        (n_punct / F.greatest(n_chars, F.lit(1.0))).alias("punct_ratio"),
+        (n_digit / F.greatest(n_chars, F.lit(1.0))).alias("digit_ratio"),
+    ]
+
+
+def language_id(c: Column | str) -> Column:
+    """Tiny n-gram/charset language heuristic (SURVEY.md training-data ops):
+    CJK chars -> zh; else scored stopword hits for en/es/de/fr.  Pure
+    native expressions (regexp counts), so it scales as a scan."""
+    col = F.concat(F.lit(" "), F.lower(_col(c)), F.lit(" "))
+
+    def hits(words: list[str]) -> Column:
+        pat = "|".join(f" {w} " for w in words)
+        # size(split(x, pat)) - 1 counts non-overlapping matches; words are
+        # space-delimited so overlap is not a concern for distinct stopwords.
+        return F.size(F.split(col, pat)) - F.lit(1)
+
+    en = hits(["the", "and", "of", "is", "a"])
+    es = hits(["el", "la", "de", "que", "y"])
+    de = hits(["der", "die", "und", "ist", "das"])
+    fr = hits(["le", "la", "et", "les", "des"])
+    has_cjk = F.length(F.regexp_replace(col, r"[一-鿿]", "")) < F.length(col)
+    best = F.greatest(en, es, de, fr)
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best == F.lit(0), F.lit("unknown"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint64(c: Column | str) -> Column:
+    """64-bit content fingerprint: xxhash64 of the normalized text.
+    Native expression — used for exact dedup at scale (group/join on a
+    fixed-width key instead of comparing full documents)."""
+    return F.xxhash64(normalize_text(_col(c)))

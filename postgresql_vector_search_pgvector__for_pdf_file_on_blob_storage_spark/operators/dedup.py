@@ -1,0 +1,246 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2B B4/B5): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Reference seed: chunk rows are keyed by ``UUID.randomUUID()``
+(Function.java:137), so re-uploading the same blob re-fires the trigger and
+inserts byte-identical text under new ids — the reference has no dedup at
+all.  These operators close that gap, designed shuffle-first:
+
+- exact dedup groups on a 64-bit fingerprint (xxhash64 of normalized text),
+  never on the full text — the shuffle key is 8 bytes/row at 100 TB.
+- MinHash/LSH banding turns all-pairs O(n^2) into an equi-join on band
+  keys; candidates are then verified with exact Jaccard.  All of it is
+  native Catalyst expressions (``transform``/``aggregate``/``array_min``)
+  — no Python in the scan.
+- embedding near-dup reuses the similarity join (operators.knn).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import text as X
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash64",
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: keeper = min id, plus the
+    duplicate count.  Hash-groupBy with map-side partial aggregation; the
+    exchange carries only (fingerprint, id) pairs."""
+    return (
+        df.select(
+            X.fingerprint64(text_col).alias("fp"), F.col(id_col).alias("__id")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("__id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as ``array<string>`` — native
+    expressions only (tokenize -> sliding ``slice`` -> ``concat_ws``)."""
+    toks = X.word_tokens(c)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, 0) would be [1, 0] — guard empty/short docs explicitly.
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing >=1
+    shingle.  Explode -> equi-join on the shingle -> count shared -> Jaccard
+    via inclusion-exclusion.  Returns ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b``.
+
+    The shingle join is the scalable exact form (no n^2): shuffle is
+    proportional to total shingle occurrences, and Catalyst plans a
+    hash join on the shingle key.  For web-scale corpora prefer
+    :func:`minhash_lsh_pairs` (bounded signature width per doc).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        shared.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(c: Column | str, num_hashes: int = 32) -> Column:
+    """MinHash signature ``array<bigint>`` over word shingles.
+
+    Hash family i = xxhash64 salted with the band index literal — fully
+    deterministic, fully JVM-side.  Empty shingle sets get Long.MAX
+    sentinels (no collisions with real minima)."""
+    shingles = c if isinstance(c, Column) else F.col(c)
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))
+                    )
+                ),
+                F.lit(2**63 - 1),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Pipeline: shingle -> signature(num_hashes) -> split into ``bands``
+    (rows = num_hashes/bands) -> candidate pairs = equi-join on
+    ``(band_idx, hash(band slice))`` -> dedup candidates -> verify exact
+    Jaccard >= threshold.  Only banded-together pairs are ever scored, so
+    cost tracks true near-duplicates, not n^2.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    )
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = sig.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[
+                                F.element_at("sig", bi * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ])
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(c: Column | str, n: int = 3) -> Column:
+    """64-bit SimHash over word shingles (Hamming-close => near-dup).
+
+    Arrow-batched pandas UDF: Spark's ``shiftright`` takes a literal shift
+    count, so the per-bit +/-1 vote fold is not expressible as a native
+    lambda; NumPy does the 64-bit vote matrix per batch instead.  Shingle
+    hashes are md5-derived (deterministic everywhere)."""
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, text in enumerate(texts):
+            if not text:
+                continue
+            toks = [t for t in text.split() if t]
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+            }
+            if not grams:
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(g.encode("utf-8")).digest()[:8], "big"
+                    )
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sh |= np.uint64(1) << np.uint64(b)
+            out[row] = sh.astype(np.int64) if sh < 2**63 else np.int64(sh - 2**64)
+        return pd.Series(out)
+
+    col = c if isinstance(c, Column) else F.col(c)
+    return _simhash(col)

@@ -1,0 +1,203 @@
+"""Exact k-nearest-neighbor search, kNN join, and similarity (range) join.
+
+Reference hot query (SSEOpenAIController.java:315-316):
+
+    SELECT id, origntext, filename, pageNumber FROM <t>
+    ORDER BY embedding <-> ?::vector LIMIT 5
+
+pgvector never gets an ANN index in the reference (create-env.sh:177-180 —
+table DDL only), so the correctness target is an **exact brute-force scan**
+(SURVEY.md §4.2).  Spark physical plan: vectorized parquet scan -> native
+distance expression (codegen) -> ``TakeOrderedAndProject`` (per-partition
+top-k heap + driver merge — no global sort, no full shuffle).  That plan is
+exactly what survives a 100 TB scan: each executor returns k rows.
+
+Scale notes
+- The probe side is always broadcast (a handful of rows); the item side is
+  never moved.
+- ``knn_join`` avoids the naive crossJoin-then-window (which shuffles
+  n_items x n_probes rows) by aggregating a bounded top-k *array* per
+  partition per probe (``slice(sort_array(collect_list(...)))``), then
+  merging the per-partition candidates — shuffle volume is
+  O(n_partitions x n_probes x k), independent of item count.
+- For ordering we use squared L2 (monotone with L2) and only take the sqrt
+  on the k survivors.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vector as V
+
+__all__ = ["distance_expr", "knn", "knn_join", "similarity_join"]
+
+_METRICS = ("l2", "cosine", "dot")
+
+
+def distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:
+    """pgvector operator family: l2 = ``<->``, cosine = ``<=>``,
+    dot = ``<#>`` (negative inner product; ASC order = most similar)."""
+    if metric == "l2":
+        return V.l2_distance(a, b)
+    if metric == "cosine":
+        return V.cosine_distance(a, b)
+    if metric == "dot":
+        return V.neg_inner_product(a, b)
+    raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+
+
+def _order_expr(metric: str, a: Column | str, b: Column | str) -> Column:
+    # Cheaper monotone surrogate for ordering; equal ordering to distance_expr.
+    if metric == "l2":
+        return V.squared_l2_distance(a, b)
+    return distance_expr(metric, a, b)
+
+
+def knn(
+    items: DataFrame,
+    probe: Sequence[float] | Column,
+    k: int = 5,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    dist_col: str = "dist",
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k rows of ``items`` nearest to a single probe vector.
+
+    Mirrors the reference's ``MAX_RESULT = 5`` search
+    (SSEOpenAIController.java:86,315-316).  ``probe`` may be a Python list
+    (inlined as an array literal — no collect, no broadcast needed) or a
+    Column.  ``tie_cols`` appends deterministic tie-breakers to the sort
+    (Postgres leaves ties unspecified; tests avoid ties, SURVEY.md §7.5).
+    """
+    if isinstance(probe, Column):
+        probe_col = probe
+    else:
+        probe_col = F.array(*[F.lit(float(x)).cast("float") for x in probe])
+    dist = distance_expr(metric, F.col(vec_col), probe_col)
+    order = [_order_expr(metric, F.col(vec_col), probe_col).asc()]
+    order += [F.col(c).asc() for c in tie_cols]
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    # heap, no global sort (SURVEY.md §4.1).
+    return items.withColumn(dist_col, dist).orderBy(*order).limit(k)
+
+
+def knn_join(
+    probes: DataFrame,
+    items: DataFrame,
+    k: int = 5,
+    metric: str = "l2",
+    probe_id: str = "probe_id",
+    item_id: str = "item_id",
+    probe_vec: str = "embedding",
+    item_vec: str = "embedding",
+    dist_col: str = "dist",
+    shuffle_free: bool = True,
+) -> DataFrame:
+    """For every probe row, the k nearest item rows.
+
+    Returns ``(probe_id, item_id, dist, rank)``.
+
+    ``shuffle_free=True`` (default): broadcast the probes, compute the
+    bounded per-partition top-k per probe with ``collect_list`` ->
+    ``sort_array`` -> ``slice`` (map-side partial aggregation), then merge
+    candidate lists in a final k-sized agg.  Shuffled bytes are
+    O(partitions x probes x k) — at 100 TB of items this is the only
+    viable shape.
+
+    ``shuffle_free=False``: classic broadcast-crossJoin + window rank
+    (simpler plan, shuffles every scored pair) — kept for plan comparison
+    and as the oracle-shaped variant.
+    """
+    p = probes.select(
+        F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec")
+    )
+    it = items.select(F.col(item_id).alias("__iid"), F.col(item_vec).alias("__ivec"))
+    scored = it.join(F.broadcast(p)).withColumn(
+        "__order", _order_expr(metric, F.col("__ivec"), F.col("__pvec"))
+    )
+
+    if not shuffle_free:
+        w = Window.partitionBy("__pid").orderBy(F.col("__order").asc(), F.col("__iid").asc())
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    else:
+        # struct sorts lexicographically: (order, item_id) gives deterministic
+        # tie-breaks.  groupBy per probe does a map-side partial collect of at
+        # most k candidates per partition before the exchange.
+        cand = F.struct(
+            F.col("__order").alias("o"), F.col("__iid").alias("i")
+        )
+        agg = (
+            scored.groupBy("__pid")
+            .agg(
+                F.slice(F.sort_array(F.collect_list(cand)), 1, k).alias("topk")
+            )
+        )
+        out = (
+            agg.select(
+                "__pid", F.posexplode("topk").alias("pos", "c")
+            )
+            .select(
+                "__pid",
+                F.col("c.i").alias("__iid"),
+                F.col("c.o").alias("__order"),
+                (F.col("pos") + 1).alias("rank"),
+            )
+        )
+
+    dist = (
+        F.sqrt(F.col("__order")) if metric == "l2" else F.col("__order")
+    )
+    # Output columns are always (probe_id, item_id, dist, rank) — the input
+    # id column names (often both "vec_id" in a self-join) must not collide.
+    return out.select(
+        F.col("__pid").alias("probe_id"),
+        F.col("__iid").alias("item_id"),
+        dist.alias(dist_col),
+        "rank",
+    )
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    metric: str = "l2",
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Range join: all pairs with distance < threshold (SURVEY.md §2B B2).
+
+    Broadcast the smaller side when possible; the distance predicate is
+    evaluated JVM-side so the filter runs inside the join's codegen stage.
+    For massive self-joins use the LSH variant (operators.dedup / ANN) —
+    this exact form is O(|L| x |R|) scoring.
+    """
+    l = left.select(F.col(left_id).alias("__lid"), F.col(left_vec).alias("__lvec"))
+    r = right.select(F.col(right_id).alias("__rid"), F.col(right_vec).alias("__rvec"))
+    thr = (
+        F.lit(float(threshold)) ** 2 if metric == "l2" else F.lit(float(threshold))
+    )
+    order = _order_expr(metric, F.col("__lvec"), F.col("__rvec"))
+    dist = F.sqrt(F.col("__o")) if metric == "l2" else F.col("__o")
+    return (
+        l.join(F.broadcast(r))
+        .withColumn("__o", order)
+        .filter(F.col("__o") < thr)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            dist.alias(dist_col),
+        )
+    )

@@ -1,0 +1,213 @@
+"""End-to-end pipelines mirroring the reference's three capabilities
+(SURVEY.md §7.3):
+
+- :func:`ingest_documents` — the BlobUploadDetector dataflow
+  (Function.java:71-176): pages -> normalize -> chunk -> embed -> vector
+  table, plus the append-only ingest-status event log that replaces the
+  reference's in-place Cosmos state machine (SURVEY.md §2A row 30, §7.4).
+- :func:`search` — the PDF-Summarizer query path
+  (SSEOpenAIController.java:301-337): embed query -> exact L2 top-5.
+- :func:`sse_events` — the serving projection: per-hit ``create`` /
+  ``createLink`` / ``addMessage`` event rows with deterministic
+  ``(doc id, seq)`` ordering (SSEOpenAIController.java:186-239).
+- :func:`status_registered` / :func:`status_failed` — the listing queries
+  Q4/Q5 (PDF-Summarizer/.../CosmosDBUtil.java:33-35).
+
+One Spark job per pipeline — no per-row connections, no side-effect
+mutation; status is data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import embed as E
+from .functions import text as X
+from .functions import vector as V
+from .operators import knn as K
+
+# CosmosDBDocumentStatus enum names
+# (BlobUploadDetector/.../models/CosmosDBDocumentStatus.java:5-10).
+STATUS_VALUES = (
+    "PAGE_SEPARATE_FINISHED",
+    "RETRY_OAI_INVOCATION",
+    "FINISH_OAI_INVOCATION",
+    "FINISH_DB_INSERTION",
+    "FAILED_DB_INSERTION",
+    "COMPLETED",
+)
+
+# Happy-path progression (Function.java:140-175).  The reference's
+# unconditional COMPLETED-after-failure quirk (Function.java:175) is a
+# documented divergence we do NOT reproduce (SURVEY.md §2A row 30).
+HAPPY_PATH = (
+    "PAGE_SEPARATE_FINISHED",
+    "FINISH_OAI_INVOCATION",
+    "FINISH_DB_INSERTION",
+    "COMPLETED",
+)
+
+
+def chunk_documents(
+    documents: DataFrame,
+    text_col: str = "text",
+    file_col: str = "source",
+    page_col: str = "doc_id",
+    max_len: int = X.MAX_SEPARATE_TOKEN_LENGTH,
+) -> DataFrame:
+    """pages -> normalized chunks with deterministic chunk ids.
+
+    Normalize (Function.java:106-107) then split (Function.java:214-251);
+    ``posexplode`` keeps the chunk index so the surrogate id
+    ``sha2(fileName|pageNumber|chunkIdx)`` is reproducible (SURVEY.md §7.4
+    item 5 — the reference's ``UUID.randomUUID()`` at Function.java:137 is
+    deliberately replaced for testability; ``F.expr("uuid()")`` remains the
+    production option).
+    """
+    chunks = documents.select(
+        F.col(file_col).alias("fileName"),
+        F.col(page_col).cast("int").alias("pageNumber"),
+        F.posexplode(
+            X.chunk_udf(max_len)(X.normalize_text(text_col))
+        ).alias("chunkIdx", "origntext"),
+    )
+    chunk_id = F.sha2(
+        F.concat_ws("|", "fileName", "pageNumber", "chunkIdx"), 256
+    )
+    return chunks.select(
+        chunk_id.alias("id"), "fileName", "pageNumber", "chunkIdx", "origntext"
+    )
+
+
+def ingest_documents(
+    documents: DataFrame,
+    text_col: str = "text",
+    file_col: str = "source",
+    page_col: str = "doc_id",
+    max_len: int = X.MAX_SEPARATE_TOKEN_LENGTH,
+    dim: int = E.DEFAULT_DIM,
+) -> tuple[DataFrame, DataFrame]:
+    """Full ingest: returns ``(chunks, status_events)``.
+
+    ``chunks`` has the vector-table schema (README.md:155-158):
+    ``id, embedding array<float>, origntext, fileName, pageNumber`` with the
+    pgvector dimension invariant enforced (embedding must have ``dim``
+    elements or the row is marked failed).  ``status_events`` is the
+    append-only event log: ``(id, fileName, pageNumber, status, seq)``.
+    """
+    chunked = chunk_documents(documents, text_col, file_col, page_col, max_len)
+    embedded = chunked.withColumn(
+        "embedding", E.hash_embedder(dim)(F.col("origntext"))
+    )
+    ok = V.dim_check("embedding", dim)
+    chunks = embedded.filter(ok).select(
+        "id", "embedding", "origntext", "fileName", "pageNumber"
+    )
+    # Event log: happy-path sequence for valid rows, failure path otherwise.
+    statuses_ok = F.array(*[F.lit(s) for s in HAPPY_PATH])
+    statuses_fail = F.array(
+        F.lit("PAGE_SEPARATE_FINISHED"),
+        F.lit("FINISH_OAI_INVOCATION"),
+        F.lit("FAILED_DB_INSERTION"),
+    )
+    status_events = embedded.select(
+        "id",
+        "fileName",
+        "pageNumber",
+        F.posexplode(F.when(ok, statuses_ok).otherwise(statuses_fail)).alias(
+            "seq", "status"
+        ),
+    ).select("id", "fileName", "pageNumber", "status", F.col("seq").cast("long"))
+    return chunks, status_events
+
+
+def current_status(status_events: DataFrame) -> DataFrame:
+    """Latest status per chunk id — the view replacing Cosmos's in-place
+    ``replaceItem`` mutation (BlobUploadDetector/.../CosmosDBUtil.java:62)."""
+    w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+    return (
+        status_events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "fileName", "pageNumber", "status")
+    )
+
+
+def status_registered(status_events: DataFrame) -> DataFrame:
+    """Q4: ``WHERE status = 'COMPLETED' ORDER BY fileName, pageNumber``
+    (PDF-Summarizer/.../CosmosDBUtil.java:33)."""
+    return (
+        current_status(status_events)
+        .filter(F.col("status") == "COMPLETED")
+        .orderBy(F.asc("fileName"), F.asc("pageNumber"))
+    )
+
+
+def status_failed(status_events: DataFrame) -> DataFrame:
+    """Q5: ``WHERE status != 'COMPLETED' ORDER BY fileName, pageNumber``
+    (PDF-Summarizer/.../CosmosDBUtil.java:35)."""
+    return (
+        current_status(status_events)
+        .filter(F.col("status") != "COMPLETED")
+        .orderBy(F.asc("fileName"), F.asc("pageNumber"))
+    )
+
+
+def search(
+    chunks: DataFrame, query_text: str, k: int = 5, dim: int = E.DEFAULT_DIM
+) -> DataFrame:
+    """Embed the query text deterministically, then exact L2 top-k over the
+    vector table, projecting the reference's four columns
+    (SSEOpenAIController.java:315-316; MAX_RESULT=5 at :86)."""
+    probe = E.hash_embed_py(query_text, dim)
+    return K.knn(
+        chunks, probe, k=k, metric="l2", vec_col="embedding", tie_cols=("id",)
+    ).select("id", "origntext", "fileName", "pageNumber", "dist")
+
+
+def sse_events(hits: DataFrame, user_id: str = "user-0") -> DataFrame:
+    """Serving projection: the three SSE record types the reference emits
+    per hit (entities CreateAreaInHTML/CreateLinkInHTML/CreateMessageInHTML,
+    serialized at SSEOpenAIController.java:186-239), as an ordered DataFrame
+    ``(userId, id, seq, event_json)``.  JSON built with explicit concat so
+    the bytes are engine-independent; the real LLM 'addMessage' stream is
+    represented by one summary event (the LLM call is an opaque enrichment
+    UDF seam, SURVEY.md §3.2)."""
+    link = F.concat(
+        F.lit("https://storage.example/pdfs/"),
+        F.col("fileName"),
+        F.lit("#page="),
+        F.col("pageNumber").cast("string"),
+    )  # URL shape: SSEOpenAIController.java:204-206
+    esc = F.regexp_replace(
+        F.col("origntext"), " ", "<SPECIAL_WHITE_SPACE>"
+    )  # SSEOpenAIController.java:226-228
+    j = lambda *parts: F.concat(*parts)  # noqa: E731
+    q = lambda s: F.lit('"' + s + '"')  # noqa: E731
+    events = F.array(
+        j(F.lit('{"type":"create","id":"'), F.col("id"), F.lit('"}')),
+        j(
+            F.lit('{"type":"createLink","id":"'),
+            F.col("id"),
+            F.lit('","link":"'),
+            link,
+            F.lit('","pageNumber":'),
+            F.col("pageNumber").cast("string"),
+            F.lit(',"fileName":"'),
+            F.col("fileName"),
+            F.lit('"}'),
+        ),
+        j(
+            F.lit('{"type":"addMessage","id":"'),
+            F.col("id"),
+            F.lit('","content":"'),
+            esc,
+            F.lit('"}'),
+        ),
+    )
+    return hits.select(
+        F.lit(user_id).alias("userId"),
+        F.col("id"),
+        F.posexplode(events).alias("seq", "event_json"),
+    )

@@ -1,0 +1,808 @@
+"""Named query registry — the driver contract surface.
+
+Every implemented operator from SURVEY.md §2 is exposed here as a named
+query ``(spark, sf_dir) -> DataFrame`` with (where SQL-expressible) a DuckDB
+oracle returning identical values.
+
+Oracle-parity rules used throughout (why results hash-match bit-for-bit):
+
+- **Scalar double math is deterministic.** A single IEEE-754 op (+,-,*,/,
+  sqrt, pow) on identical inputs is bit-identical across engines, so any
+  per-row expression may stay in double.
+- **Aggregated doubles go through DECIMAL(18,6).**  Summing doubles is
+  order-dependent; both engines sum decimals exactly, and
+  ``CAST(double AS DECIMAL(18,6))`` rounds the same way on both.  Pattern:
+  ``CAST(sum(CAST(expr AS DECIMAL(18,6))) AS DOUBLE)`` — exact, order-free,
+  and the final double cast is deterministic.
+- **Distances are rounded to 4 decimals for output** (sums of 64 terms are
+  accumulated left-to-right on both sides; rounding absorbs any last-ulp
+  difference), while **ordering uses the unrounded value** with an id
+  tie-breaker.
+- **Counts/ranks are cast to explicit integer types** so schemas line up
+  (DuckDB ``count``/``sum(int)`` widen differently than Spark).
+- **Timestamps never leave as raw timestamps**: bucketed epochs are emitted
+  as BIGINT and dates as formatted strings, so session-timezone differences
+  cannot bite.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import embed as E
+from .functions import text as X
+from .functions import vector as V
+from .operators import dedup as D
+from .operators import knn as K
+from .tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Vector search — the reference's hot path (SURVEY.md §2A row 13, §2B B1/B2)
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of functions.vector expressions (same left-to-right double
+# accumulation; `range(1, len+1)` is DuckDB's scalar list range).
+_SQL_SQ_L2 = (
+    "list_sum(list_transform(range(1, len({a})+1),"
+    " i -> pow(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE), 2)))"
+)
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({a})+1),"
+    " i -> pow(CAST({a}[i] AS DOUBLE), 2))))"
+)
+
+
+def _knn_query(metric: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        probe = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("p")
+        )
+        # Probe side broadcast: the item scan never moves (100 TB shape).
+        scored = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+        d = K.distance_expr(metric, F.col("embedding"), F.col("p"))
+        return (
+            scored.select("vec_id", "label", d.alias("__d"))
+            .orderBy(F.col("__d").asc(), F.col("vec_id").asc())
+            .limit(5)
+            .select("vec_id", "label", F.round("__d", 4).alias("dist"))
+        )
+
+    return fn
+
+
+def _knn_oracle(metric_expr: str) -> str:
+    return f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, {metric_expr} AS d
+  FROM embeddings e, probe p WHERE e.vec_id <> 0)
+SELECT vec_id, label, round(d, 4) AS dist
+FROM scored ORDER BY d ASC, vec_id ASC LIMIT 5
+"""
+
+
+query("knn_l2_top5", _knn_oracle(
+    "sqrt(" + _SQL_SQ_L2.format(a="e.embedding", b="p.p") + ")"
+))(_knn_query("l2"))
+
+query("knn_cosine_top5", _knn_oracle(
+    "1 - ("
+    + _SQL_DOT.format(a="e.embedding", b="p.p")
+    + " / ("
+    + _SQL_NORM.format(a="e.embedding")
+    + " * "
+    + _SQL_NORM.format(a="p.p")
+    + "))"
+))(_knn_query("cosine"))
+
+query("knn_dot_top5", _knn_oracle(
+    "-(" + _SQL_DOT.format(a="e.embedding", b="p.p") + ")"
+))(_knn_query("dot"))
+
+
+@query(
+    "knn_join_l2",
+    f"""
+WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 10),
+it AS (SELECT vec_id AS iid, embedding AS ie FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT p.pid, it.iid, {_SQL_SQ_L2.format(a="it.ie", b="p.pe")} AS o
+  FROM it, p),
+ranked AS (
+  SELECT pid, iid, o,
+         row_number() OVER (PARTITION BY pid ORDER BY o ASC, iid ASC) AS rnk
+  FROM scored)
+SELECT pid AS probe_id, iid AS item_id, round(sqrt(o), 4) AS dist,
+       CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 3
+""",
+)
+def knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join (SURVEY.md §2B B2): 3 nearest items for each of 10 probes,
+    via the shuffle-free bounded top-k aggregation in operators.knn."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    items = emb.filter(F.col("vec_id") >= 10)
+    out = K.knn_join(
+        probes, items, k=3, metric="l2", probe_id="vec_id", item_id="vec_id"
+    )
+    return out.select(
+        F.col("probe_id"),
+        F.col("item_id"),
+        F.round("dist", 4).alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity scalar ops & listings (SURVEY.md §2A rows 7-12, 15-16, 25)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_suffix",
+    """
+SELECT doc_id, source, lang, n_chars FROM documents
+WHERE source LIKE '%3' ORDER BY doc_id
+""",
+)
+def filter_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix predicate — the reference's `.pdf` filter (Function.java:83)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source").endswith("3"))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "listing_registered",
+    """
+SELECT doc_id, source, lang FROM documents
+WHERE lang = 'en' ORDER BY source ASC, doc_id ASC
+""",
+)
+def listing_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter + composite ASC sort — the Q4 'registered' listing
+    shape (PDF-Summarizer/.../CosmosDBUtil.java:33)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id", "source", "lang")
+        .orderBy(F.asc("source"), F.asc("doc_id"))
+    )
+
+
+@query(
+    "listing_failed",
+    """
+SELECT doc_id, source, lang FROM documents
+WHERE lang <> 'en' ORDER BY source ASC, doc_id ASC
+""",
+)
+def listing_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality filter + composite sort — the Q5 'failed' listing shape
+    (PDF-Summarizer/.../CosmosDBUtil.java:35)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") != "en")
+        .select("doc_id", "source", "lang")
+        .orderBy(F.asc("source"), F.asc("doc_id"))
+    )
+
+
+@query(
+    "normalize_whitespace",
+    r"""
+SELECT doc_id,
+       regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g') AS norm_text
+FROM documents ORDER BY doc_id
+""",
+)
+def normalize_whitespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference normalizer (Function.java:106-107) as native exprs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.normalize_text("text").alias("norm_text")
+    ).orderBy("doc_id")
+
+
+@query(
+    "url_build",
+    """
+SELECT doc_id,
+       'https://storage.example/pdfs/' || source || '#page=' || CAST(doc_id AS VARCHAR) AS url
+FROM documents ORDER BY doc_id
+""",
+)
+def url_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-URL construction (SSEOpenAIController.java:204-206)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://storage.example/pdfs/"),
+            F.col("source"),
+            F.lit("#page="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Relational closure (SURVEY.md §2B B7-B12) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,6)"
+
+
+def _dsum(c: F.Column) -> F.Column:
+    """Exact order-independent sum of a double expression (see module doc)."""
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter -> 8-agg hash aggregate.  Partial
+    (map-side) aggregation + 2-col group key; the scan prunes to 7 columns."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (customer broadcast) -> agg -> top-10.
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP '1995-03-15 00:00:00'")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP '1995-03-15 00:00:00'")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n.n_name,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; dims (region/nation/supplier/customer)
+    broadcast, fact tables shuffle on the join keys only."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"
+        )
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "window_top_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders)
+WHERE rn <= 3 ORDER BY o_custkey, rn
+""",
+)
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (SURVEY.md §2B B9)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .withColumn("rn", F.col("rn").cast("int"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "window_running_total",
+    """
+SELECT event_id, user_id,
+  CAST(sum(CAST(value AS DECIMAL(18,6)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq
+FROM events
+ORDER BY user_id, seq
+""",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user running sum (decimal-exact) + sequence."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast(_DEC))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_value"),
+            F.row_number().over(w).cast("int").alias("seq"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+@query(
+    "agg_rollup_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates (SURVEY.md §2B B7): ROLLUP grouping sets."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "set_ops_except",
+    """
+SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'
+EXCEPT
+SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-02'
+ORDER BY o_custkey
+""",
+)
+def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (SURVEY.md §2B B10): customers ordering in 1995-01 but
+    not 1995-02.  Spark plans this as a left-anti join after distinct."""
+    o = load_table(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyy-MM")
+    jan = o.filter(ym == "1995-01").select("o_custkey")
+    feb = o.filter(ym == "1995-02").select("o_custkey")
+    return jan.subtract(feb).orderBy("o_custkey")  # EXCEPT (distinct)
+
+
+@query(
+    "scalar_function_gallery",
+    """
+SELECT o_orderkey,
+  upper(substr(o_orderpriority, 1, 8)) AS pri,
+  strftime(o_orderdate, '%Y-%m') AS ym,
+  round(o_totalprice * 0.07, 2) AS tax7,
+  CASE WHEN o_totalprice > 200000 THEN 'big'
+       WHEN o_totalprice > 100000 THEN 'mid'
+       ELSE 'small' END AS bucket,
+  abs(o_totalprice - 150000.0) AS dist150k,
+  length(o_orderstatus) AS st_len
+FROM orders ORDER BY o_orderkey
+""",
+)
+def scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar library sample (SURVEY.md §2B B12); every
+    function is a native codegen'd expression."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.round(F.col("o_totalprice") * 0.07, 2).alias("tax7"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.abs(F.col("o_totalprice") - 150000.0).alias("dist150k"),
+        F.length("o_orderstatus").cast("long").alias("st_len"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "json_extract_events",
+    """
+SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+FROM events ORDER BY event_id
+""",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (SURVEY.md §2B B12; reference parses/emits JSON
+    rows via Gson, SSEOpenAIController.java:189-192)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id", k.alias("k_str"), k.cast("long").alias("k_num")
+    ).orderBy("event_id")
+
+
+@query(
+    "events_tumbling_agg",
+    """
+SELECT CAST((epoch_us(ts) // 600000000) * 600 AS BIGINT) AS bucket_s,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregation — batch twin of the streaming
+    windowed agg (SURVEY.md §2B B13); bucket emitted as epoch seconds so the
+    result is timezone-proof.  The streaming variant (F.window + watermark)
+    is exercised in tests/test_streaming.py over the same fixture."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_micros("ts") - (F.unix_micros("ts") % 600000000)) / 1000000
+    return (
+        ev.groupBy(
+            bucket.cast("long").alias("bucket_s"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("bucket_s", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup & text analysis (SURVEY.md §2B B4-B6 + training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    r"""
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')
+ORDER BY keep_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (SURVEY.md §2B B4).  Spark groups on a
+    64-bit fingerprint (xxhash64) instead of the full text — an 8-byte
+    shuffle key at 100 TB; the oracle groups on the text itself (same
+    partition of rows, engine-specific key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(docs, "text", "doc_id")
+        .select("keep_id", "dup_count")
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "token_stats",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_token_len
+FROM t ORDER BY doc_id
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + mean token length (SURVEY.md §2B B6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_tokens = X.token_count("text").cast("long")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (
+            n_chars.cast("double")
+            / F.greatest(n_tokens.cast("double"), F.lit(1.0))
+        ).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_frequencies_top100",
+    r"""
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+  FROM documents)
+GROUP BY token ORDER BY freq DESC, token LIMIT 100
+""",
+)
+def token_frequencies_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-count (explode -> partial agg -> top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.word_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@query(
+    "lang_distribution",
+    """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language histogram over the labeled corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            (_dsum(F.col("n_chars").cast("double")) / F.count("*")).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "jaccard_similar_pairs",
+    r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (SURVEY.md §2B B5) via the
+    shingle equi-join (no n^2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (not SQL-expressible — driver records weaker check)
+# ---------------------------------------------------------------------------
+
+
+@query("chunk_explode")
+def chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference chunker (Function.java:214-251) at max_len=120 so the
+    fixture docs actually split; exact semantics pinned by unit tests
+    (tests/test_text.py).  Not SQL-expressible (imperative backward scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            X.chunk_udf(max_len=120, floor_delta=20)(X.normalize_text("text"))
+        ).alias("chunk_idx", "chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query("flagship_rag_search")
+def flagship_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference pipeline (ingest -> embed -> kNN search):
+    documents -> normalize/chunk -> deterministic embeddings -> exact L2
+    top-5 for a fixed query (SURVEY.md §3.1-3.2).  Embeddings come from a
+    pandas UDF — not SQL-expressible."""
+    from . import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks, _ = P.ingest_documents(docs, max_len=200)
+    return P.search(chunks, "spark shuffle join vector search", k=5)
+
+
+@query("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified by exact Jaccard
+    (SURVEY.md §2B B5).  Banding uses xxhash64 — no DuckDB twin; the exact
+    jaccard_similar_pairs query is the oracle-checked sibling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query("simhash_fingerprints")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (near-dup signature; xxhash64-based, no
+    DuckDB twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash64("text", n=3).alias("simhash")
+    ).orderBy("doc_id")
+
+
+@query("embedding_near_dup")
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the similarity (range) join.
+    Self-join of the embeddings table under cosine distance < 0.35."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.select(F.col("vec_id").alias("left_id"), "embedding")
+    right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    pairs = K.similarity_join(
+        left,
+        right,
+        threshold=0.6,  # fixture cosine distances: min≈0.49, p01≈0.71
+        metric="cosine",
+        left_id="left_id",
+        right_id="right_id",
+    )
+    return (
+        pairs.filter(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id", "right_id", F.round("dist", 4).alias("cos_dist")
+        )
+        .orderBy("left_id", "right_id")
+    )

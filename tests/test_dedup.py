@@ -1,0 +1,100 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    dedup as D,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun"
+    )
+    near = base.replace("afternoon", "morning")
+    far = "completely different content about spark shuffles and parquet files"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, base + "\n"),               # dup of 1 after normalization? no —
+                                        # trailing \n becomes trailing space
+        (4, near),                      # near-dup of 1
+        (5, far),
+        (6, "the  quick \n brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun"),
+        # 6 == 1 after whitespace normalization
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_groups_normalized(spark, docs):
+    out = D.exact_dedup(docs, "text", "doc_id").collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    # 1,2,6 identical after normalization; 3 differs (trailing space)
+    assert groups[1] == 3
+    assert groups[3] == 1
+    assert groups[4] == 1
+    assert groups[5] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], ["text"])
+    got = df.select(D.word_shingles("text", 3).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == []
+    assert got[2]["s"] == []
+
+
+def test_jaccard_pairs_finds_near_dup(spark, docs):
+    out = D.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # exact dups have jaccard 1.0
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 6)] == pytest.approx(1.0)
+    # near-dup (one word changed) is above 0.5 but below 1.0
+    assert 0.5 <= pairs[(1, 4)] < 1.0
+    # unrelated doc never pairs with base
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    out = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # identical docs always collide in every band
+    assert (1, 2) in pairs
+    assert (1, 6) in pairs
+    # verification step guarantees no pair below the Jaccard threshold
+    for r in out:
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_jaccard_values_are_exact(spark, docs):
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    for k, v in lsh.items():
+        assert exact[k] == pytest.approx(v)
+
+
+def test_simhash_identical_and_near(spark, docs):
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", D.simhash64("text", 3).alias("sh")
+        ).collect()
+    }
+    assert out[1] == out[2]  # identical text -> identical simhash
+    # near-dup: small Hamming distance; unrelated: large
+    ham_near = bin((out[1] ^ out[4]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((out[1] ^ out[5]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far

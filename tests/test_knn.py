@@ -1,0 +1,98 @@
+"""kNN operators vs NumPy brute force, and plan-shape assertions
+(TakeOrderedAndProject for top-k — SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    knn as K,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+    load_table,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_knn_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    probe = mat[ids == 0][0]
+    got = K.knn(
+        emb.filter(F.col("vec_id") != 0),
+        [float(x) for x in probe],
+        k=5,
+        tie_cols=("vec_id",),
+    ).collect()
+    mask = ids != 0
+    d = np.linalg.norm(mat[mask] - probe, axis=1)
+    order = np.lexsort((ids[mask], d))
+    expect = ids[mask][order[:5]].tolist()
+    assert [r["vec_id"] for r in got] == expect
+    np.testing.assert_allclose(
+        [r["dist"] for r in got], np.sort(d)[:5], rtol=1e-9
+    )
+
+
+def test_knn_plan_is_take_ordered(spark, emb):
+    df = K.knn(emb, [0.0] * 64, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_knn_join_matches_window_variant(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 5)
+    items = emb.filter(F.col("vec_id") >= 5)
+    kw = dict(k=3, metric="l2", probe_id="vec_id", item_id="vec_id")
+    fast = K.knn_join(probes, items, shuffle_free=True, **kw)
+    slow = K.knn_join(probes, items, shuffle_free=False, **kw)
+    f = sorted((r["probe_id"], r["item_id"], r["rank"]) for r in fast.collect())
+    s = sorted((r["probe_id"], r["item_id"], r["rank"]) for r in slow.collect())
+    assert f == s
+
+
+def test_knn_join_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    probes = emb.filter(F.col("vec_id") < 5)
+    items = emb.filter(F.col("vec_id") >= 5)
+    got = K.knn_join(
+        probes, items, k=3, probe_id="vec_id", item_id="vec_id"
+    ).collect()
+    got_map = {}
+    for r in got:
+        got_map.setdefault(r["probe_id"], []).append((r["rank"], r["item_id"]))
+    pmask, imask = ids < 5, ids >= 5
+    for pid, pvec in zip(ids[pmask], mat[pmask]):
+        d = np.linalg.norm(mat[imask] - pvec, axis=1)
+        order = np.lexsort((ids[imask], d))
+        expect = ids[imask][order[:3]].tolist()
+        assert [i for _, i in sorted(got_map[pid])] == expect
+
+
+def test_similarity_join_threshold(spark, emb, emb_np):
+    ids, mat = emb_np
+    left = emb.select(F.col("vec_id").alias("lid"), "embedding")
+    right = emb.select(F.col("vec_id").alias("rid"), "embedding")
+    got = K.similarity_join(
+        left, right, threshold=6.0, metric="l2", left_id="lid", right_id="rid"
+    ).collect()
+    got_pairs = {(r["lid"], r["rid"]) for r in got}
+    d = np.linalg.norm(mat[:, None, :] - mat[None, :, :], axis=2)
+    expect = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if d[i, j] < 6.0
+    }
+    assert got_pairs == expect
