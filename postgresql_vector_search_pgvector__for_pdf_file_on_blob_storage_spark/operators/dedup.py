@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import text as X
+from ..utils import spread
 
 __all__ = [
     "exact_dedup",
@@ -46,7 +47,8 @@ def exact_dedup(
     duplicate count.  Hash-groupBy with map-side partial aggregation; the
     exchange carries only (fingerprint, id) pairs."""
     return (
-        df.select(
+        spread(df)
+        .select(
             X.fingerprint64(text_col).alias("fp"), F.col(id_col).alias("__id")
         )
         .groupBy("fp")
@@ -89,7 +91,7 @@ def jaccard_pairs(
     hash join on the shingle key.  For web-scale corpora prefer
     :func:`minhash_lsh_pairs` (bounded signature width per doc).
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
@@ -116,18 +118,23 @@ def jaccard_pairs(
 def minhash_signature(c: Column | str, num_hashes: int = 32) -> Column:
     """MinHash signature ``array<bigint>`` over word shingles.
 
-    Hash family i = xxhash64 salted with the band index literal — fully
-    deterministic, fully JVM-side.  Empty shingle sets get Long.MAX
-    sentinels (no collisions with real minima)."""
+    One xxhash64 per shingle *string*, then hash family i =
+    ``xxhash64(base_hash, i)`` — re-hashing two longs per element, which is
+    far cheaper than salting/hashing the string per band and, unlike affine
+    ``a*h+b`` mixing, safe under ANSI mode (no long-overflow).  All
+    JVM-side.  Empty shingle sets get Long.MAX sentinels (never collide
+    with real minima)."""
     shingles = c if isinstance(c, Column) else F.col(c)
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def mix(i: int):
+        # single-arg lambda: F.transform treats 2-arg lambdas as (elem, idx)
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     sig = F.array(
         *[
             F.coalesce(
-                F.array_min(
-                    F.transform(
-                        shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))
-                    )
-                ),
+                F.array_min(F.transform(base, mix(i))),
                 F.lit(2**63 - 1),
             )
             for i in range(num_hashes)
@@ -155,13 +162,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # Candidate generation joins only (band, key, id) — 24 bytes/row —
+    # never the shingle arrays; the exact-verify step fetches arrays for the
+    # (few) surviving candidate ids afterwards.
     banded = sig.select(
         "id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -178,7 +187,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -187,18 +196,16 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vector as V
+from ..utils import spread
 
 __all__ = ["distance_expr", "knn", "knn_join", "similarity_join"]
 
@@ -117,7 +118,9 @@ def knn_join(
     p = probes.select(
         F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec")
     )
-    it = items.select(F.col(item_id).alias("__iid"), F.col(item_vec).alias("__ivec"))
+    it = spread(
+        items.select(F.col(item_id).alias("__iid"), F.col(item_vec).alias("__ivec"))
+    )
     scored = it.join(F.broadcast(p)).withColumn(
         "__order", _order_expr(metric, F.col("__ivec"), F.col("__pvec"))
     )
@@ -184,12 +187,37 @@ def similarity_join(
     For massive self-joins use the LSH variant (operators.dedup / ANN) —
     this exact form is O(|L| x |R|) scoring.
     """
-    l = left.select(F.col(left_id).alias("__lid"), F.col(left_vec).alias("__lvec"))
+    l = spread(
+        left.select(F.col(left_id).alias("__lid"), F.col(left_vec).alias("__lvec"))
+    )
     r = right.select(F.col(right_id).alias("__rid"), F.col(right_vec).alias("__rvec"))
+    if metric == "cosine":
+        # Pre-normalize each side ONCE (norm as a projected scalar column so
+        # the division doesn't re-evaluate the aggregate per element); the
+        # per-pair expression then collapses to a single dot product instead
+        # of dot + two norms — 3x less array work on the O(|L| x |R|) stage.
+        l = (
+            l.withColumn("__n", V.l2_norm("__lvec"))
+            .withColumn(
+                "__lvec",
+                F.transform("__lvec", lambda x: x.cast("double") / F.col("__n")),
+            )
+            .drop("__n")
+        )
+        r = (
+            r.withColumn("__n", V.l2_norm("__rvec"))
+            .withColumn(
+                "__rvec",
+                F.transform("__rvec", lambda x: x.cast("double") / F.col("__n")),
+            )
+            .drop("__n")
+        )
+        order = F.lit(1.0) - V.dot_product(F.col("__lvec"), F.col("__rvec"))
+    else:
+        order = _order_expr(metric, F.col("__lvec"), F.col("__rvec"))
     thr = (
         F.lit(float(threshold)) ** 2 if metric == "l2" else F.lit(float(threshold))
     )
-    order = _order_expr(metric, F.col("__lvec"), F.col("__rvec"))
     dist = F.sqrt(F.col("__o")) if metric == "l2" else F.col("__o")
     return (
         l.join(F.broadcast(r))

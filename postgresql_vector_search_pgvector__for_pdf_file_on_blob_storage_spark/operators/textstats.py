@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..utils import spread
 
 __all__ = ["doc_stats", "token_frequencies", "language_distribution"]
 
@@ -20,7 +21,7 @@ def doc_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document quality metrics + heuristic language id."""
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         *X.quality_metrics(text_col),
         X.language_id(text_col).alias("lang_pred"),
@@ -36,7 +37,8 @@ def token_frequencies(
     exchange, so the shuffle carries one row per distinct token per
     partition — the canonical word-count shape."""
     return (
-        df.select(F.explode(X.word_tokens(text_col)).alias("token"))
+        spread(df)
+        .select(F.explode(X.word_tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= F.lit(min_count))

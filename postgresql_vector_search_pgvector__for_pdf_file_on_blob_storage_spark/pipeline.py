@@ -27,6 +27,7 @@ from .functions import embed as E
 from .functions import text as X
 from .functions import vector as V
 from .operators import knn as K
+from .utils import spread
 
 # CosmosDBDocumentStatus enum names
 # (BlobUploadDetector/.../models/CosmosDBDocumentStatus.java:5-10).
@@ -66,6 +67,11 @@ def chunk_documents(
     deliberately replaced for testability; ``F.expr("uuid()")`` remains the
     production option).
     """
+    # Document sources often arrive as a handful of large files (one parquet
+    # footer -> one partition).  The chunk/embed stages are per-row Python
+    # work, so spread rows across the cluster first; at real scale the source
+    # is already many-filed and this is a no-op.
+    documents = spread(documents)
     chunks = documents.select(
         F.col(file_col).alias("fileName"),
         F.col(page_col).cast("int").alias("pageNumber"),

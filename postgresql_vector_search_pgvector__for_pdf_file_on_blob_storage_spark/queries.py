@@ -753,13 +753,14 @@ def chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("flagship_rag_search")
 def flagship_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end reference pipeline (ingest -> embed -> kNN search):
-    documents -> normalize/chunk -> deterministic embeddings -> exact L2
-    top-5 for a fixed query (SURVEY.md §3.1-3.2).  Embeddings come from a
-    pandas UDF — not SQL-expressible."""
+    documents -> normalize/chunk (reference 7500/300 parameters) ->
+    deterministic embeddings -> exact L2 top-5 for a fixed query
+    (SURVEY.md §3.1-3.2).  Embeddings come from a pandas UDF — not
+    SQL-expressible."""
     from . import pipeline as P
 
     docs = load_table(spark, sf_dir, "documents")
-    chunks, _ = P.ingest_documents(docs, max_len=200)
+    chunks, _ = P.ingest_documents(docs)
     return P.search(chunks, "spark shuffle join vector search", k=5)
 
 
