@@ -732,6 +732,518 @@ def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational closure, batch 2: joins (semi/anti/outer/asof), grouping sets,
+# pivot, exact moments, sessionization, sliding windows, function galleries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_semi_active_customers",
+    """
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+ORDER BY c.c_custkey
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — SURVEY.md §2B B8."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti_inactive_customers",
+    """
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+ORDER BY c.c_custkey
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — SURVEY.md §2B B8."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_left_outer_order_counts",
+    """
+SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+GROUP BY c.c_custkey ORDER BY c.c_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero matching orders
+    (count(col) skips nulls in both engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "asof_join_last_click_before_purchase",
+    """
+SELECT p.event_id, p.user_id, c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+""",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md custom-operator tier): for each purchase, the
+    latest click at-or-before it per user.
+
+    Spark lacks a native ASOF; the scalable composition is the union-tag
+    trick: one sort per user over the combined stream, carrying the last
+    click forward with ``last(ignorenulls)`` — a single shuffle+sort, no
+    range join, no per-row subquery.  Ties (click.ts == purchase.ts) sort
+    click-first to honor <=.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "__click_id"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            # click before purchase at identical ts => <= semantics
+            F.when(F.col("event_type") == "click", 0).otherwise(1),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = both.withColumn(
+        "click_event_id", F.last("__click_id", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "click_event_id")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "agg_cube_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (SURVEY.md §2B B7)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same text runs on DuckDB)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "pivot_returnflag_by_status",
+    """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_F,
+  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_O
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation); the oracle is the CASE-WHEN expansion —
+    identical semantics, engine-neutral."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "stats_exact_moments",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS p1,
+    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sp
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  s1 / n AS mean_qty,
+  (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+  (sp - s1 * p1 / n) / (n - 1) AS covar_qty_price
+FROM s ORDER BY l_returnflag
+""",
+)
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/covariance computed from exact decimal sums (not the
+    engines' streaming variance, whose merge order differs) — every double
+    op downstream of the exact sums is deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("l_quantity")).alias("s1"),
+        _dsum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+        _dsum(F.col("l_extendedprice")).alias("p1"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(24,6)")
+        )
+        .cast("double")
+        .alias("sp"),
+    )
+    n = F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / n).alias("mean_qty"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)).alias(
+            "var_qty"
+        ),
+        ((F.col("sp") - F.col("s1") * F.col("p1") / n) / (n - 1)).alias(
+            "covar_qty_price"
+        ),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "distinct_counts_per_group",
+    """
+SELECT l_returnflag,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (expand + two-phase agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "having_big_part_groups",
+    """
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
+ORDER BY n DESC, l_partkey
+""",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + HAVING (post-aggregation filter)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 40)
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM flagged ORDER BY user_id, ts, event_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap): lag + gap-flag + running sum —
+    one shuffle, both windows share the same partitioning."""
+    from .streaming.windows import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        sessionize_batch(ev, gap_seconds=1800)
+        .select("event_id", "user_id", "session_id")
+        .orderBy("user_id", "ts", "event_id")
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+@query(
+    "events_sliding_window",
+    """
+WITH b AS (
+  SELECT CAST((epoch_us(ts) // 600000000) * 600 AS BIGINT) AS w0,
+         CAST(((epoch_us(ts) - 300000000) // 600000000) * 600 + 300 AS BIGINT) AS w1,
+         event_type, value
+  FROM events),
+u AS (
+  SELECT w0 AS window_start, event_type, value FROM b
+  UNION ALL
+  SELECT w1 AS window_start, event_type, value FROM b)
+SELECT window_start, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM u GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min width, 5 min slide): each event lands in two
+    windows.  Spark's native F.window handles the replication; the oracle
+    expands the two phases explicitly.  Window start emitted as epoch
+    seconds (timezone-proof)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "lag_lead_gallery",
+    """
+SELECT event_id, user_id,
+  lag(value) OVER w AS prev_value,
+  lead(value) OVER w AS next_value,
+  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value_seen,
+  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS value_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+""",
+)
+def lag_lead_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: lag/lead/first_value/rank (raw doubles —
+    no aggregation, so values are bit-exact across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("first_value_seen"),
+        F.rank()
+        .over(Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id")))
+        .cast("int")
+        .alias("value_rank"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "date_functions_gallery",
+    """
+SELECT o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_epoch_start
+FROM orders ORDER BY o_orderkey
+""",
+)
+def date_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions (SURVEY.md §2B B12) emitted as ints and
+    formatted strings so timezone conventions can't skew the compare."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "string_functions_gallery",
+    """
+SELECT p_partkey,
+  lpad(p_brand, 12, '_') AS brand_padded,
+  trim(p_name) AS name_trimmed,
+  split_part(p_type, ' ', 1) AS type_head,
+  translate(p_brand, '#', 'N') AS brand_translated,
+  CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+  reverse(p_brand) AS brand_rev,
+  repeat(p_brand, 2) AS brand_twice
+FROM part ORDER BY p_partkey
+""",
+)
+def string_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar library (SURVEY.md §2B B12): pad/trim/split/translate/
+    locate/reverse/repeat — all codegen'd natively in both engines."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "_").alias("brand_padded"),
+        F.trim(F.col("p_name")).alias("name_trimmed"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.translate("p_brand", "#", "N").alias("brand_translated"),
+        F.locate("a", F.col("p_name")).cast("int").alias("first_a"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "set_ops_intersect",
+    """
+SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-02'
+ORDER BY o_custkey
+""",
+)
+def set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (SURVEY.md §2B B10)."""
+    o = load_table(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyy-MM")
+    jan = o.filter(ym == "1995-01").select("o_custkey")
+    feb = o.filter(ym == "1995-02").select("o_custkey")
+    return jan.intersect(feb).orderBy("o_custkey")
+
+
+@query(
+    "vector_centroid_per_label",
+    f"""
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+  -- float -> double -> decimal: both engines round the identical double
+  -- (a direct float->decimal cast rounds differently per engine)
+  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS centroid_val
+FROM e GROUP BY label, pos ORDER BY label, pos
+""",
+)
+def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label centroid as (label, dim, value) rows —
+    posexplode + groupBy is the shuffle-friendly shape for element-wise
+    vector aggs (no giant array state per group)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "v")
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("centroid_val")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible — driver records weaker check)
 # ---------------------------------------------------------------------------
 

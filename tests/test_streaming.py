@@ -1,0 +1,166 @@
+"""Streaming: incremental binary ingest (checkpointed, AvailableNow) and
+watermarked windowed aggregation with a batch-equivalence oracle."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.sources import (
+    binary as B,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+    ingest as SI,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+    windows as SW,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+    load_table,
+)
+
+
+@pytest.fixture()
+def doc_dir(tmp_path):
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(B.make_fake_pdf(["page one text", "page two text"]))
+    (d / "b.pdf").write_bytes(B.make_fake_pdf(["lonely page"]))
+    (d / "ignore.txt").write_bytes(b"not a pdf")
+    return str(d)
+
+
+def test_batch_binary_ingest(spark, doc_dir):
+    raw = B.read_binary_dir(spark, doc_dir, glob="*")
+    assert raw.count() == 3  # glob loosened: all files visible
+    pages = B.extract_pages(B.pdf_filter(raw))
+    rows = {(r["fileName"], r["pageNumber"]): r["text"] for r in pages.collect()}
+    assert rows[("a.pdf", 1)] == "page one text"
+    assert rows[("a.pdf", 2)] == "page two text"
+    assert rows[("b.pdf", 1)] == "lonely page"
+    assert len(rows) == 3  # ignore.txt dropped by the suffix filter
+
+
+def test_corrupt_file_yields_no_pages(spark, tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "corrupt.pdf").write_bytes(b"\x00\x01 garbage, not parseable")
+    pages = B.extract_pages(B.read_binary_dir(spark, str(d), glob="*.pdf"))
+    assert pages.count() == 0
+
+
+def test_streaming_ingest_incremental(spark, doc_dir, tmp_path):
+    chunks_out = str(tmp_path / "chunks")
+    status_out = str(tmp_path / "status")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = SI.ingest_stream(spark, doc_dir, chunks_out, status_out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(chunks_out)
+    assert first.count() == 3  # 3 pages, 1 chunk each
+    assert set(first.columns) == {
+        "id", "embedding", "origntext", "fileName", "pageNumber",
+    }
+
+    # New file arrives; re-run drains ONLY the new file (checkpoint)
+    with open(os.path.join(doc_dir, "c.pdf"), "wb") as f:
+        f.write(B.make_fake_pdf(["late arrival"]))
+    q2 = SI.ingest_stream(spark, doc_dir, chunks_out, status_out, ckpt)
+    q2.awaitTermination()
+    second = spark.read.parquet(chunks_out)
+    assert second.count() == 4
+    # the original files were NOT reprocessed (no duplicate ids)
+    assert second.select("id").distinct().count() == 4
+
+    status = spark.read.parquet(status_out)
+    assert status.filter(F.col("status") == "COMPLETED").count() == 4
+
+
+def test_stream_window_agg_matches_batch(spark, sf_dir):
+    """Drive the streaming tumbling agg over the events fixture with
+    AvailableNow and compare against the batch twin."""
+    ev = load_table(spark, sf_dir, "events")
+    # Streaming source: re-write a parquet copy with micros timestamps
+    # (streaming reader hits the same nanos limitation as batch).
+    src = "/tmp/events_stream_src"
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = SW.tumbling_counts(stream, window="10 minutes", watermark="1 minute")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = SW.tumbling_counts.__wrapped__ if hasattr(SW.tumbling_counts, "__wrapped__") else None
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in (
+            ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        ).collect()
+    }
+    # Append-mode emits only windows closed by the final watermark; every
+    # emitted window must match the batch result exactly, and the stream
+    # must cover almost all of them (all but the last open windows).
+    assert len(got) >= len(expect) - 10
+    for k, v in got.items():
+        assert expect[k][0] == v[0]
+        assert expect[k][1] == pytest.approx(v[1])
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "a"),
+        (1, base + dt.timedelta(minutes=1), "a"),   # dup within watermark
+        (2, base + dt.timedelta(minutes=2), "b"),
+        (1, base + dt.timedelta(minutes=3), "a"),   # dup again
+    ]
+    src = str(tmp_path / "dedup_src")
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = SW.stateful_dedup(stream, ["k"], watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT k FROM dedup_out").collect()
+    assert sorted(r["k"] for r in got) == [1, 2]
+
+
+def test_sessionize_batch_gap_split(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 100, base, 1.0),
+        (2, 100, base + dt.timedelta(minutes=10), 1.0),
+        (3, 100, base + dt.timedelta(minutes=50), 1.0),  # gap > 30min: new session
+        (4, 200, base, 1.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = SW.sessionize_batch(ev, gap_seconds=1800)
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got[1] == 0 and got[2] == 0
+    assert got[3] == 1
+    assert got[4] == 0
