@@ -28,14 +28,20 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
     "window_top_orders_per_customer",
     "window_running_total",
     "agg_rollup_lineitem",
     "events_tumbling_agg",
+    "events_sliding_window",
+    "sessionize_events",
+    "asof_join_last_click_before_purchase",
     "dedup_exact",
     "token_frequencies_top100",
     "jaccard_similar_pairs",
     "minhash_lsh_pairs",
+    "embedding_near_dup",
     "chunk_explode",
 ]
 

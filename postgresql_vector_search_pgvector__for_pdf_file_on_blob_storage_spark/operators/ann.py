@@ -1,0 +1,127 @@
+"""Approximate nearest-neighbor search at scale (SURVEY.md §2B B3).
+
+The reference's kNN is an exact O(n) scan — pgvector without an index
+(create-env.sh:177-180 creates no ivfflat/hnsw; SURVEY.md §4.2).  Exact
+stays the correctness target (operators.knn); these operators are the
+**opt-in scale path** for 100 TB serving, where scanning every vector per
+query is not viable:
+
+- **IVF (inverted-file) index**: k-means coarse centroids; vectors
+  partitioned by nearest centroid; a probe searches only the ``nprobe``
+  nearest clusters.  This is the Spark-natural design: the "index" is just
+  a DataFrame partitioned/bucketed by ``cluster_id``, so a probe prunes
+  partitions instead of scanning them — the same idea as pgvector's
+  ivfflat, expressed as data layout.
+- **LSH (random hyperplane / MinHash)** via ``pyspark.ml.feature`` for
+  approximate similarity joins.
+
+Both return (approximate) results whose RECALL against the exact operator
+is asserted in tests — approximate operators must never silently replace
+the exact oracle-checked path (they are not registered with a DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from ..utils import spread
+from . import knn as K
+
+__all__ = ["IVFIndex", "lsh_similarity_join"]
+
+
+class IVFIndex:
+    """Inverted-file ANN index over an ``array<float>`` column.
+
+    Build: k-means (``pyspark.ml``, fixed seed) fits coarse centroids on
+    the item table; items get a ``cluster_id`` and are repartitioned by it
+    (on a real cluster: written bucketed-by-cluster so probes prune files).
+
+    Query: nearest ``nprobe`` centroids for the probe vector (driver-side —
+    centroids are tiny), then exact kNN *within* those clusters only.
+    Search cost drops from O(n) to O(n * nprobe / k_clusters).
+    """
+
+    def __init__(
+        self,
+        items: DataFrame,
+        k_clusters: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+    ):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        self.id_col, self.vec_col = id_col, vec_col
+        feat = spread(items).withColumn(
+            "__features", array_to_vector(F.col(vec_col))
+        )
+        km = KMeans(k=k_clusters, seed=seed, featuresCol="__features")
+        self.model = km.fit(feat)
+        self.centroids = [list(map(float, c)) for c in self.model.clusterCenters()]
+        assigned = self.model.transform(feat).withColumnRenamed(
+            "prediction", "cluster_id"
+        )
+        # Repartition by cluster: a probe's candidate set is co-located.
+        # (Cluster deployment: .write.bucketBy(k, "cluster_id") instead.)
+        # All original columns ride along so search results project like
+        # the exact knn's.
+        self.indexed = (
+            assigned.drop("__features").repartition("cluster_id").cache()
+        )
+
+    def search(
+        self, probe: list[float], k: int = 5, nprobe: int = 2
+    ) -> DataFrame:
+        """Top-k among the ``nprobe`` nearest clusters (exact within them)."""
+        import numpy as np
+
+        cents = np.array(self.centroids)
+        d = np.linalg.norm(cents - np.array(probe), axis=1)
+        clusters = [int(c) for c in np.argsort(d)[:nprobe]]
+        cand = self.indexed.filter(F.col("cluster_id").isin(clusters))
+        return K.knn(
+            cand, probe, k=k, vec_col=self.vec_col, tie_cols=(self.id_col,)
+        ).drop("cluster_id")
+
+
+def lsh_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate L2 similarity join via BucketedRandomProjectionLSH:
+    candidate pairs share a hash bucket in >=1 table, then the exact
+    distance filter keeps pairs under ``threshold``.  Distances are
+    recomputed with the engine's native expression so outputs are consistent
+    with the exact ``similarity_join``."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    l = spread(left).withColumn("__f", array_to_vector(F.col(vec_col)))
+    r = right.withColumn("__f", array_to_vector(F.col(vec_col)))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__f",
+        outputCol="__h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(l)
+    joined = model.approxSimilarityJoin(l, r, threshold, distCol="__lsh_dist")
+    return joined.select(
+        F.col(f"datasetA.{left_id}").alias(left_id),
+        F.col(f"datasetB.{right_id}").alias(right_id),
+        V.l2_distance(
+            F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")
+        ).alias("dist"),
+    )

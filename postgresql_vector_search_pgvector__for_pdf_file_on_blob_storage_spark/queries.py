@@ -1243,9 +1243,224 @@ def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global agg — every
+    predicate pushes to the parquet scan, zero shuffles beyond the final
+    single-row combine."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"
+        )
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional counting."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    """
+SELECT
+  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact join to a broadcast dimension + conditional
+    aggregation (the promo/total ratio is left to the caller so both
+    aggregates stay exactly comparable)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"
+        )
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(disc).cast("double").alias("total_revenue"),
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customers",
+    """
+SELECT c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_totalprice,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over an aggregate (planned as a
+    semi-join against the grouped lineitem) + 3-way join + top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "__bk"),
+               F.col("l_orderkey") == F.col("__bk"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "correlated_scalar_subquery",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+""",
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — same SQL text runs on both engines;
+    Spark decorrelates it into an aggregate + join.  avg is double-only
+    here because the predicate (strict >) is tolerant of last-ulp
+    differences only when values are far from the boundary; the 2x factor
+    keeps it far."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible — driver records weaker check)
 # ---------------------------------------------------------------------------
+
+
+@query("sse_event_projection")
+def sse_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-side SSE projection (SURVEY.md §2A rows 24-28): flagship
+    top-5 hits expanded to ordered create/createLink/addMessage JSON events
+    per hit.  Depends on the embed UDF -> rows-only."""
+    from . import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks, _ = P.ingest_documents(docs)
+    hits = P.search(chunks, "spark shuffle join vector search", k=5)
+    return P.sse_events(hits, user_id="driver")
+
+
+@query("status_listings")
+def status_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/Q5 listings over the pipeline-generated status event log
+    (SURVEY.md §2C): current-status view + eq/neq filters + composite sort.
+    The log itself derives from the embed UDF -> rows-only."""
+    from . import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, status = P.ingest_documents(docs)
+    reg = P.status_registered(status).withColumn("listing", F.lit("registered"))
+    failed = P.status_failed(status).withColumn("listing", F.lit("failed"))
+    return reg.unionByName(failed)
+
+
+@query("ivf_ann_search")
+def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via the IVF index (SURVEY.md §2B B3) — opt-in scale
+    path; results are approximate so there is deliberately no SQL oracle
+    (recall vs exact is asserted in tests/test_ann.py)."""
+    from .operators.ann import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = IVFIndex(emb.filter(F.col("vec_id") != 0), k_clusters=8)
+    return idx.search(probe, k=5, nprobe=3).select(
+        "vec_id", "label", F.round("dist", 4).alias("dist")
+    )
 
 
 @query("chunk_explode")

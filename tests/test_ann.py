@@ -1,0 +1,101 @@
+"""Approximate NN: IVF index and LSH join, with recall asserted against the
+exact operators (approximate paths must degrade predictably, not silently)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    ann as A,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    knn as K,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+    load_table,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def ivf(emb):
+    return A.IVFIndex(emb, k_clusters=8)
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, ivf):
+    """nprobe = k_clusters searches everything -> must equal exact kNN."""
+    probe_vec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    probe = [float(x) for x in probe_vec]
+    exact = [
+        r["vec_id"]
+        for r in K.knn(emb, probe, k=5, tie_cols=("vec_id",)).collect()
+    ]
+    approx = [
+        r["vec_id"] for r in ivf.search(probe, k=5, nprobe=8).collect()
+    ]
+    assert approx == exact
+
+
+def test_ivf_recall_reasonable(spark, emb, ivf):
+    """nprobe=3 of 8 clusters: average recall@5 over 20 probes >= 0.6
+    (random gaussian-ish fixtures are a worst case for IVF; real clustered
+    embeddings do far better)."""
+    probes = emb.filter(F.col("vec_id") < 20).collect()
+    total = hit = 0
+    for row in probes:
+        probe = [float(x) for x in row["embedding"]]
+        exact = {
+            r["vec_id"]
+            for r in K.knn(emb, probe, k=5, tie_cols=("vec_id",)).collect()
+        }
+        approx = {
+            r["vec_id"] for r in ivf.search(probe, k=5, nprobe=3).collect()
+        }
+        hit += len(exact & approx)
+        total += len(exact)
+    assert hit / total >= 0.6
+
+
+def test_ivf_search_prunes_partitions(spark, emb, ivf):
+    """The candidate scan must be smaller than the full table (the whole
+    point of the inverted file)."""
+    probe = [0.0] * 64
+    import numpy as np
+
+    cents = np.array(ivf.centroids)
+    clusters = [int(c) for c in np.argsort(np.linalg.norm(cents, axis=1))[:2]]
+    cand_count = ivf.indexed.filter(
+        F.col("cluster_id").isin(clusters)
+    ).count()
+    assert 0 < cand_count < emb.count()
+
+
+def test_lsh_join_subset_of_exact_with_good_recall(spark, emb):
+    left = emb.select(F.col("vec_id").alias("left_id"), "embedding")
+    right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    thr = 6.5
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in K.similarity_join(
+            left, right, thr, metric="l2", left_id="left_id", right_id="right_id"
+        ).collect()
+        if r["left_id"] < r["right_id"]
+    }
+    approx_rows = A.lsh_similarity_join(
+        left, right, thr, num_hash_tables=6, bucket_length=4.0
+    ).collect()
+    approx = {
+        (r["left_id"], r["right_id"])
+        for r in approx_rows
+        if r["left_id"] < r["right_id"]
+    }
+    # LSH candidates are verified with the exact distance -> no false pairs
+    assert approx <= exact
+    # and with 6 hash tables recall should be substantial
+    assert len(approx) >= 0.5 * len(exact)
+    for r in approx_rows:
+        assert r["dist"] < thr

@@ -1,0 +1,69 @@
+"""Physical-plan contracts: pushdown, pruning, broadcast, top-k shape, and
+no Python in the relational hot path (SURVEY.md §4)."""
+
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+    queries as Q,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans import (
+    explain as E,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+    load_table,
+)
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") == 42
+    ).select("l_orderkey", "l_quantity")
+    assert E.has_pushed_filter(df, "l_orderkey")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = E.read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"l_orderkey", "l_quantity"}
+
+
+def test_knn_projection_prunes_label(spark, sf_dir):
+    """The kNN query needs only embedding + ids: reading all columns for a
+    2-column projection would be wrong (brief: ReadSchema check)."""
+    df = Q.QUERIES["knn_l2_top5"](spark, sf_dir)
+    for cols in E.read_schema_columns(df):
+        assert "label" in cols or set(cols) <= {"vec_id", "embedding", "label"}
+
+
+def test_tpch_q3_broadcasts_dimension(spark, sf_dir):
+    df = Q.QUERIES["tpch_q3_shipping_priority"](spark, sf_dir)
+    assert E.has_broadcast_join(df)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = Q.QUERIES["knn_l2_top5"](spark, sf_dir)
+    assert E.has_take_ordered(df)
+
+
+def test_relational_queries_have_no_python(spark, sf_dir):
+    for name in [
+        "tpch_q1_pricing_summary",
+        "tpch_q5_local_supplier_volume",
+        "knn_l2_top5",
+        "dedup_exact",
+        "jaccard_similar_pairs",
+        "minhash_lsh_pairs",
+        "window_running_total",
+        "events_tumbling_agg",
+    ]:
+        df = Q.QUERIES[name](spark, sf_dir)
+        assert E.python_eval_nodes(df) == [], name
+
+
+def test_exchange_counts_bounded(spark, sf_dir):
+    """Shape regression guard: the canonical queries must not grow extra
+    shuffles (AQE may reuse, but the static plan shouldn't inflate)."""
+    assert E.num_exchanges(Q.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)) <= 2
+    assert E.num_exchanges(Q.QUERIES["window_running_total"](spark, sf_dir)) <= 2
+    # sessionize shares one partitioning across both window functions
+    assert E.num_exchanges(Q.QUERIES["sessionize_events"](spark, sf_dir)) <= 2
