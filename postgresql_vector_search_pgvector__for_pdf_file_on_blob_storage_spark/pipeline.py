@@ -172,6 +172,56 @@ def search(
     ).select("id", "origntext", "fileName", "pageNumber", "dist")
 
 
+def deterministic_summarizer(max_sentences: int = 2):
+    """The LLM-summarization seam (SURVEY.md §2A row 29/§3.2 step 5).
+
+    The reference streams a GPT-4 chat completion per hit
+    (SSEOpenAIController.java:151-184) with the prompt template at :90-94,
+    273-278.  The engine keeps that as a pluggable enrichment UDF with the
+    signature ``(origntext, question) -> summary``; this default is a
+    deterministic extractive stand-in (first sentences) so pipelines and
+    tests run hermetically — a production deployment swaps in a vendor-API
+    pandas UDF with in-UDF retry/backoff, exactly like the embedder seam.
+    """
+    import re
+
+    @F.pandas_udf("string")
+    def _summarize(origntext, question):
+        import pandas as pd
+
+        out = []
+        for text, q in zip(origntext, question):
+            sents = [
+                s.strip()
+                for s in re.split(r"(?<=[.。!！?？;；])\s*", text or "")
+                if s.strip()
+            ]
+            head = " ".join(sents[:max_sentences]) if sents else (text or "")
+            out.append(f"[re: {q}] {head}")
+        return pd.Series(out)
+
+    return _summarize
+
+
+def summaries(
+    hits: DataFrame, question: str, summarizer=None
+) -> DataFrame:
+    """Per-hit summarization (the reference's fan-out loop,
+    SSEOpenAIController.java:142-147): prompt templating + enrichment UDF.
+    Returns hits + ``prompt`` + ``summary``; rows keep their (id) key so the
+    interleaved-stream demux of the reference becomes plain keyed rows
+    (SURVEY.md §7.4 item 6)."""
+    udf = summarizer or deterministic_summarizer()
+    prompt = F.format_string(
+        '""" %s """ \n\nPlease answer the question using the above text: "%s"',
+        F.col("origntext"),
+        F.lit(question),
+    )  # template shape: SSEOpenAIController.java:90-94,151-155
+    return hits.withColumn("prompt", prompt).withColumn(
+        "summary", udf(F.col("origntext"), F.lit(question))
+    )
+
+
 def sse_events(hits: DataFrame, user_id: str = "user-0") -> DataFrame:
     """Serving projection: the three SSE record types the reference emits
     per hit (entities CreateAreaInHTML/CreateLinkInHTML/CreateMessageInHTML,

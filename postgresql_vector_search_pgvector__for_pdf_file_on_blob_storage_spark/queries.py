@@ -39,6 +39,7 @@ from .functions import vector as V
 from .operators import dedup as D
 from .operators import knn as K
 from .tables import load_table
+from .utils import spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1244,6 +1245,71 @@ def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sse_projection_sql",
+    """
+WITH top5 AS (SELECT * FROM documents ORDER BY doc_id LIMIT 5),
+ev AS (
+  SELECT doc_id, 0 AS seq,
+    '{"type":"create","id":"' || doc_id || '"}' AS event_json
+  FROM top5
+  UNION ALL
+  SELECT doc_id, 1,
+    '{"type":"createLink","id":"' || doc_id || '","link":"'
+      || 'https://storage.example/pdfs/' || source || '#page=' || doc_id
+      || '"}'
+  FROM top5
+  UNION ALL
+  SELECT doc_id, 2,
+    '{"type":"addMessage","id":"' || doc_id || '","content":"'
+      || replace(text, ' ', '<SPECIAL_WHITE_SPACE>') || '"}'
+  FROM top5)
+SELECT doc_id, CAST(seq AS INTEGER) AS seq, event_json
+FROM ev ORDER BY doc_id, seq
+""",
+)
+def sse_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible twin of the SSE serving projection (SURVEY.md §2A
+    rows 24-28): create/createLink/addMessage JSON events built with
+    explicit concatenation (engine-neutral bytes — SSEOpenAIController.java:
+    186-239), the blob-URL #page anchor (:204-206), and the
+    ``<SPECIAL_WHITE_SPACE>`` escape (:226-228), over the 5 lowest-id docs
+    (stand-in for the top-5 hits so the embed UDF stays out of the oracle
+    path)."""
+    d = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(5)
+    sid = F.col("doc_id").cast("string")
+    link = F.concat(
+        F.lit("https://storage.example/pdfs/"),
+        F.col("source"),
+        F.lit("#page="),
+        sid,
+    )
+    esc = F.regexp_replace("text", " ", "<SPECIAL_WHITE_SPACE>")
+    events = F.array(
+        F.concat(F.lit('{"type":"create","id":"'), sid, F.lit('"}')),
+        F.concat(
+            F.lit('{"type":"createLink","id":"'),
+            sid,
+            F.lit('","link":"'),
+            link,
+            F.lit('"}'),
+        ),
+        F.concat(
+            F.lit('{"type":"addMessage","id":"'),
+            sid,
+            F.lit('","content":"'),
+            esc,
+            F.lit('"}'),
+        ),
+    )
+    return (
+        d.select("doc_id", F.posexplode(events).alias("seq", "event_json"))
+        .withColumn("seq", F.col("seq").cast("int"))
+        .select("doc_id", "seq", "event_json")
+        .orderBy("doc_id", "seq")
+    )
+
+
+@query(
     "tpch_q6_forecast_revenue",
     """
 SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
@@ -1419,6 +1485,49 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible — driver records weaker check)
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "token_frequencies_salted",
+    r"""
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+  FROM documents)
+GROUP BY token ORDER BY freq DESC, token LIMIT 100
+""",
+)
+def token_frequencies_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe word count (SURVEY.md §4.4): two-phase salted aggregation —
+    identical semantics to token_frequencies_top100 (same oracle!), but each
+    hot token spreads over 16 reducers in phase one.  The low-vocab fixture
+    corpus is exactly the skew case: every token is hot."""
+    from .operators.skew import salted_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(F.explode(X.word_tokens("text")).alias("token"))
+    return (
+        salted_count(toks, ["token"], salt_buckets=16)
+        .withColumnRenamed("count", "freq")
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@query("summarize_hits")
+def summarize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-hit summarization fan-out (SURVEY.md §2A row 29):
+    flagship top-5 -> prompt template -> enrichment UDF (deterministic
+    extractive stand-in; production swaps a vendor-API pandas UDF).
+    UDF-dependent -> rows-only."""
+    from . import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks, _ = P.ingest_documents(docs)
+    hits = P.search(chunks, "spark shuffle join vector search", k=5)
+    return P.summaries(hits, "what is this document about?").select(
+        "id", "fileName", "pageNumber", "prompt", "summary"
+    )
 
 
 @query("sse_event_projection")
