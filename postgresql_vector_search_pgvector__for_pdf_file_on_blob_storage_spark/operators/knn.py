@@ -78,14 +78,21 @@ def knn(
     """
     if isinstance(probe, Column):
         probe_col = probe
+        guard = F.col(vec_col).isNotNull()
     else:
         probe_col = F.array(*[F.lit(float(x)).cast("float") for x in probe])
+        # Null or wrong-dimension vectors produce NULL distances, which sort
+        # FIRST under ascending order — they must never reach the heap.
+        # (pgvector rejects them at insert; we enforce at query time too.)
+        guard = F.col(vec_col).isNotNull() & (
+            F.size(F.col(vec_col)) == len(probe)
+        )
     dist = distance_expr(metric, F.col(vec_col), probe_col)
-    order = [_order_expr(metric, F.col(vec_col), probe_col).asc()]
+    order = [_order_expr(metric, F.col(vec_col), probe_col).asc_nulls_last()]
     order += [F.col(c).asc() for c in tie_cols]
     # orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
     # heap, no global sort (SURVEY.md §4.1).
-    return items.withColumn(dist_col, dist).orderBy(*order).limit(k)
+    return items.filter(guard).withColumn(dist_col, dist).orderBy(*order).limit(k)
 
 
 def knn_join(
