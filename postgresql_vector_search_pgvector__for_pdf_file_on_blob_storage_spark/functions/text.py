@@ -42,6 +42,8 @@ __all__ = [
     "quality_metrics",
     "language_id",
     "fingerprint64",
+    "rolling_fingerprint",
+    "char_codes",
 ]
 
 # Function.java:40 — MAX_SEPARATE_TOKEN_LENGTH = 7500; findSplitIndex scans
@@ -207,3 +209,54 @@ def fingerprint64(c: Column | str) -> Column:
     Native expression — used for exact dedup at scale (group/join on a
     fixed-width key instead of comparing full documents)."""
     return F.xxhash64(normalize_text(_col(c)))
+
+
+# Rabin–Karp polynomial parameters.  The modulus keeps every intermediate
+# value under ~1.3e11, so the fold never overflows a BIGINT even with
+# Spark 4's ANSI overflow checking enabled.
+POLY_BASE = 131
+POLY_MOD = 1_000_000_007
+
+
+def _poly_hash(codes: Column) -> Column:
+    """Left fold ``h = (h*B + code) % M`` over an ``array<long>``."""
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(POLY_BASE) + x) % F.lit(POLY_MOD),
+    )
+
+
+def char_codes(c: Column | str) -> Column:
+    """``array<long>`` of per-character code points (native split+ascii)."""
+    return F.transform(
+        F.split(_col(c), ""), lambda ch: F.ascii(ch).cast("long")
+    )
+
+
+def rolling_fingerprint(
+    c: Column | str, k: int = 8
+) -> tuple[Column, Column]:
+    """Document fingerprinting via a character-level rolling hash
+    (SURVEY.md training-data ops): returns ``(fp_full, fp_min)`` where
+    ``fp_full`` is the polynomial hash of the whole text and ``fp_min`` is
+    the minimum hash over all ``k``-char windows — the winnowing-style
+    robust fingerprint (stable under content shifts, unlike ``fp_full``).
+
+    All native expressions, O(len·k) per row inside one scan stage — no
+    shuffle, no UDF; at 100 TB this is a pure map over the corpus.  Texts
+    shorter than ``k`` fall back to the full-document hash.
+    """
+    col = _col(c)
+    codes = char_codes(col)
+    full = _poly_hash(codes)
+    windowed = F.when(
+        F.length(col) >= F.lit(k),
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - F.lit(k - 1)),
+                lambda i: _poly_hash(F.slice(codes, i, k)),
+            )
+        ),
+    ).otherwise(full)
+    return full, windowed

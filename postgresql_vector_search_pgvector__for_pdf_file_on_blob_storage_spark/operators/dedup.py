@@ -82,28 +82,55 @@ def jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing >=1
-    shingle.  Explode -> equi-join on the shingle -> count shared -> Jaccard
-    via inclusion-exclusion.  Returns ``(id_a, id_b, jaccard)`` with
-    ``id_a < id_b``.
+    shingle.  Explode -> group docs per shingle -> emit in-bucket pairs ->
+    count shared -> Jaccard via inclusion-exclusion.  Returns
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
 
-    The shingle join is the scalable exact form (no n^2): shuffle is
-    proportional to total shingle occurrences, and Catalyst plans a
-    hash join on the shingle key.  For web-scale corpora prefer
+    Group-then-pair beats the naive shingle self-join: the shingle sets are
+    computed ONCE (a self-join re-evaluates the shingle expression on both
+    branches — and AQE may broadcast an entire exploded branch), and the
+    shuffle carries one row per shingle occurrence.  Pair fan-out per
+    shingle is quadratic in that shingle's document frequency, which is
+    exactly the candidate set an exact algorithm must examine; for
+    web-scale corpora with stopword-gram hot buckets prefer
     :func:`minhash_lsh_pairs` (bounded signature width per doc).
     """
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select("id", "n_sh", F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
+    ex = sh.select(
+        F.explode("shingles").alias("s"),
+        F.struct(F.col("id"), F.col("n_sh")).alias("m"),
+    )
+    # sort_array makes bucket order (and thus id_a < id_b) deterministic
+    # under nondeterministic collect_list ordering.
+    buckets = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n_sh"].alias("na"),
+                    y["n_sh"].alias("nb"),
+                ),
+            ),
+        )
+    )
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        buckets.select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
         )
         .agg(F.count("*").alias("inter"))
     )

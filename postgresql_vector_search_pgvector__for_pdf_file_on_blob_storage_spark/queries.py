@@ -714,6 +714,91 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# English stopword probe set for the quality-scoring heuristic (brief:
+# "length/punct/stopword ratios").  Kept tiny and fixed so the DuckDB
+# oracle can inline the identical list.
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+@query(
+    "doc_quality_scores",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+  FROM documents),
+s AS (
+  SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x ->
+           list_contains(['the','a','an','and','or','of','to','in','is','it'],
+                         lower(x)))) AS BIGINT) AS n_stop,
+         n_punct, n_digit
+  FROM t)
+SELECT doc_id, n_chars, n_tokens,
+       CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_token_len,
+       CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio,
+       CAST(n_digit AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS digit_ratio,
+       CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stopword_ratio
+FROM s ORDER BY doc_id
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring for training-data filtering (brief
+    training-data ops; generalizes SURVEY.md §2A rows 15-17): char/token
+    counts, mean token length, punctuation/digit/stopword ratios.  Pure
+    scan — every column is a native expression, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.word_tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        *X.quality_metrics("text"),
+        (
+            n_stop.cast("double")
+            / F.greatest(n_tokens.cast("double"), F.lit(1.0))
+        ).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_rolling_fingerprints",
+    r"""
+WITH c AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(string_split(text, ''),
+                        ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+  FROM documents)
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+              (acc, x) -> (acc*131 + x) % 1000000007) AS fp_full,
+  CASE WHEN n >= 8 THEN
+    list_min(list_transform(range(1, n - 8 + 2),
+      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+7]),
+           (acc, x) -> (acc*131 + x) % 1000000007)))
+  ELSE
+    list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                (acc, x) -> (acc*131 + x) % 1000000007)
+  END AS fp_min
+FROM c ORDER BY doc_id
+""",
+)
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (brief training-data ops):
+    full-text Rabin–Karp hash + winnowing-style min over 8-char windows.
+    Both values are exact integers, so the oracle matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp_full, fp_min = X.rolling_fingerprint("text", k=8)
+    return docs.select(
+        "doc_id", fp_full.alias("fp_full"), fp_min.alias("fp_min")
+    ).orderBy("doc_id")
+
+
 @query(
     "jaccard_similar_pairs",
     r"""
@@ -1467,6 +1552,378 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated non-equi predicate, planned
+    as a left-semi join (equi key + residual condition), then a tiny agg.
+    Adapted: fixtures lack commit/receipt dates, so "late" =
+    l_shipdate > o_orderdate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'"
+            " AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'"
+        )
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join where only lineitem⋈orders is big-big;
+    supplier/customer/nation are broadcast, and the nation-pair OR predicate
+    is applied after the dimension joins (Catalyst pushes each half into the
+    respective broadcast join where possible)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+        )
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """
+SELECT c.c_custkey, c.c_name,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — one big-big
+    join (lineitem⋈orders, both pre-filtered) + two broadcasts + top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'"
+            " AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+        )
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution.  Instead of the literal
+    outer-join-then-count (which shuffles every order row keyed by
+    customer), aggregate orders per customer FIRST, then broadcast-join the
+    small per-customer counts — the agg-below-join rewrite that matters at
+    100 TB (shuffle carries one row per customer, not per order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = o.groupBy(F.col("o_custkey")).agg(
+        F.count("*").alias("__n")
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: agg -> scalar max over the agg -> equality back-join.
+    The max comparison stays in DECIMAL (exact) and only the output casts to
+    double, so ties/equality are engine-independent."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"
+        )
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+        .alias("__rev")
+    )
+    best = rev.agg(F.max("__rev").alias("__best"))
+    return (
+        rev.join(F.broadcast(best), F.col("__rev") == F.col("__best"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#2' AND p.p_size < 10
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average.  The subquery is
+    decorrelated into a pre-aggregation keyed by partkey, computed only for
+    partkeys that survive the broadcast part filter (semantically identical:
+    the outer join already restricts to those parts).  l_quantity values are
+    small integers stored as doubles, so their sum/avg is exact in IEEE
+    double regardless of order — safe to compare across engines."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = lp.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__cut")
+    )
+    return (
+        lp.join(F.broadcast(thresh), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__cut"))
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate across both
+    join sides.  The part side of the OR is pre-filtered (union of brand
+    windows) so the broadcast build is small; the residual quantity clauses
+    evaluate post-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35))
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    """
+WITH pool AS (
+  SELECT CAST(c_custkey % 7 AS INTEGER) AS cntrycode, c_custkey, c_acctbal
+  FROM customer WHERE c_custkey % 7 IN (1, 3, 5)),
+cutoff AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_bal
+  FROM pool WHERE c_acctbal > 0.0)
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM pool, cutoff
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = pool.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY cntrycode ORDER BY cntrycode
+""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery cutoff + NOT EXISTS anti-join.
+    Adapted: fixtures lack phone country codes, so cntrycode =
+    c_custkey % 7 restricted to {1,3,5}; and since every fixture customer
+    has orders, "no orders" is narrowed to "no URGENT orders" to keep the
+    anti-join selective but non-empty.  The average is an exact decimal sum
+    divided once in double, so the > comparison is engine-independent."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pool = c.filter((F.col("c_custkey") % 7).isin(1, 3, 5)).select(
+        (F.col("c_custkey") % 7).cast("int").alias("cntrycode"),
+        "c_custkey",
+        "c_acctbal",
+    )
+    cutoff = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal")
+    )
+    return (
+        pool.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
 
 
