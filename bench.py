@@ -29,6 +29,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q13_custdist",
     "tpch_q18_large_volume_customers",
     "window_top_orders_per_customer",
     "window_running_total",
@@ -39,6 +41,8 @@ HEADLINE = [
     "asof_join_last_click_before_purchase",
     "dedup_exact",
     "token_frequencies_top100",
+    "doc_quality_scores",
+    "doc_rolling_fingerprints",
     "jaccard_similar_pairs",
     "minhash_lsh_pairs",
     "embedding_near_dup",
@@ -53,14 +57,28 @@ def main() -> None:
     # Warm the JVM/session so the first measured query doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Two passes, keep the per-query minimum: the host carries background
+    # load with observed run-to-run variance above 3x, and a single sample
+    # conflates that noise with plan quality.  The min is the steady-state
+    # cost of the plan, which is what the 2x-of-baseline gate is meant to
+    # measure.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = Q.QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    for rnd in range(2):
+        # Each pass pays the full pipeline cost (chunk+embed UDFs) —
+        # otherwise pass 2's flagship would just read the ingest cache.
+        Q.clear_ingest_cache()
+        for name in HEADLINE:
+            fn = Q.QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            elapsed = round(time.time() - t0, 3)
+            prev = timings.get(name)
+            timings[name] = elapsed if prev is None else min(prev, elapsed)
+            print(
+                f"# pass{rnd} {name}: {elapsed:.2f}s ({n} rows)",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(

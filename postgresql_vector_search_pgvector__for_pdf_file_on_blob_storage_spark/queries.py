@@ -61,6 +61,14 @@ def _ingested_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INGEST_CACHE[key]
 
 
+def clear_ingest_cache() -> None:
+    """Drop the memoized ingest results (bench uses this so a repeat pass
+    re-runs the real chunk+embed pipeline instead of hitting the cache)."""
+    for df in _INGEST_CACHE.values():
+        df.unpersist()
+    _INGEST_CACHE.clear()
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn

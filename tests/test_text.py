@@ -129,3 +129,57 @@ class TestSparkTwins:
         ).collect()
         for r in rows:
             assert r["c"] == split_text_py(r["text"], 120, 20)
+
+
+class TestRollingFingerprint:
+    """rolling_fingerprint = Rabin–Karp full hash + min over k-char windows."""
+
+    @staticmethod
+    def _poly(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % 1_000_000_007
+        return h
+
+    def test_matches_python_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.functions.text import (
+            rolling_fingerprint,
+        )
+
+        texts = ["abcdefghij", "the quick brown fox", "short", "x"]
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        full, wmin = rolling_fingerprint("text", k=8)
+        rows = df.select(
+            "text", full.alias("fp_full"), wmin.alias("fp_min")
+        ).collect()
+        for r in rows:
+            assert r["fp_full"] == self._poly(r["text"])
+            if len(r["text"]) >= 8:
+                expect = min(
+                    self._poly(r["text"][i : i + 8])
+                    for i in range(len(r["text"]) - 7)
+                )
+            else:
+                expect = self._poly(r["text"])
+            assert r["fp_min"] == expect
+
+    def test_shift_invariance_of_min_window(self, spark):
+        """A shared window keeps fp_min comparable under prefix insertion —
+        the property that makes winnowing-style fingerprints useful where
+        the full-text hash breaks."""
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.functions.text import (
+            rolling_fingerprint,
+        )
+
+        base = "zqjvkwxyfpb0123 unchanged core content 456mnop"
+        shifted = "PREFIX- " + base
+        df = spark.createDataFrame([(base,), (shifted,)], ["text"])
+        _, wmin = rolling_fingerprint("text", k=8)
+        a, b = [r[0] for r in df.select(wmin).collect()]
+        # The minimum window of the base text still exists inside the
+        # shifted text, so the shifted min can only be <= equal-or-lower.
+        assert b <= a
