@@ -1995,6 +1995,75 @@ def token_frequencies_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "status_state_machine",
+    """
+WITH happy(step, status) AS (VALUES
+    (0, 'PAGE_SEPARATE_FINISHED'), (1, 'FINISH_OAI_INVOCATION'),
+    (2, 'FINISH_DB_INSERTION'), (3, 'COMPLETED')),
+failp(step, status) AS (VALUES
+    (0, 'PAGE_SEPARATE_FINISHED'), (1, 'FINISH_OAI_INVOCATION'),
+    (2, 'FAILED_DB_INSERTION'), (3, 'COMPLETED')),
+ev AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS id, p.status, p.step AS seq
+  FROM documents d JOIN happy p ON d.doc_id % 7 <> 0
+  UNION ALL
+  SELECT CAST(d.doc_id AS VARCHAR) AS id, p.status, p.step AS seq
+  FROM documents d JOIN failp p ON d.doc_id % 7 = 0),
+w AS (SELECT id, status, seq,
+             lag(status) OVER (PARTITION BY id ORDER BY seq) AS prev
+      FROM ev)
+SELECT id,
+       arg_max(status, seq) AS status,
+       CAST(count(*) AS INTEGER) AS n_events,
+       bool_and(CASE
+         WHEN prev IS NULL THEN status = 'PAGE_SEPARATE_FINISHED'
+         WHEN prev = 'PAGE_SEPARATE_FINISHED'
+           THEN status IN ('RETRY_OAI_INVOCATION', 'FINISH_OAI_INVOCATION')
+         WHEN prev = 'RETRY_OAI_INVOCATION'
+           THEN status IN ('RETRY_OAI_INVOCATION', 'FINISH_OAI_INVOCATION')
+         WHEN prev = 'FINISH_OAI_INVOCATION'
+           THEN status IN ('FINISH_DB_INSERTION', 'FAILED_DB_INSERTION')
+         WHEN prev = 'FINISH_DB_INSERTION' THEN status = 'COMPLETED'
+         ELSE FALSE END) AS valid
+FROM w GROUP BY id ORDER BY id
+""",
+)
+def status_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-chunk status state machine (SURVEY.md §2A row 30) run through
+    the engine's custom stateful operator (streaming/state.py batch twin —
+    the exact fold the applyInPandasWithState operator uses).  Events are
+    synthesized deterministically from the documents table: docs where
+    doc_id % 7 == 0 take the failure path, which ends with the reference's
+    COMPLETED-after-failure quirk and must come out valid = false."""
+    from .streaming import state as ST
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    happy = spark.createDataFrame(
+        list(enumerate(["PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION",
+                        "FINISH_DB_INSERTION", "COMPLETED"])),
+        "step int, status string",
+    )
+    failp = spark.createDataFrame(
+        list(enumerate(["PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION",
+                        "FAILED_DB_INSERTION", "COMPLETED"])),
+        "step int, status string",
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .crossJoin(F.broadcast(happy))
+        .union(
+            docs.filter(F.col("doc_id") % 7 == 0).crossJoin(F.broadcast(failp))
+        )
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            "status",
+            F.col("step").cast("long").alias("seq"),
+        )
+    )
+    return ST.track_status_batch(ev).orderBy("id")
+
+
 @query("summarize_hits")
 def summarize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's per-hit summarization fan-out (SURVEY.md §2A row 29):

@@ -164,3 +164,78 @@ def test_sessionize_batch_gap_split(spark):
     assert got[1] == 0 and got[2] == 0
     assert got[3] == 1
     assert got[4] == 0
+
+
+def test_stateful_status_tracking_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState status fold across micro-batches == batch twin
+    on the whole log; illegal transitions flagged, not silently accepted."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        state as ST,
+    )
+
+    happy = ["PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION",
+             "FINISH_DB_INSERTION", "COMPLETED"]
+    retry = ["PAGE_SEPARATE_FINISHED", "RETRY_OAI_INVOCATION",
+             "FINISH_OAI_INVOCATION", "FINISH_DB_INSERTION", "COMPLETED"]
+    # Reference quirk we reject: COMPLETED directly after failure
+    # (Function.java:175) -> valid must be False.
+    quirk = ["PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION",
+             "FAILED_DB_INSERTION", "COMPLETED"]
+    rows = []
+    for cid, seqn in (("a", happy), ("b", retry), ("c", quirk)):
+        rows += [(cid, s, i) for i, s in enumerate(seqn)]
+    df = spark.createDataFrame(rows, "id string, status string, seq long")
+
+    # Two files -> with maxFilesPerTrigger=1 AvailableNow runs 2 batches,
+    # so per-id state genuinely persists across micro-batches.
+    src = str(tmp_path / "status_src")
+    df.filter(F.col("seq") < 2).coalesce(1).write.mode("overwrite").parquet(src)
+    df.filter(F.col("seq") >= 2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        ST.track_status_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("status_state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.sql("SELECT * FROM status_state_out").collect()
+    assert len(emitted) > 3, "expected per-batch update rows, got one batch"
+    final = {}
+    for r in emitted:  # last update per id = row with the highest n_events
+        if r["id"] not in final or r["n_events"] > final[r["id"]]["n_events"]:
+            final[r["id"]] = r
+    got = {k: (v["status"], v["n_events"], v["valid"]) for k, v in final.items()}
+
+    expect = {
+        r["id"]: (r["status"], r["n_events"], r["valid"])
+        for r in ST.track_status_batch(df).collect()
+    }
+    assert got == expect
+    assert expect["a"] == ("COMPLETED", 4, True)
+    assert expect["b"] == ("COMPLETED", 5, True)
+    assert expect["c"] == ("COMPLETED", 4, False)
+
+
+def test_fold_status_pure():
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming.state import (
+        fold_status,
+    )
+
+    assert fold_status((None, 0, True), ["PAGE_SEPARATE_FINISHED"]) == (
+        "PAGE_SEPARATE_FINISHED", 1, True,
+    )
+    # resuming from stored state continues the machine
+    assert fold_status(("FINISH_DB_INSERTION", 3, True), ["COMPLETED"]) == (
+        "COMPLETED", 4, True,
+    )
+    # out-of-order / illegal start
+    assert fold_status((None, 0, True), ["COMPLETED"])[2] is False
