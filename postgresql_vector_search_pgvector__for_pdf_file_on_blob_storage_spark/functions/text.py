@@ -37,6 +37,8 @@ __all__ = [
     "normalize_text",
     "chunk_udf",
     "token_count",
+    "bpe_token_count",
+    "BPE_TOKEN_PATTERN",
     "word_tokens",
     "char_count",
     "quality_metrics",
@@ -154,6 +156,22 @@ def token_count(c: Column | str) -> Column:
 
 def char_count(c: Column | str) -> Column:
     return F.length(_col(c))
+
+
+# GPT-2-style pretokenizer pattern, minus lookahead (kept to the RE2-safe
+# subset so the DuckDB oracle can run the identical pattern): a token is an
+# optionally space-prefixed letter run, digit run, or punctuation run, or a
+# whitespace run.
+BPE_TOKEN_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """BPE-ish token count (brief training-data ops: "token counting —
+    whitespace + a BPE-ish regex").  Approximates a GPT-2 pretokenizer's
+    piece count; native regexp so it stays a scan at 100 TB."""
+    return F.size(
+        F.regexp_extract_all(_col(c), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    )
 
 
 def quality_metrics(c: Column | str) -> list[Column]:

@@ -722,6 +722,36 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_token_stats",
+    r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS DOUBLE)
+    / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 1.0)
+    AS bpe_per_ws
+FROM documents ORDER BY doc_id
+""",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish regex flavor (brief training-data ops) next
+    to the whitespace count — the pattern is RE2-safe so Spark (Java regex)
+    and DuckDB (RE2) extract identical token streams."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = X.bpe_token_count("text").cast("long")
+    n_ws = X.token_count("text").cast("long")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        (
+            n_bpe.cast("double")
+            / F.greatest(n_ws.cast("double"), F.lit(1.0))
+        ).alias("bpe_per_ws"),
+    ).orderBy("doc_id")
+
+
 # English stopword probe set for the quality-scoring heuristic (brief:
 # "length/punct/stopword ratios").  Kept tiny and fixed so the DuckDB
 # oracle can inline the identical list.
@@ -2166,10 +2196,25 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("embedding_near_dup")
+@query(
+    "embedding_near_dup",
+    f"""
+WITH scored AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         1 - ({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+              / ({_SQL_NORM.format(a="a.embedding")}
+                 * {_SQL_NORM.format(a="b.embedding")})) AS d
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT left_id, right_id, round(d, 4) AS cos_dist
+FROM scored WHERE d < 0.6
+ORDER BY left_id, right_id
+""",
+)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via the similarity (range) join.
-    Self-join of the embeddings table under cosine distance < 0.35."""
+    Self-join of the embeddings table under cosine distance < 0.6.  The
+    threshold compares the unrounded distance, which is bit-identical
+    across engines (left-to-right accumulation, module doc)."""
     emb = load_table(spark, sf_dir, "embeddings")
     left = emb.select(F.col("vec_id").alias("left_id"), "embedding")
     right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
