@@ -48,9 +48,22 @@ def frame_to_canonical(df) -> tuple[list[str], list[tuple]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark()
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        # Driver-faithful session: no engine tuning (no forced UTC, default
+        # shuffle partitions) — queries must not depend on get_spark().
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
