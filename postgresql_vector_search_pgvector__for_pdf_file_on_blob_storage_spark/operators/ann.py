@@ -74,9 +74,11 @@ class IVFIndex:
         )
 
     def search(
-        self, probe: list[float], k: int = 5, nprobe: int = 2
+        self, probe: list[float], k: int = 5, nprobe: int = 2,
+        impl: str = "native",
     ) -> DataFrame:
-        """Top-k among the ``nprobe`` nearest clusters (exact within them)."""
+        """Top-k among the ``nprobe`` nearest clusters (exact within them).
+        ``impl="pandas"`` uses the NumPy batch scorer (operators/knn.py)."""
         import numpy as np
 
         cents = np.array(self.centroids)
@@ -84,7 +86,8 @@ class IVFIndex:
         clusters = [int(c) for c in np.argsort(d)[:nprobe]]
         cand = self.indexed.filter(F.col("cluster_id").isin(clusters))
         return K.knn(
-            cand, probe, k=k, vec_col=self.vec_col, tie_cols=(self.id_col,)
+            cand, probe, k=k, vec_col=self.vec_col, tie_cols=(self.id_col,),
+            impl=impl,
         ).drop("cluster_id")
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "plan_string",
+    "optimized_plan_string",
     "has_pushed_filter",
     "read_schema_columns",
     "has_broadcast_join",
@@ -34,6 +35,13 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
 
 def _executed(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan_string(df: DataFrame) -> str:
+    """Catalyst's optimized *logical* plan — the right level for asserting
+    rewrites like agg-below-join, where physical operator names vary with
+    AQE decisions."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
 
 
 def _formatted(df: DataFrame) -> str:

@@ -1,0 +1,104 @@
+"""Streaming serving path — the reference's query side as a streaming job.
+
+Reference (SURVEY.md §3.2): each ``POST /openai-gpt4-sse-submit`` embeds the
+user's text, runs the pgvector top-5, and streams per-hit events back over
+SSE (SSEOpenAIController.java:136-239).  Here the submit endpoint becomes a
+*stream of probe rows* ``(user_id, query_text)``; every micro-batch is
+embedded (Arrow-batched UDF), kNN-joined against the static chunks table
+with the bounded per-partition top-k (operators/knn.knn_join — shuffled
+bytes O(partitions × probes × k), the only viable shape when the item side
+is 100 TB), and appended to the output sink.  The SSE projection
+(pipeline.sse_events) is a downstream batch op over the emitted hits.
+
+``foreachBatch`` is the right tool: a micro-batch of probes is small, the
+chunks side is static, and the batch kNN join — including its broadcast of
+the probe side — is reused verbatim, so the streaming and interactive
+serving paths cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import embed as E
+from ..operators import knn as K
+
+
+def batch_search(
+    probes: DataFrame,
+    chunks: DataFrame,
+    k: int = 5,
+    dim: int = E.DEFAULT_DIM,
+) -> DataFrame:
+    """Top-k chunks per probe row ``(user_id, query_text)`` — the per-batch
+    kernel of :func:`serve_search_stream`, reusable in batch serving.
+    Returns ``(user_id, query_text, rank, id, origntext, fileName,
+    pageNumber, dist)``."""
+    embedded = probes.select(
+        "user_id",
+        "query_text",
+        E.hash_embedder(dim)(F.col("query_text")).alias("embedding"),
+    )
+    hits = K.knn_join(
+        embedded.withColumn(
+            "probe_id", F.concat_ws("|", "user_id", "query_text")
+        ),
+        chunks.select(F.col("id").alias("item_id"), "embedding"),
+        k=k,
+        metric="l2",
+    )
+    payload = chunks.select(
+        F.col("id").alias("item_id"), "origntext", "fileName", "pageNumber"
+    )
+    return (
+        hits.join(
+            embedded.select(
+                F.concat_ws("|", "user_id", "query_text").alias("probe_id"),
+                "user_id",
+                "query_text",
+            ),
+            "probe_id",
+        )
+        .join(payload, "item_id")
+        .select(
+            "user_id",
+            "query_text",
+            "rank",
+            F.col("item_id").alias("id"),
+            "origntext",
+            "fileName",
+            "pageNumber",
+            "dist",
+        )
+    )
+
+
+def serve_search_stream(
+    probes_stream: DataFrame,
+    chunks: DataFrame,
+    output_dir: str,
+    checkpoint: str,
+    k: int = 5,
+    dim: int = E.DEFAULT_DIM,
+):
+    """Start (and return) the streaming search query.
+
+    ``probes_stream`` must have columns ``(user_id string, query_text
+    string)``; results append to ``output_dir`` as parquet.  AvailableNow
+    drains the backlog and stops; a production deployment would use a
+    continuous trigger and an SSE/Kafka sink in place of parquet."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_search(batch_df, chunks, k=k, dim=dim).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    return (
+        probes_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

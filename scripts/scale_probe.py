@@ -1,0 +1,132 @@
+"""Scale probe — measure the core operators well beyond fixture sizes.
+
+The sf0.1 fixtures (5k docs / 5k vectors) exercise correctness; this script
+generates 1M-row vector tables and 10M-row text/key tables *inside the JVM*
+(``sequence``/``transform`` expressions, no Python, no files) and times the
+hot operators, so BASELINE.md can record throughput where the data no
+longer fits a single task.  Run: ``python scripts/scale_probe.py [n_vec]``.
+
+Everything here uses the same operator code paths as the driver queries —
+no special-cased kernels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (  # noqa: E402
+    get_spark,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402
+    ann as A,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402
+    dedup as D,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402
+    knn as K,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.functions import (  # noqa: E402
+    text as X,
+)
+
+
+def synthetic_vectors(spark, n: int, dim: int = 64, parts: int = 32):
+    """Deterministic pseudo-random unit-ish vectors, generated JVM-side:
+    element j of row i = (hash(i, j) mod 2001 - 1000) / 1000."""
+    return (
+        spark.range(0, n, 1, parts)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda j: (
+                    (F.pmod(F.hash(F.col("id"), j), F.lit(2001)) - F.lit(1000))
+                    / F.lit(1000.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+
+
+def main() -> None:
+    n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_text = 10 * n_vec
+    spark = get_spark(app_name="scale-probe")
+    results: dict[str, float | int] = {"n_vectors": n_vec, "n_rows_text": n_text}
+
+    vecs = synthetic_vectors(spark, n_vec).cache()
+    vecs.count()  # materialize
+    probe = [float(x) for x in vecs.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    # 1. Exact brute-force kNN (the reference's hot query at scale).
+    t0 = time.time()
+    exact = K.knn(vecs, probe, k=5, tie_cols=("vec_id",)).collect()
+    results["knn_exact_sec"] = round(time.time() - t0, 2)
+    results["knn_exact_mvec_per_sec"] = round(
+        n_vec / results["knn_exact_sec"] / 1e6, 2
+    )
+    exact_ids = {r["vec_id"] for r in exact}
+
+    # 1b. Same scan, NumPy batch scorer (impl="pandas") — the brute-force
+    #     scale path when native HOF interpretation becomes the bottleneck.
+    t0 = time.time()
+    fast = K.knn(vecs, probe, k=5, tie_cols=("vec_id",), impl="pandas").collect()
+    results["knn_pandas_sec"] = round(time.time() - t0, 2)
+    results["knn_pandas_mvec_per_sec"] = round(
+        n_vec / results["knn_pandas_sec"] / 1e6, 2
+    )
+    assert {r["vec_id"] for r in fast} == exact_ids, "pandas impl diverged"
+
+    # 2. IVF: build once, search with pruning; recall vs exact.
+    t0 = time.time()
+    idx = A.IVFIndex(vecs, k_clusters=32)
+    idx.indexed.count()
+    results["ivf_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    approx = idx.search(probe, k=5, nprobe=4).collect()
+    results["ivf_search_sec"] = round(time.time() - t0, 2)
+    results["ivf_recall_at_5"] = len(
+        exact_ids & {r["vec_id"] for r in approx}
+    ) / 5.0
+    vecs.unpersist()
+
+    # 3. Exact dedup via 64-bit fingerprints on 10M short strings
+    #    (~30% constructed duplicates).
+    texts = spark.range(0, n_text, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document body "),
+            (F.pmod(F.col("id"), F.lit(int(n_text * 0.7)))).cast("string"),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    kept = D.exact_dedup(texts, text_col="text", id_col="doc_id").count()
+    results["dedup_exact_sec"] = round(time.time() - t0, 2)
+    results["dedup_kept_rows"] = kept
+    results["dedup_mrow_per_sec"] = round(
+        n_text / results["dedup_exact_sec"] / 1e6, 2
+    )
+
+    # 4. Linear text scans: quality metrics + BPE-ish token count, 10M rows.
+    t0 = time.time()
+    texts.select(
+        "doc_id", *X.quality_metrics("text"), X.bpe_token_count("text").alias("bpe")
+    ).agg(F.sum("bpe")).collect()
+    results["text_scan_sec"] = round(time.time() - t0, 2)
+    results["text_scan_mrow_per_sec"] = round(
+        n_text / results["text_scan_sec"] / 1e6, 2
+    )
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,3 +96,22 @@ def test_similarity_join_threshold(spark, emb, emb_np):
         if d[i, j] < 6.0
     }
     assert got_pairs == expect
+
+
+def test_knn_pandas_impl_matches_native(spark, sf_dir):
+    """impl='pandas' (NumPy scorer) must return the same top-k ids and
+    4-decimal distances as the native expression."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    items = emb.filter(F.col("vec_id") != 0)
+    for metric in ["l2", "cosine", "dot"]:
+        nat = K.knn(items, probe, k=5, metric=metric, tie_cols=("vec_id",)).collect()
+        pnd = K.knn(items, probe, k=5, metric=metric, tie_cols=("vec_id",),
+                    impl="pandas").collect()
+        assert [r["vec_id"] for r in nat] == [r["vec_id"] for r in pnd], metric
+        for a, b in zip(nat, pnd):
+            assert round(a["dist"], 4) == round(b["dist"], 4), metric

@@ -67,3 +67,40 @@ def test_exchange_counts_bounded(spark, sf_dir):
     assert E.num_exchanges(Q.QUERIES["window_running_total"](spark, sf_dir)) <= 2
     # sessionize shares one partitioning across both window functions
     assert E.num_exchanges(Q.QUERIES["sessionize_events"](spark, sf_dir)) <= 2
+
+
+def test_tpch_q13_aggregates_below_outer_join(spark, sf_dir):
+    """Q13's rewrite contract: orders are pre-aggregated per customer, so
+    the outer join's right side is an Aggregate, not the raw orders scan —
+    the shuffle carries one row per customer, not one per order."""
+    df = Q.QUERIES["tpch_q13_custdist"](spark, sf_dir)
+    plan = E.optimized_plan_string(df)
+    # Optimized logical plan: Join LeftOuter sits ABOVE an Aggregate keyed
+    # by o_custkey.
+    join_at = plan.find("Join LeftOuter")
+    agg_at = plan.find("Aggregate [o_custkey", join_at)
+    assert join_at != -1 and agg_at != -1, plan[:2000]
+
+
+def test_tpch_q17_pushes_brand_filter_to_scan(spark, sf_dir):
+    df = Q.QUERIES["tpch_q17_small_quantity_revenue"](spark, sf_dir)
+    assert E.has_pushed_filter(df, "p_brand")
+    assert E.has_broadcast_join(df)
+
+
+def test_tpch_q4_semi_join_no_python(spark, sf_dir):
+    df = Q.QUERIES["tpch_q4_order_priority"](spark, sf_dir)
+    assert E.python_eval_nodes(df) == []
+    assert E.has_pushed_filter(df, "o_orderdate")
+
+
+def test_fingerprints_and_quality_are_pure_scans(spark, sf_dir):
+    """Single-stage map queries must not shuffle (ignoring the output
+    sort's range exchange) nor call into Python."""
+    for name in ["doc_quality_scores", "doc_rolling_fingerprints",
+                 "bpe_token_stats"]:
+        df = Q.QUERIES[name](spark, sf_dir)
+        assert E.python_eval_nodes(df) == [], name
+        # orderBy(doc_id) adds exactly one range exchange; anything more
+        # would mean the scan shuffled data to compute per-row values.
+        assert E.num_exchanges(df) <= 1, name

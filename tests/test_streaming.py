@@ -239,3 +239,54 @@ def test_fold_status_pure():
     )
     # out-of-order / illegal start
     assert fold_status((None, 0, True), ["COMPLETED"])[2] is False
+
+
+def test_streaming_search_matches_batch_search(spark, sf_dir, tmp_path):
+    """The serving path as a stream: two probe files -> two micro-batches;
+    every probe's streamed top-5 equals the interactive P.search result."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        pipeline as P,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        serve as SV,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    chunks, _ = P.ingest_documents(docs)
+    chunks = chunks.cache()
+
+    probes = [("u1", "spark shuffle join vector search"),
+              ("u2", "window merge batch table")]
+    src = str(tmp_path / "probes")
+    schema = "user_id string, query_text string"
+    for i, row in enumerate(probes):
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "hits")
+    q = SV.serve_search_stream(
+        stream, chunks, output_dir=out,
+        checkpoint=str(tmp_path / "ckpt"), k=5,
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 10  # 2 probes x k
+    for user, text in probes:
+        stream_ids = [
+            r["id"]
+            for r in got.filter(F.col("user_id") == user)
+            .orderBy("rank")
+            .collect()
+        ]
+        batch_ids = [
+            r["id"] for r in P.search(chunks, text, k=5).collect()
+        ]
+        assert stream_ids == batch_ids, (user, text)
+    chunks.unpersist()
