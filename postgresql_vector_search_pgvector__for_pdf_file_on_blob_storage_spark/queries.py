@@ -723,6 +723,69 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_price_percentiles",
+    """
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  quantile_cont(o_totalprice, 0.99) AS p99,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SURVEY.md §2B B7 depth).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    sort-then-interpolate definition, and the interpolation is a single
+    IEEE op on two doubles — engine-independent.  (Exact percentile sorts
+    within groups; at 100 TB switch to ``approx_percentile``, which is
+    mergeable and single-pass but not oracle-matchable.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+            F.percentile("o_totalprice", 0.99).alias("p99"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "array_functions_gallery",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+  array_to_string(toks[1:3], '-') AS first3,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+  list_contains(toks, 'the') AS has_the,
+  list_sort(toks)[1] AS alpha_first,
+  CAST(list_max(list_transform(toks, x -> length(x))) AS INTEGER) AS longest
+FROM t ORDER BY doc_id
+""",
+)
+def array_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function library sample (SURVEY.md §2B B12): slice/join,
+    distinct, membership, ordering, nested transform — all native
+    expressions over the tokenized corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.word_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_min(toks).alias("alpha_first"),
+        F.array_max(F.transform(toks, F.length)).cast("int").alias("longest"),
+    ).orderBy("doc_id")
+
+
+@query(
     "bpe_token_stats",
     r"""
 SELECT doc_id,
@@ -1912,6 +1975,108 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    """
+WITH l AS (
+  SELECT li.l_orderkey, li.l_suppkey, li.l_shipdate, o.o_orderdate
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'),
+cand AS (
+  SELECT DISTINCT a.l_orderkey, a.l_suppkey
+  FROM l a
+  WHERE a.l_shipdate > a.o_orderdate + INTERVAL 60 DAY
+    AND EXISTS (SELECT 1 FROM l b
+                WHERE b.l_orderkey = a.l_orderkey
+                  AND b.l_suppkey <> a.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM l c
+                    WHERE c.l_orderkey = a.l_orderkey
+                      AND c.l_suppkey <> a.l_suppkey
+                      AND c.l_shipdate > c.o_orderdate + INTERVAL 60 DAY))
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
+GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier in a multi-supplier order.
+    Adapted: fixtures lack commit/receipt dates, so "late" = shipped more
+    than 60 days after the order date.  The oracle states it with
+    EXISTS/NOT EXISTS; the engine decorrelates both into ONE per-order
+    aggregation (distinct suppliers, distinct late suppliers) joined back —
+    at 100 TB that is one shuffle of per-order counters instead of two
+    self-joins of lineitem."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    stats = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__ns"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("__nl"),
+    )
+    cand = (
+        l.filter(F.col("late"))
+        .join(stats.withColumnRenamed("l_orderkey", "__ok"),
+              F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__ns") > 1) & (F.col("__nl") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "window_trailing_10min",
+    """
+SELECT event_id, user_id,
+  CAST(sum(CAST(value AS DECIMAL(18,6)))
+       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS trailing_sum,
+  CAST(count(*)
+       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_in_window
+FROM events ORDER BY user_id, event_id
+""",
+)
+def window_trailing_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (SURVEY.md §2B B9): per-user trailing-10-minute
+    sum/count over event time.  The frame is on epoch microseconds so both
+    engines bound it identically (RANGE peers handled the same)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias(
+            "trailing_sum"
+        ),
+        F.count("*").over(w).cast("long").alias("n_in_window"),
+    ).orderBy("user_id", "event_id")
 
 
 @query(
