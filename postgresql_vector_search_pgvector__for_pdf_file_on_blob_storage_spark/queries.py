@@ -815,6 +815,41 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "deterministic_sample_per_lang",
+    """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+  FROM documents)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_sampled,
+  CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM keyed WHERE bucket < 10
+GROUP BY lang ORDER BY lang
+""",
+)
+def deterministic_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via Knuth multiplicative hashing on the
+    key (training-data pipelines need reproducible samples; seeded RNG
+    sampling differs per engine/partitioning, key-hash sampling does not
+    and needs no coordination at 100 TB — any worker can decide membership
+    from the key alone).  Modulus math stays in BIGINT, ANSI-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) % F.lit(100)
+    return (
+        docs.filter(bucket < 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
 # English stopword probe set for the quality-scoring heuristic (brief:
 # "length/punct/stopword ratios").  Kept tiny and fixed so the DuckDB
 # oracle can inline the identical list.
