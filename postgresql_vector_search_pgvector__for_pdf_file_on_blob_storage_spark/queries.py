@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf type hints
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2292,6 +2294,45 @@ def status_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ST.track_status_batch(ev).orderBy("id")
+
+
+@query("multimodal_image_pipeline")
+def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline (SURVEY.md §2B B15): a synthetic
+    image per document (deterministic fake codec, generated *on executors*
+    by a pandas UDF — no driver loop), decoded to shape/intensity stats via
+    ``mapInPandas`` and embedded with the media hash-embedder; stats join
+    the embedding norm by media_id.  Binary UDF pipeline -> rows-only."""
+    from .sources import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def fake_img(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [MM.encode_fake_image(8, 8, 3, seed=int(i)) for i in ids]
+        )
+
+    media = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        fake_img("doc_id").alias("content"),
+        F.struct(
+            F.lit("synthetic").alias("source"), F.lit("fake").alias("codec")
+        ).alias("meta"),
+    )
+    info = MM.image_info(media)
+    emb = MM.media_embedding(media, dim=16).select(
+        "media_id", F.round(V.l2_norm("embedding"), 4).alias("emb_norm")
+    )
+    return (
+        info.join(emb, "media_id")
+        .select(
+            "media_id", "width", "height", "channels",
+            F.round("mean_pixel", 4).alias("mean_pixel"), "emb_norm",
+        )
+        .orderBy("media_id")
+    )
 
 
 @query("summarize_hits")
