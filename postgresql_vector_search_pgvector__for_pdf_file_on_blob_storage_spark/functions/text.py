@@ -161,8 +161,13 @@ def char_count(c: Column | str) -> Column:
 # GPT-2-style pretokenizer pattern, minus lookahead (kept to the RE2-safe
 # subset so the DuckDB oracle can run the identical pattern): a token is an
 # optionally space-prefixed letter run, digit run, or punctuation run, or a
-# whitespace run.
-BPE_TOKEN_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# whitespace run.  Whitespace is an EXPLICIT class, not \s: Java regex
+# includes U+000B (vertical tab — present in PDF-extracted text) in \s
+# while RE2 does not, and the parity claim must hold byte-for-byte.
+_WS = r" \t\n\r\f\x0B"
+BPE_TOKEN_PATTERN = (
+    r" ?\p{L}+| ?\p{N}+| ?[^" + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+"
+)
 
 
 def bpe_token_count(c: Column | str) -> Column:

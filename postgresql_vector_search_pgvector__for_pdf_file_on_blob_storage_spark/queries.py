@@ -791,9 +791,9 @@ def array_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_token_stats",
     r"""
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+|[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_bpe_tokens,
   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
-  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS DOUBLE)
+  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+|[ \t\n\r\f\x0B]+')) AS DOUBLE)
     / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 1.0)
     AS bpe_per_ws
 FROM documents ORDER BY doc_id
@@ -822,7 +822,8 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH keyed AS (
   SELECT doc_id, lang,
-         ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+         (((doc_id % 1000003) * 2654435761
+           + (doc_id // 1000003) * 97) % 4294967296) % 100 AS bucket
   FROM documents)
 SELECT lang,
   CAST(count(*) AS BIGINT) AS n_sampled,
@@ -832,14 +833,18 @@ GROUP BY lang ORDER BY lang
 """,
 )
 def deterministic_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~10% sample via Knuth multiplicative hashing on the
-    key (training-data pipelines need reproducible samples; seeded RNG
-    sampling differs per engine/partitioning, key-hash sampling does not
-    and needs no coordination at 100 TB — any worker can decide membership
-    from the key alone).  Modulus math stays in BIGINT, ANSI-safe."""
+    """Deterministic ~10% sample via multiplicative hashing on the key
+    (training-data pipelines need reproducible samples; seeded RNG sampling
+    differs per engine/partitioning, key-hash sampling does not and needs
+    no coordination at 100 TB — any worker can decide membership from the
+    key alone).  The key is split mod 1000003 before multiplying so the
+    largest intermediate is ~2.7e15 — no BIGINT overflow for any int64
+    doc_id, on either engine."""
     docs = load_table(spark, sf_dir, "documents")
+    lo = F.col("doc_id") % F.lit(1000003)
+    hi = F.expr("doc_id div 1000003")  # exact BIGINT division (no double)
     bucket = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        (lo * F.lit(2654435761) + hi * F.lit(97)) % F.lit(4294967296)
     ) % F.lit(100)
     return (
         docs.filter(bucket < 10)
@@ -2301,8 +2306,10 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline (SURVEY.md §2B B15): a synthetic
     image per document (deterministic fake codec, generated *on executors*
     by a pandas UDF — no driver loop), decoded to shape/intensity stats via
-    ``mapInPandas`` and embedded with the media hash-embedder; stats join
-    the embedding norm by media_id.  Binary UDF pipeline -> rows-only."""
+    ``mapInPandas`` and embedded with the media hash-embedder in the SAME
+    pass (a fused profile — decoding stats and embedding separately would
+    ship every payload across the Python boundary twice).  Binary UDF
+    pipeline -> rows-only."""
     from .sources import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -2321,15 +2328,12 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("synthetic").alias("source"), F.lit("fake").alias("codec")
         ).alias("meta"),
     )
-    info = MM.image_info(media)
-    emb = MM.media_embedding(media, dim=16).select(
-        "media_id", F.round(V.l2_norm("embedding"), 4).alias("emb_norm")
-    )
     return (
-        info.join(emb, "media_id")
+        MM.image_profile(media, dim=16)
         .select(
             "media_id", "width", "height", "channels",
-            F.round("mean_pixel", 4).alias("mean_pixel"), "emb_norm",
+            F.round("mean_pixel", 4).alias("mean_pixel"),
+            F.round(V.l2_norm("embedding"), 4).alias("emb_norm"),
         )
         .orderBy("media_id")
     )
@@ -2440,12 +2444,16 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_near_dup",
     f"""
-WITH scored AS (
+WITH n AS (
+  SELECT vec_id, embedding,
+         {_SQL_NORM.format(a="embedding")} AS nrm
+  FROM embeddings),
+scored AS (
   SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-         1 - ({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
-              / ({_SQL_NORM.format(a="a.embedding")}
-                 * {_SQL_NORM.format(a="b.embedding")})) AS d
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         1 - list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> (CAST(a.embedding[i] AS DOUBLE) / a.nrm)
+                    * (CAST(b.embedding[i] AS DOUBLE) / b.nrm))) AS d
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
 SELECT left_id, right_id, round(d, 4) AS cos_dist
 FROM scored WHERE d < 0.6
 ORDER BY left_id, right_id
@@ -2454,8 +2462,10 @@ ORDER BY left_id, right_id
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via the similarity (range) join.
     Self-join of the embeddings table under cosine distance < 0.6.  The
-    threshold compares the unrounded distance, which is bit-identical
-    across engines (left-to-right accumulation, module doc)."""
+    oracle mirrors the engine's cosine fast path exactly — normalize each
+    element, then one left-to-right dot — NOT the algebraically-equal
+    dot/(norm*norm) form, which rounds differently in the last ulp and
+    could flip a pair sitting on the threshold."""
     emb = load_table(spark, sf_dir, "embeddings")
     left = emb.select(F.col("vec_id").alias("left_id"), "embedding")
     right = emb.select(F.col("vec_id").alias("right_id"), "embedding")

@@ -35,15 +35,23 @@ def batch_search(
     kernel of :func:`serve_search_stream`, reusable in batch serving.
     Returns ``(user_id, query_text, rank, id, origntext, fileName,
     pageNumber, dist)``."""
+    from pyspark.sql.window import Window
+
+    # Row-number probe ids: duplicate submissions (same user, same text —
+    # normal in serving) must stay separate probes, and a content-derived
+    # key could collide.  The single-partition window is fine here because
+    # a micro-batch of probes is small by construction; it is also
+    # deterministic under recomputation, unlike monotonically_increasing_id.
     embedded = probes.select(
         "user_id",
         "query_text",
         E.hash_embedder(dim)(F.col("query_text")).alias("embedding"),
+    ).withColumn(
+        "probe_id",
+        F.row_number().over(Window.orderBy("user_id", "query_text")),
     )
     hits = K.knn_join(
-        embedded.withColumn(
-            "probe_id", F.concat_ws("|", "user_id", "query_text")
-        ),
+        embedded.select("probe_id", "embedding"),
         chunks.select(F.col("id").alias("item_id"), "embedding"),
         k=k,
         metric="l2",
@@ -53,12 +61,7 @@ def batch_search(
     )
     return (
         hits.join(
-            embedded.select(
-                F.concat_ws("|", "user_id", "query_text").alias("probe_id"),
-                "user_id",
-                "query_text",
-            ),
-            "probe_id",
+            embedded.select("probe_id", "user_id", "query_text"), "probe_id"
         )
         .join(payload, "item_id")
         .select(
@@ -92,9 +95,17 @@ def serve_search_stream(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_search(batch_df, chunks, k=k, dim=dim).write.mode(
-            "append"
-        ).parquet(output_dir)
+        # Idempotent under micro-batch replay: results land in an epoch
+        # partition and a re-run of the same epoch overwrites only that
+        # partition instead of appending duplicates.
+        (
+            batch_search(batch_df, chunks, k=k, dim=dim)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(output_dir)
+        )
 
     return (
         probes_stream.writeStream.foreachBatch(process)

@@ -36,7 +36,7 @@ _ALLOWED: dict[str | None, set[str]] = {
 }
 
 OUTPUT_SCHEMA = "id string, status string, n_events int, valid boolean"
-_STATE_SCHEMA = "status string, n_events int, valid boolean"
+_STATE_SCHEMA = "status string, n_events int, valid boolean, max_seq long"
 
 
 def fold_status(
@@ -60,12 +60,25 @@ def _fold_group(
     state: Any,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        cur, n, valid = state.get
+        cur, n, valid, max_seq = state.get
     else:
-        cur, n, valid = None, 0, True
-    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("seq")
+        cur, n, valid, max_seq = None, 0, True, -1
+    # Stable sort: duplicate seq values must fold deterministically.  The
+    # sort orders *within* this micro-batch only; an event arriving in a
+    # LATER batch with seq <= max_seq is out of order across batches — it
+    # cannot be spliced back, so it is folded (keeping counts honest) and
+    # the chunk is flagged invalid, a detectable divergence from the batch
+    # twin (which sorts the whole log).  With an in-order source (the file
+    # source replaying an append-only log, as in ingest) the twins agree.
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        "seq", kind="mergesort"
+    )
+    if len(batch) and int(batch["seq"].iloc[0]) <= max_seq:
+        valid = False
     cur, n, valid = fold_status((cur, n, valid), batch["status"])
-    state.update((cur, n, valid))
+    if len(batch):
+        max_seq = max(max_seq, int(batch["seq"].iloc[-1]))
+    state.update((cur, n, valid, max_seq))
     yield pd.DataFrame(
         {"id": [key[0]], "status": [cur], "n_events": [n], "valid": [valid]}
     )
@@ -92,7 +105,7 @@ def track_status_batch(status_events: DataFrame) -> DataFrame:
     correctness check in tests/test_streaming.py."""
 
     def fold_all(pdf: pd.DataFrame) -> pd.DataFrame:
-        ordered = pdf.sort_values("seq")
+        ordered = pdf.sort_values("seq", kind="mergesort")
         cur, n, valid = fold_status((None, 0, True), ordered["status"])
         return pd.DataFrame(
             {

@@ -62,3 +62,21 @@ def test_media_embedding_deterministic_and_dim(spark, media):
         assert len(a[k]) == 64
         assert a[k] == b[k]
     assert a[1] != a[2]
+
+
+def test_image_profile_fuses_info_and_embedding(spark, media):
+    """image_profile == image_info ⋈ media_embedding, in one pass."""
+    prof = {r["media_id"]: r for r in MM.image_profile(media, dim=16).collect()}
+    info = {r["media_id"]: r for r in MM.image_info(media).collect()}
+    emb = {
+        r["media_id"]: r["embedding"]
+        for r in MM.media_embedding(media, dim=16).collect()
+    }
+    assert set(prof) == set(info)
+    for mid, r in prof.items():
+        i = info[mid]
+        assert (r["width"], r["height"], r["channels"]) == (
+            i["width"], i["height"], i["channels"],
+        )
+        assert r["mean_pixel"] == i["mean_pixel"]
+        assert r["embedding"] == emb[mid]
