@@ -2301,6 +2301,28 @@ def status_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.track_status_batch(ev).orderBy("id")
 
 
+@query("udtf_chunk_lateral")
+def udtf_chunk_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF/UDAF/UDTF extension surface driven entirely from SQL
+    (SURVEY.md §2B B14): the chunker UDTF applied LATERALLY per document,
+    plus the registered scalar UDF.  Python UDTF -> rows-only."""
+    from .functions import udtf as U
+
+    U.register_all(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.chunk_idx,
+               length(t.chunk) AS chunk_len,
+               token_count_py(t.chunk) AS chunk_tokens
+        FROM __docs_udtf d, LATERAL chunk_text(d.text, 120, 20) t
+        ORDER BY d.doc_id, t.chunk_idx
+        """
+    )
+
+
 @query("multimodal_image_pipeline")
 def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline (SURVEY.md §2B B15): a synthetic
