@@ -129,15 +129,24 @@ def knn_join(
     Returns ``(probe_id, item_id, dist, rank)``.
 
     ``shuffle_free=True`` (default): broadcast the probes, compute the
-    bounded per-partition top-k per probe with ``collect_list`` ->
-    ``sort_array`` -> ``slice`` (map-side partial aggregation), then merge
-    candidate lists in a final k-sized agg.  Shuffled bytes are
-    O(partitions x probes x k) — at 100 TB of items this is the only
-    viable shape.
+    per-partition top-k per probe with ``collect_list`` -> ``sort_array``
+    -> ``slice`` (map-side partial aggregation), then merge candidate
+    lists in a final k-sized agg.  Shuffled bytes are
+    O(partitions x probes x k) — independent of item count.
 
     ``shuffle_free=False``: classic broadcast-crossJoin + window rank
-    (simpler plan, shuffles every scored pair) — kept for plan comparison
-    and as the oracle-shaped variant.
+    (shuffles every scored pair).
+
+    Measured trade-off (scripts/scale_probe.py, 32 probes x 500k items,
+    local[32]): the window form is ~2x FASTER at this size — its shuffle
+    (probes x items rows) still fits comfortably, and codegen'd
+    sort+rank beats the interpreted array building of the agg form, whose
+    map-side partial buffers hold every scored candidate per (partition,
+    probe) before the slice.  Use the window form while the scored-pair
+    shuffle fits your cluster (up to ~10^8-10^9 rows); switch to
+    ``shuffle_free=True`` when items x probes makes that shuffle the
+    bottleneck — its network cost stays O(partitions x probes x k) no
+    matter how large the item table grows, which is the 100 TB regime.
     """
     p = probes.select(
         F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec")

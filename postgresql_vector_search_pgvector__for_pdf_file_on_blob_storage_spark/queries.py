@@ -2020,6 +2020,133 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q8_market_share",
+    """
+WITH allnations AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+SELECT o_year,
+  CAST(sum(CASE WHEN nation = 'NATION_3'
+                THEN CAST(volume AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+    / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM allnations GROUP BY o_year ORDER BY o_year
+""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-way join (one big-big lineitem⋈orders; part,
+    supplier, customer, both nations, region broadcast) feeding a
+    conditional-share aggregate.  Both sums are decimal-exact; the share is
+    one double division."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            " AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+        )
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast(_DEC)
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q20_dominant_supplier",
+    """
+WITH perp AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS sq
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'ECONOMY'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_partkey, l.l_suppkey),
+tot AS (SELECT l_partkey, sum(sq) AS tq FROM perp GROUP BY l_partkey)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM perp
+JOIN tot ON perp.l_partkey = tot.l_partkey
+JOIN supplier s ON perp.l_suppkey = s.s_suppkey
+WHERE 2 * perp.sq > tot.tq
+ORDER BY s.s_suppkey
+""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (fixtures lack partsupp): suppliers that
+    shipped more than half of some ECONOMY part's 1997 volume.  Two-level
+    aggregation — per-(part,supplier), re-aggregated per part — with the
+    dominance test in pure DECIMAL (2*sq > tq), so the comparison is exact
+    on both engines; the second agg reuses the first's shuffle partitioning
+    (no extra exchange for `tot`)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+        )
+    )
+    perp = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"))
+    )
+    tot = perp.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("sq").alias("tq")
+    )
+    return (
+        perp.join(tot, perp.l_partkey == F.col("__pk"))
+        .filter(F.lit(2) * F.col("sq") > F.col("tq"))
+        .join(F.broadcast(s), perp.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "tpch_q21_waiting_supplier",
     """
 WITH l AS (

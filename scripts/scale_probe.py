@@ -98,6 +98,25 @@ def main() -> None:
     ) / 5.0
     vecs.unpersist()
 
+    # 2b. kNN JOIN: 32 probes against the full item table — the bounded
+    #     per-partition top-k agg (shuffle O(parts × probes × k)) vs the
+    #     crossJoin+window form (shuffles every scored pair).
+    vecs2 = synthetic_vectors(spark, n_vec // 2).cache()
+    vecs2.count()
+    probes_df = synthetic_vectors(spark, 32).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    for label, shuffle_free in (("bounded", True), ("window", False)):
+        t0 = time.time()
+        K.knn_join(
+            probes_df,
+            vecs2.select(F.col("vec_id").alias("item_id"), "embedding"),
+            k=5,
+            shuffle_free=shuffle_free,
+        ).count()
+        results[f"knn_join_32probe_{label}_sec"] = round(time.time() - t0, 2)
+    vecs2.unpersist()
+
     # 3. Exact dedup via 64-bit fingerprints on 10M short strings
     #    (~30% constructed duplicates).
     texts = spark.range(0, n_text, 1, 64).select(
