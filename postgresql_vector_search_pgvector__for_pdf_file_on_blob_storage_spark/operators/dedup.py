@@ -278,3 +278,61 @@ def simhash64(c: Column | str, n: int = 3) -> Column:
 
     col = c if isinstance(c, Column) else F.col(c)
     return _simhash(col)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: ``(node, cluster)``
+    where ``cluster`` is the smallest id reachable from ``node`` — the
+    keep-min-id rule that turns a pair list into dedup groups.
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round every node takes the min of its own and its
+    neighbors' labels; stop at fixpoint (checked with a cheap aggregate).
+    Each round is one shuffle keyed by node, so total cost is
+    O(diameter x E/cluster-cores) — the Spark-natural form of the
+    algorithm.  ``localCheckpoint`` truncates lineage each round so plans
+    stay O(1) deep regardless of iteration count.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce("nmin", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("cluster"))

@@ -2428,6 +2428,49 @@ def status_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.track_status_batch(ev).orderBy("id")
 
 
+@query(
+    "dedup_clusters",
+    r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+SELECT a AS node, least(a, min(b)) AS cluster
+FROM reach GROUP BY a ORDER BY node
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs folded into dedup groups (SURVEY.md §2B B5
+    "connected components / keep-min-id"): iterative min-label propagation
+    over the exact-Jaccard pair graph.  The oracle states the same
+    fixpoint as a recursive transitive closure — viable at 500 docs,
+    quadratic at scale, which is exactly why the engine side iterates
+    O(diameter) label-propagation shuffles instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    return D.connected_components(pairs).orderBy("node")
+
+
 @query("udtf_chunk_lateral")
 def udtf_chunk_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDF/UDAF/UDTF extension surface driven entirely from SQL

@@ -98,3 +98,29 @@ def test_simhash_identical_and_near(spark, docs):
     ham_near = bin((out[1] ^ out[4]) & ((1 << 64) - 1)).count("1")
     ham_far = bin((out[1] ^ out[5]) & ((1 << 64) - 1)).count("1")
     assert ham_near < ham_far
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, triangle 10-11-12 (+edge), isolated pair 20-21:
+    every node labels with its component's minimum id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node chain needs several propagation rounds (diameter); the
+    fixpoint must still reach min-id everywhere."""
+    edges = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(13)}
