@@ -594,6 +594,35 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_struct_rollup",
+    """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+)
+def json_struct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read aggregation (SURVEY.md §2A row 28 generalized):
+    ``from_json`` with an explicit schema — not per-field path extraction —
+    then grouped aggregation over the parsed struct field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select(k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).cast("int").alias("k_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@query(
     "events_tumbling_agg",
     """
 SELECT CAST((epoch_us(ts) // 600000000) * 600 AS BIGINT) AS bucket_s,

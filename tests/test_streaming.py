@@ -290,3 +290,43 @@ def test_streaming_search_matches_batch_search(spark, sf_dir, tmp_path):
         ]
         assert stream_ids == batch_ids, (user, text)
     chunks.unpersist()
+
+
+def test_end_to_end_streaming_ingest_then_serve(spark, doc_dir, tmp_path):
+    """The full reference lifecycle as two chained streaming jobs on disk
+    artifacts: binary PDFs -> checkpointed ingest -> chunks parquet ->
+    probe stream -> served top-k.  Mirrors SURVEY.md §3.1 + §3.2 composed."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        pipeline as P,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        serve as SV,
+    )
+
+    chunks_out = str(tmp_path / "chunks")
+    status_out = str(tmp_path / "status")
+    SI.ingest_stream(
+        spark, doc_dir, chunks_out, status_out, str(tmp_path / "ckpt1")
+    ).awaitTermination()
+    chunks = spark.read.parquet(chunks_out)
+    assert chunks.count() == 3
+
+    probes_src = str(tmp_path / "probes")
+    schema = "user_id string, query_text string"
+    spark.createDataFrame(
+        [("u1", "page one text")], schema
+    ).coalesce(1).write.parquet(probes_src)
+    SV.serve_search_stream(
+        spark.readStream.schema(schema).parquet(probes_src),
+        chunks,
+        output_dir=str(tmp_path / "hits"),
+        checkpoint=str(tmp_path / "ckpt2"),
+        k=2,
+    ).awaitTermination()
+
+    hits = spark.read.parquet(str(tmp_path / "hits"))
+    assert hits.count() == 2
+    # Served ranking equals the interactive search over the same store.
+    expect = [r["id"] for r in P.search(chunks, "page one text", k=2).collect()]
+    got = [r["id"] for r in hits.orderBy("rank").collect()]
+    assert got == expect
