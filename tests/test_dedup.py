@@ -124,3 +124,44 @@ def test_connected_components_long_chain_converges(spark):
         for r in D.connected_components(pairs).collect()
     }
     assert got == {i: 0 for i in range(13)}
+
+
+def test_jaccard_pairs_matches_bruteforce_random_corpus(spark):
+    """The group-then-pair shingle algorithm must equal an O(n^2) Python
+    brute force on a deterministic random corpus (30 docs, tiny vocab so
+    shingle collisions are plentiful)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        for _ in range(30)
+    ]
+    n = 3
+    thr = 0.3
+
+    def shingles(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+
+    expect = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2):
+        sa, sb = shingles(a), shingles(b)
+        inter = len(sa & sb)
+        if inter:
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= thr:
+                expect[(i, j)] = round(jac, 9)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.jaccard_pairs(df, "text", "doc_id", n=n, threshold=thr).collect()
+    }
+    assert got == expect
