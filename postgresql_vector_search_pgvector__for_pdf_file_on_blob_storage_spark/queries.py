@@ -543,6 +543,40 @@ def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_ops_except_all",
+    """
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+EXCEPT ALL
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+ORDER BY l_partkey
+""",
+)
+def set_ops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set difference (SURVEY.md §2B B10): each part keeps
+    its EXCESS multiplicity of 1996-Q1 shipments over 1997-Q1 — duplicates
+    matter, unlike the distinct EXCEPT.  Spark plans ``exceptAll`` as a
+    count-per-key aggregate + generate, not a join per occurrence."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q1_96 = l.filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"
+        )
+    ).select("l_partkey")
+    q1_97 = l.filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"
+        )
+    ).select("l_partkey")
+    return q1_96.exceptAll(q1_97).orderBy("l_partkey")
+
+
+@query(
     "scalar_function_gallery",
     """
 SELECT o_orderkey,
