@@ -2619,11 +2619,30 @@ def sse_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.sse_events(hits, user_id="driver")
 
 
-@query("status_listings")
+@query(
+    "status_listings",
+    """
+SELECT sha256(concat(source, '|', CAST(CAST(doc_id AS INTEGER) AS VARCHAR),
+              '|', '0')) AS id,
+       source AS fileName,
+       CAST(doc_id AS INTEGER) AS pageNumber,
+       'COMPLETED' AS status,
+       'registered' AS listing
+FROM documents
+ORDER BY fileName, pageNumber
+""",
+)
 def status_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4/Q5 listings over the pipeline-generated status event log
     (SURVEY.md §2C): current-status view + eq/neq filters + composite sort.
-    The log itself derives from the embed UDF -> rows-only."""
+
+    Oracle-checked END-TO-END: every fixture document is non-null and
+    shorter than the 7,500-char chunk limit, so the whole ingest is
+    SQL-reproducible — exactly one chunk per page (chunkIdx 0), the
+    deterministic ``sha2(fileName|pageNumber|chunkIdx)`` id, the status
+    machine terminating at COMPLETED, and an empty failed listing.  The
+    oracle pins all of that; a fixture refresh with >7,500-char docs would
+    surface as a row-count mismatch (the signal, not an accident)."""
     from . import pipeline as P
 
     docs = load_table(spark, sf_dir, "documents")
