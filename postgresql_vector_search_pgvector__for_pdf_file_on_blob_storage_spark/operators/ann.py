@@ -73,6 +73,43 @@ class IVFIndex:
             assigned.drop("__features").repartition("cluster_id").cache()
         )
 
+    def save(self, path: str) -> None:
+        """Persist the index as DATA LAYOUT: items parquet partitioned by
+        ``cluster_id`` (each cluster = its own directory, so a probe's
+        ``cluster_id IN (...)`` filter becomes partition pruning — files of
+        unvisited clusters are never opened) + a tiny centroids table."""
+        spark = self.indexed.sparkSession
+        self.indexed.write.partitionBy("cluster_id").mode(
+            "overwrite"
+        ).parquet(f"{path}/items")
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids)],
+            "cluster_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        """Reopen a saved index without re-fitting k-means.  ``search`` on
+        a loaded index reads only the probed clusters' files (asserted in
+        tests via the plan's PartitionFilters)."""
+        self = cls.__new__(cls)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.model = None  # no refit needed; centroids carry the geometry
+        self.centroids = [
+            list(map(float, r["centroid"]))
+            for r in spark.read.parquet(f"{path}/centroids")
+            .orderBy("cluster_id")
+            .collect()
+        ]
+        self.indexed = spark.read.parquet(f"{path}/items")
+        return self
+
     def search(
         self, probe: list[float], k: int = 5, nprobe: int = 2,
         impl: str = "native",

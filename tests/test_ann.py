@@ -99,3 +99,31 @@ def test_lsh_join_subset_of_exact_with_good_recall(spark, emb):
     assert len(approx) >= 0.5 * len(exact)
     for r in approx_rows:
         assert r["dist"] < thr
+
+
+def test_ivf_save_load_roundtrip_with_partition_pruning(spark, emb, ivf, tmp_path):
+    """A saved index is parquet partitioned by cluster_id; a loaded index
+    returns identical results and its scan prunes unvisited clusters'
+    partitions (the point of index-as-data-layout)."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    ivf.save(path)
+    # one directory per cluster
+    parts = [d for d in os.listdir(os.path.join(path, "items"))
+             if d.startswith("cluster_id=")]
+    assert len(parts) >= 2
+
+    loaded = A.IVFIndex.load(spark, path)
+    assert loaded.centroids == ivf.centroids
+    probe = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    a = [(r["vec_id"], round(r["dist"], 4))
+         for r in ivf.search(probe, k=5, nprobe=3).collect()]
+    b = [(r["vec_id"], round(r["dist"], 4))
+         for r in loaded.search(probe, k=5, nprobe=3).collect()]
+    assert a == b
+
+    plan = loaded.search(probe, k=5, nprobe=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
