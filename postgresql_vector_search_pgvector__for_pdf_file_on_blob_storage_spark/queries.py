@@ -1869,6 +1869,201 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH offers AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+         min(l.l_extendedprice / l.l_quantity) AS unit_price
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+  GROUP BY 1, 2),
+best AS (SELECT pk, min(unit_price) AS best_price FROM offers GROUP BY pk)
+SELECT s.s_acctbal, s.s_name, n.n_name AS nation, o.pk AS p_partkey,
+       round(o.unit_price, 4) AS unit_price
+FROM offers o
+JOIN best b ON o.pk = b.pk AND o.unit_price = b.best_price
+JOIN supplier s ON o.sk = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY s.s_acctbal DESC, nation, s.s_name, p_partkey LIMIT 100
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted (no partsupp): per-part minimum-cost supplier
+    within a region, via correlated-min decorrelated into agg + equality
+    back-join.  The min of a set of doubles is an element of the set, so
+    the equality join selects identical rows on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offers = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    best = offers.groupBy(F.col("pk").alias("__bpk")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.pk == F.col("__bpk"))
+            & (offers.unit_price == F.col("best_price")),
+        )
+        .join(F.broadcast(s), offers.sk == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("pk").alias("p_partkey"),
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    """
+SELECT nation, o_year,
+  CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.6 * p.p_retailprice * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%gear%')
+GROUP BY nation, o_year ORDER BY nation, o_year DESC
+""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted (no partsupp): profit per nation per year
+    with supply cost approximated as 0.6 * retail price — same join graph
+    and LIKE-filtered part name, different constant.  The per-row amount is
+    a fixed IEEE expression; sums go through DECIMAL."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_dsum(amount).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    """
+WITH val AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6))) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY l.l_partkey)
+SELECT l_partkey, CAST(v AS DOUBLE) AS value
+FROM val
+WHERE 2000 * v > (SELECT sum(v) FROM val)
+ORDER BY value DESC, l_partkey
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp): per-part traded value for one
+    nation's suppliers, kept when above a fixed fraction of the total.  The
+    threshold comparison stays in DECIMAL (2000*v > sum) — no float
+    fraction, so the cut is exact on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    val = (
+        l.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+               l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(_DEC)
+            ).alias("v")
+        )
+    )
+    total = val.agg(F.sum("v").alias("__t"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.lit(2000) * F.col("v") > F.col("__t"))
+        .select("l_partkey", F.col("v").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_count",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (no partsupp): distinct supplier counts per
+    part attribute group, excluding flagged suppliers (negative balance as
+    the complaints analog) via a NOT IN anti-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@query(
     "tpch_q10_returned_items",
     """
 SELECT c.c_custkey, c.c_name,
