@@ -134,6 +134,41 @@ def main() -> None:
         n_text / results["dedup_exact_sec"] / 1e6, 2
     )
 
+    # 3b. MinHash+LSH near-dup at 100k docs (32 hashes, 8 bands) — the
+    #     web-scale dedup path; candidate volume tracks true near-dups.
+    # ids >= 99000 repeat the text of id-99000: ~1000 planted exact dups
+    # the banding must surface.
+    seed = F.pmod(F.col("id"), F.lit(99_000))
+    corpus = spark.range(0, 100_000, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(F.hash(seed, F.lit(j)), F.lit(500)),
+                )
+                for j in range(20)
+            ],
+        ).alias("text"),
+    )
+    t0 = time.time()
+    n_pairs = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.5
+    ).count()
+    results["minhash_100k_sec"] = round(time.time() - t0, 2)
+    results["minhash_100k_pairs"] = n_pairs
+
+    # 3c. Connected components on a 200k-edge graph (10k chains of 20
+    #     nodes: diameter forces ~20 propagation rounds of join+agg).
+    chain = spark.range(0, 200_000, 1, 32).select(
+        (F.col("id") + (F.col("id") / F.lit(20)).cast("long")).alias("id_a")
+    ).withColumn("id_b", F.col("id_a") + 1)
+    t0 = time.time()
+    n_nodes = D.connected_components(chain, max_iter=25).count()
+    results["concomp_200k_edges_sec"] = round(time.time() - t0, 2)
+    results["concomp_nodes"] = n_nodes
+
     # 4. Linear text scans: quality metrics + BPE-ish token count, 10M rows.
     t0 = time.time()
     texts.select(
