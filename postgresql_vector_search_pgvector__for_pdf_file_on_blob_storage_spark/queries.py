@@ -543,6 +543,38 @@ def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rank_gallery",
+    """
+SELECT o_orderkey,
+  o_orderstatus,
+  CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cum_dist,
+  CAST(dense_rank() OVER w AS INTEGER) AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+)
+def window_rank_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-window family (SURVEY.md §2B B9): ntile,
+    percent_rank, cume_dist, dense_rank — all under one fully-deterministic
+    ordering (price with orderkey tiebreak), so both engines assign
+    identical ranks.  percent_rank/cume_dist are single divisions of exact
+    integers — engine-independent doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.dense_rank().over(w).cast("int").alias("drank"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "set_ops_except_all",
     """
 SELECT l_partkey FROM lineitem
