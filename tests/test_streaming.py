@@ -330,3 +330,29 @@ def test_end_to_end_streaming_ingest_then_serve(spark, doc_dir, tmp_path):
     expect = [r["id"] for r in P.search(chunks, "page one text", k=2).collect()]
     got = [r["id"] for r in hits.orderBy("rank").collect()]
     assert got == expect
+
+
+def test_batch_search_duplicate_probes_stay_separate(spark, sf_dir):
+    """Two identical submissions (same user, same text) are distinct
+    probes: each gets its own full top-k (the row-number probe-id fix)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        pipeline as P,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        serve as SV,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    chunks, _ = P.ingest_documents(docs)
+    probes = spark.createDataFrame(
+        [("u1", "spark vector"), ("u1", "spark vector"), ("u2|x", "spark")],
+        "user_id string, query_text string",
+    )
+    out = SV.batch_search(probes, chunks, k=3).collect()
+    assert len(out) == 9  # 3 probes x k, duplicates included
+    per_user = {}
+    for r in out:
+        per_user.setdefault((r["user_id"], r["query_text"]), []).append(r["id"])
+    assert len(per_user[("u1", "spark vector")]) == 6  # both duplicates served
+    # pipe character in user_id cannot merge or split probe identities
+    assert len(per_user[("u2|x", "spark")]) == 3
