@@ -1,0 +1,261 @@
+"""Driver-facing query registry: every operator, at most 50 entries.
+
+Round 1's driver correctness sweep recorded exactly the first 50 of 86
+registered queries — a hard cap in the harness, not a correctness issue.
+This module folds the full registry (``queries.QUERIES`` — unchanged, still
+used by tests and bench) into <=50 driver entries WITHOUT losing
+verification strength:
+
+- High-value operators keep their own entry (kNN, dedup family, pipelines,
+  streaming twins, TPC-H Q1/Q3, ...).
+- The long tail is grouped into **suite** entries.  A suite runs each
+  member query unchanged, canonicalizes every row to a single string with
+  engine-neutral formatting, and unions the members as ``(q, row)`` rows.
+  The DuckDB oracle does the identical wrapping around each member's
+  original oracle SQL.  The driver's row-count + schema + value-hash
+  compare therefore still verifies EVERY member row bit-for-bit — one red
+  suite row means some member diverged (scripts/check_correctness.py
+  pinpoints which).
+
+Canonical-string rules (why the bytes match across engines):
+
+- strings pass through (NULL -> a sentinel both engines agree on);
+- integers/booleans render via CAST(x AS VARCHAR) (same text both sides);
+- doubles render via ``%.6f`` (Spark ``format_string`` = Java, DuckDB
+  ``printf`` = C).  Java rounds HALF_UP, C half-even, but no finite double
+  can sit exactly on a 10^-6 half boundary (it would need a 5^6 factor in
+  a dyadic denominator), so the two conventions never diverge.  The member
+  queries already emit deterministic doubles (decimal-exact sums, single
+  IEEE ops — see queries.py module doc), so identical inputs reach the
+  formatter on both sides.
+- The suite output is totally ordered by ``(q, row)`` — a deterministic
+  ordering both engines produce identically (binary string collation).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import queries as Q
+
+# NULL sentinel: must never appear as real data in any member output.
+_NULL = "∅"  # ∅
+
+# ---------------------------------------------------------------------------
+# Suite membership — every oracle-backed query in queries.QUERIES must be
+# either in INDIVIDUAL or in exactly one SUITES entry (asserted below).
+# ---------------------------------------------------------------------------
+
+SUITES: dict[str, list[str]] = {
+    # pgvector distance family besides the flagship l2 (kept individual)
+    "knn_distance_family": ["knn_cosine_top5", "knn_dot_top5"],
+    # reference listing / scalar-transform shapes over documents
+    "doc_listing_suite": [
+        "listing_registered",
+        "listing_failed",
+        "normalize_whitespace",
+        "url_build",
+    ],
+    "set_ops_suite": [
+        "set_ops_except",
+        "set_ops_except_all",
+        "set_ops_intersect",
+    ],
+    "grouping_suite": [
+        "agg_rollup_lineitem",
+        "agg_cube_orders",
+        "agg_grouping_sets",
+        "pivot_returnflag_by_status",
+        "having_big_part_groups",
+        "distinct_counts_per_group",
+        "stats_exact_moments",
+    ],
+    "window_suite": [
+        "window_top_orders_per_customer",
+        "window_running_total",
+        "window_rank_gallery",
+        "lag_lead_gallery",
+    ],
+    "function_gallery_suite": [
+        "scalar_function_gallery",
+        "string_functions_gallery",
+        "date_functions_gallery",
+        "array_functions_gallery",
+        "json_extract_events",
+        "json_struct_rollup",
+    ],
+    "join_family_suite": [
+        "join_semi_active_customers",
+        "join_anti_inactive_customers",
+        "join_left_outer_order_counts",
+    ],
+    "events_window_suite": ["events_tumbling_agg", "events_sliding_window"],
+    "text_stats_suite": [
+        "token_stats",
+        "bpe_token_stats",
+        "doc_quality_scores",
+        "doc_rolling_fingerprints",
+    ],
+    "corpus_stats_suite": [
+        "lang_distribution",
+        "deterministic_sample_per_lang",
+        "token_frequencies_salted",
+    ],
+    "tpch_suite_a": ["tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+                     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+                     "tpch_q7_nation_volume"],
+    "tpch_suite_b": ["tpch_q8_market_share", "tpch_q9_product_type_profit",
+                     "tpch_q10_returned_items", "tpch_q11_important_stock",
+                     "tpch_q12_shipmode_priority"],
+    "tpch_suite_c": ["tpch_q13_custdist", "tpch_q14_promo_effect",
+                     "tpch_q15_top_supplier", "tpch_q16_supplier_count",
+                     "tpch_q17_small_quantity_revenue"],
+    "tpch_suite_d": ["tpch_q18_large_volume_customers",
+                     "tpch_q19_discounted_revenue",
+                     "tpch_q20_dominant_supplier", "tpch_q21_waiting_supplier",
+                     "tpch_q22_global_sales_opportunity"],
+}
+
+# Oracle-backed queries that keep their own driver entry.
+INDIVIDUAL: list[str] = [
+    "knn_l2_top5",
+    "knn_join_l2",
+    "filter_suffix",
+    "dedup_exact",
+    "jaccard_similar_pairs",
+    "dedup_clusters",
+    "embedding_near_dup",
+    "status_listings",
+    "status_state_machine",
+    "token_frequencies_top100",
+    "correlated_scalar_subquery",
+    "asof_join_last_click_before_purchase",
+    "sessionize_events",
+    "window_trailing_10min",
+    "order_price_percentiles",
+    "vector_centroid_per_label",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "sse_projection_sql",
+]
+
+# Rows-only queries (no SQL oracle) that keep their own driver entry.
+ROWS_ONLY: list[str] = [
+    "flagship_rag_search",
+    "chunk_explode",
+    "udtf_chunk_lateral",
+    "multimodal_image_pipeline",
+    "summarize_hits",
+    "sse_event_projection",
+    "ivf_ann_search",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+]
+
+
+# ---------------------------------------------------------------------------
+# Canonical-row builders
+# ---------------------------------------------------------------------------
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _canon_spark_col(name: str, dtype: str):
+    col = F.col(name)
+    if dtype == "string":
+        return F.coalesce(col, F.lit(_NULL))
+    if dtype in ("double", "float"):
+        return F.when(col.isNull(), F.lit(_NULL)).otherwise(
+            F.format_string("%.6f", col)
+        )
+    if dtype in _INT_TYPES:
+        return F.when(col.isNull(), F.lit(_NULL)).otherwise(col.cast("string"))
+    if dtype == "boolean":
+        return F.when(col.isNull(), F.lit(_NULL)).otherwise(
+            col.cast("int").cast("string")
+        )
+    raise TypeError(f"unsupported suite-member column type {dtype!r} ({name})")
+
+
+def canon_spark(name: str, df: DataFrame) -> DataFrame:
+    """One ``(q, row)`` row per member row, formatted engine-neutrally."""
+    parts = [_canon_spark_col(c, t) for c, t in df.dtypes]
+    return df.select(
+        F.lit(name).alias("q"), F.concat_ws("|", *parts).alias("row")
+    )
+
+
+def _canon_sql_col(name: str, dtype: str) -> str:
+    col = f'"{name}"'
+    if dtype == "string":
+        return f"coalesce({col}, '{_NULL}')"
+    if dtype in ("double", "float"):
+        return (
+            f"CASE WHEN {col} IS NULL THEN '{_NULL}' "
+            f"ELSE printf('%.6f', {col}) END"
+        )
+    if dtype in _INT_TYPES:
+        return (
+            f"CASE WHEN {col} IS NULL THEN '{_NULL}' "
+            f"ELSE CAST({col} AS VARCHAR) END"
+        )
+    if dtype == "boolean":
+        return (
+            f"CASE WHEN {col} IS NULL THEN '{_NULL}' "
+            f"ELSE CAST(CAST({col} AS INTEGER) AS VARCHAR) END"
+        )
+    raise TypeError(f"unsupported suite-member column type {dtype!r} ({name})")
+
+
+def canon_sql(name: str, member_sql: str, schema: list[tuple[str, str]]) -> str:
+    parts = ", ".join(_canon_sql_col(c, t) for c, t in schema)
+    return (
+        f"SELECT '{name}' AS q, concat_ws('|', {parts}) AS row\n"
+        f"FROM (\n{member_sql.strip()}\n) __m_{name}"
+    )
+
+
+def _suite_fn(members: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dfs = [
+            canon_spark(m, Q.QUERIES[m](spark, sf_dir)) for m in members
+        ]
+        return reduce(DataFrame.unionByName, dfs).orderBy("q", "row")
+
+    return fn
+
+
+def _suite_sql(members: list[str]) -> str:
+    from .driver_schemas import MEMBER_SCHEMAS
+
+    parts = [canon_sql(m, Q.ORACLES[m], MEMBER_SCHEMAS[m]) for m in members]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY q, row"
+
+
+def build() -> tuple[dict[str, Callable], dict[str, str]]:
+    """Return ``(queries, oracles)`` for the driver contract."""
+    # Coverage invariant: every registered query is either driver-visible
+    # on its own or a member of exactly one suite.
+    suite_members = [m for ms in SUITES.values() for m in ms]
+    assert len(suite_members) == len(set(suite_members)), "duplicate member"
+    covered = set(INDIVIDUAL) | set(ROWS_ONLY) | set(suite_members)
+    missing = set(Q.QUERIES) - covered
+    assert not missing, f"queries missing from driver registry: {missing}"
+    for m in suite_members:
+        assert m in Q.ORACLES, f"suite member {m} has no oracle"
+
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+    for name in INDIVIDUAL:
+        queries[name] = Q.QUERIES[name]
+        oracles[name] = Q.ORACLES[name]
+    for suite, members in SUITES.items():
+        queries[suite] = _suite_fn(members)
+        oracles[suite] = _suite_sql(members)
+    for name in ROWS_ONLY:
+        queries[name] = Q.QUERIES[name]
+    return queries, oracles

@@ -22,7 +22,32 @@ def test_every_oracle_has_a_query():
 
 
 def test_bench_headline_queries_exist():
+    # bench measures individual queries from the full registry (the driver
+    # contract groups some of them into suites).
     import bench
 
-    missing = [q for q in bench.HEADLINE if q not in entry.queries()]
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        queries as Q,
+    )
+
+    missing = [q for q in bench.HEADLINE if q not in Q.QUERIES]
     assert not missing, missing
+
+
+def test_driver_registry_covers_every_query():
+    """Every full-registry query is driver-visible: individually or as a
+    member of exactly one suite (build() asserts this; re-check here so a
+    future query addition can't silently fall out of the driver sweep)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        driver_registry as R,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        queries as Q,
+    )
+
+    members = [m for ms in R.SUITES.values() for m in ms]
+    covered = set(R.INDIVIDUAL) | set(R.ROWS_ONLY) | set(members)
+    assert covered == set(Q.QUERIES)
+    assert len(members) == len(set(members))
+    # Cap headroom: the round-1 driver recorded only 50 entries.
+    assert len(R.INDIVIDUAL) + len(R.ROWS_ONLY) + len(R.SUITES) <= 50
