@@ -71,14 +71,15 @@ def main() -> None:
             fn = Q.QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
+            # Materialize through the noop sink: count() lets Catalyst prune
+            # projected columns and drop sorts, so map-only plans would be
+            # timed without executing their expressions.  noop evaluates
+            # every output column of every row and discards the bytes.
+            df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.time() - t0, 3)
             prev = timings.get(name)
             timings[name] = elapsed if prev is None else min(prev, elapsed)
-            print(
-                f"# pass{rnd} {name}: {elapsed:.2f}s ({n} rows)",
-                file=sys.stderr,
-            )
+            print(f"# pass{rnd} {name}: {elapsed:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -154,6 +154,7 @@ ROWS_ONLY: list[str] = [
     "ivf_ann_search",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
+    "embedding_near_dup_lsh",
 ]
 
 

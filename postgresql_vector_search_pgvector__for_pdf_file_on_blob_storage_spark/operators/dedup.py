@@ -80,6 +80,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing >=1
     shingle.  Explode -> group docs per shingle -> emit in-bucket pairs ->
@@ -89,54 +90,117 @@ def jaccard_pairs(
     Group-then-pair beats the naive shingle self-join: the shingle sets are
     computed ONCE (a self-join re-evaluates the shingle expression on both
     branches — and AQE may broadcast an entire exploded branch), and the
-    shuffle carries one row per shingle occurrence.  Pair fan-out per
-    shingle is quadratic in that shingle's document frequency, which is
-    exactly the candidate set an exact algorithm must examine; for
-    web-scale corpora with stopword-gram hot buckets prefer
-    :func:`minhash_lsh_pairs` (bounded signature width per doc).
+    shuffle carries one row per shingle occurrence.
+
+    **max_df** (the 100 TB guard): pair fan-out per shingle is quadratic in
+    that shingle's document frequency — one stopword-gram at corpus scale
+    is a single-key bomb that also lands a whole bucket in one
+    ``collect_list``.  ``max_df=N`` removes shingles occurring in more
+    than N documents from the universe (Jaccard is then computed over the
+    remaining shingles, numerator AND denominator — the convention of
+    production near-dup pipelines; a shingle shared by half the corpus
+    carries no dedup signal).  The number of dropped shingles is emitted
+    as a named ``observe`` metric (``dropped_hot_shingles`` — Spark UI SQL
+    tab / QueryExecutionListener), per the no-silent-caps rule.  With
+    ``max_df=None`` (default) the exact unbounded form is used.
     """
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select(
-        F.explode("shingles").alias("s"),
-        F.struct(F.col("id"), F.col("n_sh")).alias("m"),
     )
-    # sort_array makes bucket order (and thus id_a < id_b) deterministic
-    # under nondeterministic collect_list ordering.
-    buckets = (
-        ex.groupBy("s")
-        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
-        .filter(F.size("ms") >= 2)
+    if max_df is None:
+        sh = sh.withColumn("n_sh", F.size("shingles"))
+        ex = sh.select(
+            F.explode("shingles").alias("s"),
+            F.struct(F.col("id"), F.col("n_sh")).alias("m"),
+        )
+        # sort_array makes bucket order (and thus id_a < id_b) deterministic
+        # under nondeterministic collect_list ordering.
+        buckets = (
+            ex.groupBy("s")
+            .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+            .filter(F.size("ms") >= 2)
+        )
+        pair_expr = F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["n_sh"].alias("na"),
+                        y["n_sh"].alias("nb"),
+                    ),
+                ),
+            )
+        )
+        shared = (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .groupBy(
+                F.col("p.id_a").alias("id_a"),
+                F.col("p.id_b").alias("id_b"),
+                F.col("p.na").alias("na"),
+                F.col("p.nb").alias("nb"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+        jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        return (
+            shared.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    import uuid
+
+    ex = sh.select(F.col("id"), F.explode("shingles").alias("s"))
+    all_buckets = ex.groupBy("s").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     )
+    # Named metric so the cap is never silent (observe() is collected with
+    # the action — no extra job, unlike an eager count()).
+    all_buckets = all_buckets.observe(
+        f"jaccard_df_cap_{uuid.uuid4().hex[:8]}",
+        F.sum(
+            F.when(F.size("ids") > max_df, F.lit(1)).otherwise(F.lit(0))
+        ).alias("dropped_hot_shingles"),
+    )
+    elig = all_buckets.filter(F.size("ids") <= max_df)
+    # Per-doc size of the CAPPED shingle set (singleton shingles included).
+    n_sh = (
+        elig.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    buckets = elig.filter(F.size("ids") >= 2)
     pair_expr = F.flatten(
         F.transform(
-            F.col("ms"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["n_sh"].alias("na"),
-                    y["n_sh"].alias("nb"),
-                ),
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
     )
     shared = (
         buckets.select(F.explode(pair_expr).alias("p"))
-        .groupBy(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.col("p.na").alias("na"),
-            F.col("p.nb").alias("nb"),
-        )
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
+    )
+    joined = (
+        shared.join(
+            n_sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            n_sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        shared.withColumn("jaccard", jac)
+        joined.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
@@ -285,6 +349,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    on_max_iter: str = "raise",
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: ``(node, cluster)``
     where ``cluster`` is the smallest id reachable from ``node`` — the
@@ -297,7 +362,14 @@ def connected_components(
     O(diameter x E/cluster-cores) — the Spark-natural form of the
     algorithm.  ``localCheckpoint`` truncates lineage each round so plans
     stay O(1) deep regardless of iteration count.
+
+    If the fixpoint is not reached within ``max_iter`` rounds (a component
+    whose hop diameter exceeds the budget), labels would silently split a
+    dedup group — so ``on_max_iter="raise"`` (default) fails loudly;
+    ``"warn"`` logs and returns the partial labels (ADVICE r01).
     """
+    if on_max_iter not in ("raise", "warn"):
+        raise ValueError(f"on_max_iter must be 'raise' or 'warn', got {on_max_iter!r}")
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -335,4 +407,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — a component's hop "
+            f"diameter exceeds the budget; raise max_iter"
+        )
+        if on_max_iter == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node"), F.col("cluster"))

@@ -26,7 +26,10 @@ Scale notes
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -128,65 +131,59 @@ def knn_join(
 
     Returns ``(probe_id, item_id, dist, rank)``.
 
-    ``shuffle_free=True`` (default): broadcast the probes, compute the
-    per-partition top-k per probe with ``collect_list`` -> ``sort_array``
-    -> ``slice`` (map-side partial aggregation), then merge candidate
-    lists in a final k-sized agg.  Shuffled bytes are
-    O(partitions x probes x k) — independent of item count.
+    ``shuffle_free=True`` (default): a genuine two-stage bounded top-k.
+    Stage 1 ships the probe matrix to every executor as a closure (probes
+    are small by contract — the alternative broadcast join moves the same
+    bytes) and selects each partition's top-k per probe inside one
+    Arrow-batched ``mapInPandas`` pass: distances are one BLAS matmul per
+    batch, and only k candidates per (partition, probe) ever leave the
+    scan — nothing upstream of stage 2 buffers more than k rows per probe
+    per partition.  Stage 2 is a k-bounded merge agg over those
+    O(partitions x probes x k) candidate rows — the only exchange in the
+    plan, and its volume is independent of item count.  (An earlier
+    version tried ``slice(sort_array(collect_list))`` in a single agg,
+    but Catalyst applies the slice only AFTER complete aggregation — the
+    partial buffers and the exchange still carried every scored
+    candidate, and the final agg materialized an O(n_items) array per
+    probe on one reducer.)
 
     ``shuffle_free=False``: classic broadcast-crossJoin + window rank
-    (shuffles every scored pair).
+    (shuffles every scored pair, all JVM-native codegen).
 
-    Measured trade-off (scripts/scale_probe.py, 32 probes x 500k items,
-    local[32]): the window form is ~2x FASTER at this size — its shuffle
-    (probes x items rows) still fits comfortably, and codegen'd
-    sort+rank beats the interpreted array building of the agg form, whose
-    map-side partial buffers hold every scored candidate per (partition,
-    probe) before the slice.  Use the window form while the scored-pair
-    shuffle fits your cluster (up to ~10^8-10^9 rows); switch to
+    Measured trade-off (scripts/scale_probe.py, local[32]): the window
+    form wins while the scored-pair shuffle (probes x items rows) fits
+    the cluster — everything stays in whole-stage codegen.  Switch to
     ``shuffle_free=True`` when items x probes makes that shuffle the
-    bottleneck — its network cost stays O(partitions x probes x k) no
-    matter how large the item table grows, which is the 100 TB regime.
-    """
-    p = probes.select(
-        F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec")
-    )
-    it = spread(
-        items.select(F.col(item_id).alias("__iid"), F.col(item_vec).alias("__ivec"))
-    )
-    scored = it.join(F.broadcast(p)).withColumn(
-        "__order", _order_expr(metric, F.col("__ivec"), F.col("__pvec"))
-    )
+    bottleneck: its exchange stays O(partitions x probes x k) no matter
+    how large the item table grows, which is the 100 TB regime.
 
-    if not shuffle_free:
-        w = Window.partitionBy("__pid").orderBy(F.col("__order").asc(), F.col("__iid").asc())
+    Numerics note: stage 1 scores in NumPy float64 (BLAS pairwise sums),
+    which can differ from the native left-to-right expression in the last
+    ulp; outputs rounded to >=4 decimals are unaffected (verified against
+    the DuckDB oracle by ``knn_join_l2``).
+    """
+    if shuffle_free:
+        out = _bounded_topk_join(
+            probes, items, k, metric, probe_id, item_id, probe_vec, item_vec
+        )
+    else:
+        p = probes.select(
+            F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec")
+        )
+        it = spread(
+            items.select(
+                F.col(item_id).alias("__iid"), F.col(item_vec).alias("__ivec")
+            )
+        )
+        scored = it.join(F.broadcast(p)).withColumn(
+            "__order", _order_expr(metric, F.col("__ivec"), F.col("__pvec"))
+        )
+        w = Window.partitionBy("__pid").orderBy(
+            F.col("__order").asc(), F.col("__iid").asc()
+        )
         out = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-        )
-    else:
-        # struct sorts lexicographically: (order, item_id) gives deterministic
-        # tie-breaks.  groupBy per probe does a map-side partial collect of at
-        # most k candidates per partition before the exchange.
-        cand = F.struct(
-            F.col("__order").alias("o"), F.col("__iid").alias("i")
-        )
-        agg = (
-            scored.groupBy("__pid")
-            .agg(
-                F.slice(F.sort_array(F.collect_list(cand)), 1, k).alias("topk")
-            )
-        )
-        out = (
-            agg.select(
-                "__pid", F.posexplode("topk").alias("pos", "c")
-            )
-            .select(
-                "__pid",
-                F.col("c.i").alias("__iid"),
-                F.col("c.o").alias("__order"),
-                (F.col("pos") + 1).alias("rank"),
-            )
         )
 
     dist = (
@@ -199,6 +196,115 @@ def knn_join(
         F.col("__iid").alias("item_id"),
         dist.alias(dist_col),
         "rank",
+    )
+
+
+def _select_topk(vals: np.ndarray, ids: np.ndarray, k: int):
+    """Deterministic top-k by ``(value, id)`` — argpartition cut (keeping
+    every tie of the kth value), then an exact sort of the small survivor
+    set."""
+    n = len(vals)
+    if n > k:
+        part = np.argpartition(vals, k - 1)
+        kth = vals[part[k - 1]]
+        keep = np.flatnonzero(vals <= kth)
+        vals, ids = vals[keep], ids[keep]
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], ids[i]))[:k]
+    return vals[order], ids[order]
+
+
+def _bounded_topk_join(
+    probes: DataFrame,
+    items: DataFrame,
+    k: int,
+    metric: str,
+    probe_id: str,
+    item_id: str,
+    probe_vec: str,
+    item_vec: str,
+) -> DataFrame:
+    """Stage 1 of the shuffle-bounded kNN join: per-partition top-k per
+    probe via ``mapInPandas`` (probe matrix as a closure, one BLAS matmul
+    per Arrow batch, running top-k carried across batches), then stage 2:
+    a k-bounded merge aggregation over O(partitions x probes x k) rows.
+
+    Note this COLLECTS the probe side (it is small by contract, and a
+    broadcast join would move the same bytes to every executor anyway) —
+    the returned plan is therefore built eagerly with respect to probes.
+    """
+    rows = probes.select(probe_id, probe_vec).collect()
+    pids = [r[0] for r in rows if r[1]]
+    vecs = [r[1] for r in rows if r[1]]
+    ptype = dict(probes.dtypes)[probe_id]
+    itype = dict(items.dtypes)[item_id]
+    if not pids:
+        return probes.sparkSession.createDataFrame(
+            [], f"__pid {ptype}, __iid {itype}, __order double, rank int"
+        )
+    P = np.asarray(vecs, dtype=np.float64)  # (n_probes, dim)
+    dim = P.shape[1]
+    if metric == "cosine":
+        P = P / np.linalg.norm(P, axis=1, keepdims=True)
+    p_sq = (P * P).sum(axis=1)
+
+    it = spread(
+        items.select(
+            F.col(item_id).alias("__iid"), F.col(item_vec).alias("__ivec")
+        )
+    ).filter(F.col("__ivec").isNotNull() & (F.size("__ivec") == dim))
+
+    n_probes = len(pids)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_vals = [None] * n_probes
+        best_ids = [None] * n_probes
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf["__ivec"].to_numpy()).astype(np.float64, copy=False)
+            iids = pdf["__iid"].to_numpy()
+            if metric == "l2":
+                d = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ P.T) + p_sq[None, :]
+                np.maximum(d, 0.0, out=d)  # expansion can dip below 0 in fp
+            elif metric == "cosine":
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                d = 1.0 - Mn @ P.T
+            else:
+                d = -(M @ P.T)
+            for j in range(n_probes):
+                if best_vals[j] is None:
+                    vals, ids = d[:, j], iids
+                else:
+                    vals = np.concatenate([best_vals[j], d[:, j]])
+                    ids = np.concatenate([best_ids[j], iids])
+                best_vals[j], best_ids[j] = _select_topk(vals, ids, k)
+        out_pid, out_iid, out_ord = [], [], []
+        for j in range(n_probes):
+            if best_vals[j] is None:
+                continue
+            out_pid.extend([pids[j]] * len(best_vals[j]))
+            out_iid.extend(best_ids[j].tolist())
+            out_ord.extend(best_vals[j].tolist())
+        if out_pid:
+            yield pd.DataFrame(
+                {"__pid": out_pid, "__iid": out_iid, "__order": out_ord}
+            )
+
+    stage1 = it.mapInPandas(
+        gen, schema=f"__pid {ptype}, __iid {itype}, __order double"
+    )
+    # Stage 2: merge the bounded candidate lists — the ONLY exchange, over
+    # at most partitions x probes x k rows.  struct sorts lexicographically,
+    # so (order, item_id) tie-breaks match stage 1's NumPy selection.
+    cand = F.struct(F.col("__order").alias("o"), F.col("__iid").alias("i"))
+    agg = stage1.groupBy("__pid").agg(
+        F.slice(F.sort_array(F.collect_list(cand)), 1, k).alias("topk")
+    )
+    return agg.select("__pid", F.posexplode("topk").alias("pos", "c")).select(
+        "__pid",
+        F.col("c.i").alias("__iid"),
+        F.col("c.o").alias("__order"),
+        (F.col("pos") + 1).alias("rank"),
     )
 
 

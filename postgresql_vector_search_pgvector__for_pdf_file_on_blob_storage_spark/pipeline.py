@@ -222,6 +222,19 @@ def summaries(
     )
 
 
+def json_escape(c) -> F.Column:
+    """Minimal JSON string escaping for values embedded in hand-built event
+    JSON: backslash and double quote — the reference serializes with Gson,
+    which escapes both (SSEOpenAIController.java:189-192); without this a
+    chunk containing a quote (common in PDF text) produces malformed JSON.
+    Control characters are already gone (the normalizer turns newlines into
+    spaces before chunking).  Literal ``replace``, mirrored byte-for-byte by
+    the DuckDB oracle (queries.py sse_projection_sql)."""
+    c = F.col(c) if isinstance(c, str) else c
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    return F.replace(c, F.lit('"'), F.lit('\\"'))
+
+
 def sse_events(hits: DataFrame, user_id: str = "user-0") -> DataFrame:
     """Serving projection: the three SSE record types the reference emits
     per hit (entities CreateAreaInHTML/CreateLinkInHTML/CreateMessageInHTML,
@@ -230,15 +243,16 @@ def sse_events(hits: DataFrame, user_id: str = "user-0") -> DataFrame:
     the bytes are engine-independent; the real LLM 'addMessage' stream is
     represented by one summary event (the LLM call is an opaque enrichment
     UDF seam, SURVEY.md §3.2)."""
+    fname = json_escape("fileName")
     link = F.concat(
         F.lit("https://storage.example/pdfs/"),
-        F.col("fileName"),
+        fname,
         F.lit("#page="),
         F.col("pageNumber").cast("string"),
     )  # URL shape: SSEOpenAIController.java:204-206
-    esc = F.regexp_replace(
-        F.col("origntext"), " ", "<SPECIAL_WHITE_SPACE>"
-    )  # SSEOpenAIController.java:226-228
+    esc = json_escape(
+        F.regexp_replace(F.col("origntext"), " ", "<SPECIAL_WHITE_SPACE>")
+    )  # SSEOpenAIController.java:226-228; Gson-style escaping on top
     j = lambda *parts: F.concat(*parts)  # noqa: E731
     q = lambda s: F.lit('"' + s + '"')  # noqa: E731
     events = F.array(
@@ -251,7 +265,7 @@ def sse_events(hits: DataFrame, user_id: str = "user-0") -> DataFrame:
             F.lit('","pageNumber":'),
             F.col("pageNumber").cast("string"),
             F.lit(',"fileName":"'),
-            F.col("fileName"),
+            fname,
             F.lit('"}'),
         ),
         j(

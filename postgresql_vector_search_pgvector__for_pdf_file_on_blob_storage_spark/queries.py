@@ -1029,11 +1029,17 @@ FROM c ORDER BY doc_id
 def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (brief training-data ops):
     full-text Rabin–Karp hash + winnowing-style min over 8-char windows.
-    Both values are exact integers, so the oracle matches bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp_full, fp_min = X.rolling_fingerprint("text", k=8)
+    Both values are exact integers, so the oracle matches bit-for-bit.
+
+    Runs the NumPy pandas-UDF form (one strided matmul per doc) — the
+    native higher-order ``aggregate`` twin folds per character through the
+    interpreter and measured ~100x slower at fixture scale; equality of the
+    two is pinned in tests/test_text.py.  ``spread`` first: the fixture is
+    a single parquet file — one partition would serialize the scan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fp = X.rolling_fingerprint_udf(k=8)(F.col("text"))
     return docs.select(
-        "doc_id", fp_full.alias("fp_full"), fp_min.alias("fp_min")
+        "doc_id", fp["fp_full"].alias("fp_full"), fp["fp_min"].alias("fp_min")
     ).orderBy("doc_id")
 
 
@@ -1048,25 +1054,33 @@ sh AS (
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
   FROM toks),
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+elig AS (SELECT e.doc_id, e.s FROM ex e JOIN dfreq d ON e.s = d.s
+         WHERE d.df <= 5),
+na AS (SELECT doc_id, count(*) AS n_sh FROM elig GROUP BY doc_id),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
-         count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
-SELECT id_a, id_b,
-       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-FROM pairs
-WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
-ORDER BY id_a, id_b
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM elig a JOIN elig b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       CAST(p.inter AS DOUBLE) / (x.n_sh + y.n_sh - p.inter) AS jaccard
+FROM pairs p
+JOIN na x ON p.id_a = x.doc_id
+JOIN na y ON p.id_b = y.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (x.n_sh + y.n_sh - p.inter) >= 0.8
+ORDER BY p.id_a, p.id_b
 """,
 )
 def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (SURVEY.md §2B B5) via the
-    shingle equi-join (no n^2)."""
+    shingle equi-join (no n^2), with the hot-shingle document-frequency cap
+    engaged (``max_df=5`` — binding on this corpus: fixture shingle df
+    reaches 7) so the 100 TB guard itself is oracle-verified.  The oracle
+    mirrors the capped universe exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        D.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+        D.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_df=5)
         .orderBy("id_a", "id_b")
     )
 
@@ -1586,7 +1600,12 @@ def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sse_projection_sql",
     """
-WITH top5 AS (SELECT * FROM documents ORDER BY doc_id LIMIT 5),
+WITH top5 AS (
+  SELECT doc_id,
+         replace(replace(source, '\', '\\'), '"', '\"') AS src_esc,
+         replace(replace(replace(text, ' ', '<SPECIAL_WHITE_SPACE>'),
+                         '\', '\\'), '"', '\"') AS txt_esc
+  FROM documents ORDER BY doc_id LIMIT 5),
 ev AS (
   SELECT doc_id, 0 AS seq,
     '{"type":"create","id":"' || doc_id || '"}' AS event_json
@@ -1594,13 +1613,13 @@ ev AS (
   UNION ALL
   SELECT doc_id, 1,
     '{"type":"createLink","id":"' || doc_id || '","link":"'
-      || 'https://storage.example/pdfs/' || source || '#page=' || doc_id
+      || 'https://storage.example/pdfs/' || src_esc || '#page=' || doc_id
       || '"}'
   FROM top5
   UNION ALL
   SELECT doc_id, 2,
     '{"type":"addMessage","id":"' || doc_id || '","content":"'
-      || replace(text, ' ', '<SPECIAL_WHITE_SPACE>') || '"}'
+      || txt_esc || '"}'
   FROM top5)
 SELECT doc_id, CAST(seq AS INTEGER) AS seq, event_json
 FROM ev ORDER BY doc_id, seq
@@ -1613,16 +1632,19 @@ def sse_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     186-239), the blob-URL #page anchor (:204-206), and the
     ``<SPECIAL_WHITE_SPACE>`` escape (:226-228), over the 5 lowest-id docs
     (stand-in for the top-5 hits so the embed UDF stays out of the oracle
-    path)."""
+    path).  String values get Gson-style ``\``/``"`` escaping
+    (pipeline.json_escape) — mirrored literally in the oracle."""
+    from .pipeline import json_escape
+
     d = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(5)
     sid = F.col("doc_id").cast("string")
     link = F.concat(
         F.lit("https://storage.example/pdfs/"),
-        F.col("source"),
+        json_escape("source"),
         F.lit("#page="),
         sid,
     )
-    esc = F.regexp_replace("text", " ", "<SPECIAL_WHITE_SPACE>")
+    esc = json_escape(F.regexp_replace("text", " ", "<SPECIAL_WHITE_SPACE>"))
     events = F.array(
         F.concat(F.lit('{"type":"create","id":"'), sid, F.lit('"}')),
         F.concat(
@@ -2729,15 +2751,20 @@ sh AS (
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
   FROM toks),
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+elig AS (SELECT e.doc_id, e.s FROM ex e JOIN dfreq d ON e.s = d.s
+         WHERE d.df <= 5),
+na AS (SELECT doc_id, count(*) AS n_sh FROM elig GROUP BY doc_id),
 cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
-         count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4),
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM elig a JOIN elig b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
 pairs AS (
-  SELECT id_a, id_b FROM cand
-  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN na x ON c.id_a = x.doc_id
+  JOIN na y ON c.id_b = y.doc_id
+  WHERE CAST(c.inter AS DOUBLE) / (x.n_sh + y.n_sh - c.inter) >= 0.8),
 und AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION SELECT id_b, id_a FROM pairs),
@@ -2755,9 +2782,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the exact-Jaccard pair graph.  The oracle states the same
     fixpoint as a recursive transitive closure — viable at 500 docs,
     quadratic at scale, which is exactly why the engine side iterates
-    O(diameter) label-propagation shuffles instead."""
+    O(diameter) label-propagation shuffles instead.  Pairs come from the
+    df-capped Jaccard (max_df=5, mirrored in the oracle — see
+    jaccard_similar_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    pairs = D.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_df=5)
     return D.connected_components(pairs).orderBy("node")
 
 
@@ -2919,6 +2948,45 @@ def flagship_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunks = _ingested_chunks(spark, sf_dir)
     return P.search(chunks, "spark shuffle join vector search", k=5)
+
+
+@query("embedding_near_dup_lsh")
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for the embedding-cosine range join (VERDICT r01):
+    the exact ``embedding_near_dup`` is an O(|L| x |R|) scorer; this variant
+    normalizes each vector once and runs the bucketed random-projection LSH
+    join (operators/ann.lsh_similarity_join) so only same-bucket candidates
+    are ever scored.  On unit vectors cosine distance = squared-L2 / 2, so
+    the cosine cutoff 0.6 maps to L2 threshold sqrt(1.2).  Approximate ->
+    rows-only; recall vs the exact sibling asserted in tests/test_ann.py."""
+    from .operators.ann import lsh_similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def unit(df, out_id):
+        return (
+            df.withColumn("__n", V.l2_norm("embedding"))
+            .select(
+                F.col("vec_id").alias(out_id),
+                F.transform(
+                    "embedding", lambda x: x.cast("double") / F.col("__n")
+                ).alias("embedding"),
+            )
+        )
+
+    pairs = lsh_similarity_join(
+        unit(emb, "left_id"),
+        unit(emb, "right_id"),
+        threshold=float(1.2) ** 0.5,
+        vec_col="embedding",
+        num_hash_tables=5,
+    )
+    cos_dist = F.col("dist") * F.col("dist") / 2
+    return (
+        pairs.filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", F.round(cos_dist, 4).alias("cos_dist"))
+        .orderBy("left_id", "right_id")
+    )
 
 
 @query("minhash_lsh_pairs")

@@ -71,6 +71,18 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        # Allow pinpointing suite MEMBERS by their full-registry name (the
+        # driver contract groups them — see driver_registry.SUITES).
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+            queries as Q,
+        )
+
+        for name in only - set(qs):
+            if name in Q.QUERIES:
+                qs[name] = Q.QUERIES[name]
+                if name in Q.ORACLES:
+                    oracles[name] = Q.ORACLES[name]
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:

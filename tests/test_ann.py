@@ -127,3 +127,26 @@ def test_ivf_save_load_roundtrip_with_partition_pruning(spark, emb, ivf, tmp_pat
     plan = loaded.search(probe, k=5, nprobe=3)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_embedding_near_dup_lsh_recall_vs_exact(spark):
+    """The driver-registered LSH variant of the cosine range join must be a
+    subset of the exact pairs (same threshold, exact re-verification) with
+    high recall."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        queries as Q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in Q.QUERIES["embedding_near_dup"](spark, sf).collect()
+    }
+    approx = {
+        (r["left_id"], r["right_id"])
+        for r in Q.QUERIES["embedding_near_dup_lsh"](spark, sf).collect()
+    }
+    assert approx <= exact  # exact re-verify: no false positives
+    assert exact  # fixture must actually contain near-dup pairs
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} ({len(approx)}/{len(exact)})"

@@ -165,3 +165,86 @@ def test_jaccard_pairs_matches_bruteforce_random_corpus(spark):
         for r in D.jaccard_pairs(df, "text", "doc_id", n=n, threshold=thr).collect()
     }
     assert got == expect
+
+
+def test_jaccard_max_df_caps_hot_shingles(spark):
+    """A planted stopword-gram shared by every doc must be dropped from the
+    Jaccard universe under max_df, while true near-dups (sharing rare
+    shingles) still surface — and the capped result must equal a Python
+    brute force over the capped universe."""
+    hot = "the quick brown fox"
+    docs = [(i, f"{hot} unique{i} tail{i} words{i} here{i}") for i in range(10)]
+    # true near-dup pair: identical long tails
+    docs += [
+        (100, f"{hot} same body of duplicated text content one two three"),
+        (101, f"{hot} same body of duplicated text content one two three"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = D.jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.8, max_df=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(100, 101): 1.0}
+
+    # Uncapped, the hot prefix shingles give every pair nonzero overlap —
+    # the candidate fan-out the cap exists to bound.
+    uncapped = D.jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.01)
+    assert uncapped.count() == 66  # all C(12,2) pairs become candidates
+
+
+def test_jaccard_max_df_matches_bruteforce(spark):
+    """Capped Jaccard == brute force computed over the df<=cap universe."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        for _ in range(30)
+    ]
+    n, thr, cap = 3, 0.3, 4
+
+    def shingles(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+
+    sets = [shingles(t) for t in texts]
+    df_count = {}
+    for s in sets:
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    capped_sets = [{g for g in s if df_count[g] <= cap} for s in sets]
+    expect = {}
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        sa, sb = capped_sets[i], capped_sets[j]
+        inter = len(sa & sb)
+        if inter:
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= thr:
+                expect[(i, j)] = round(jac, 9)
+
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.jaccard_pairs(
+            sdf, "text", "doc_id", n=n, threshold=thr, max_df=cap
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """A chain longer than the round budget must fail loudly, not return
+    silently split clusters (ADVICE r01)."""
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=2)
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        D.connected_components(pairs, max_iter=2, on_max_iter="warn").collect()

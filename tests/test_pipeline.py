@@ -122,3 +122,26 @@ def test_oracle_keys_subset_of_queries(spark):
     os_ = entry.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_sse_events_json_is_valid_with_hostile_text(spark):
+    """Chunk text containing quotes/backslashes must still yield parseable
+    JSON events (reference serializes with Gson, which escapes both —
+    ADVICE r01)."""
+    import json
+
+    hits = spark.createDataFrame(
+        [
+            ("id-1", 'He said "hi" and C:\\path\\file', 'we"ird\\name.pdf', 3, 0.1),
+        ],
+        "id string, origntext string, fileName string, pageNumber int, dist double",
+    )
+    ev = P.sse_events(hits, user_id="u1").orderBy("seq").collect()
+    assert len(ev) == 3
+    for r in ev:
+        parsed = json.loads(r["event_json"])  # raises on malformed JSON
+        assert parsed["id"] == "id-1"
+    msg = json.loads(ev[2]["event_json"])
+    assert msg["content"] == 'He<SPECIAL_WHITE_SPACE>said<SPECIAL_WHITE_SPACE>"hi"<SPECIAL_WHITE_SPACE>and<SPECIAL_WHITE_SPACE>C:\\path\\file'
+    link = json.loads(ev[1]["event_json"])
+    assert link["fileName"] == 'we"ird\\name.pdf'

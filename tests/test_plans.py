@@ -97,10 +97,20 @@ def test_tpch_q4_semi_join_no_python(spark, sf_dir):
 def test_fingerprints_and_quality_are_pure_scans(spark, sf_dir):
     """Single-stage map queries must not shuffle (ignoring the output
     sort's range exchange) nor call into Python."""
-    for name in ["doc_quality_scores", "doc_rolling_fingerprints",
-                 "bpe_token_stats"]:
+    for name in ["doc_quality_scores", "bpe_token_stats"]:
         df = Q.QUERIES[name](spark, sf_dir)
         assert E.python_eval_nodes(df) == [], name
         # orderBy(doc_id) adds exactly one range exchange; anything more
         # would mean the scan shuffled data to compute per-row values.
         assert E.num_exchanges(df) <= 1, name
+
+
+def test_fingerprints_use_arrow_not_rowwise_python(spark, sf_dir):
+    """doc_rolling_fingerprints is the measured pandas-UDF exception (the
+    native per-char HOF fold interpreted ~100x slower): it must call into
+    Python via Arrow batches (ArrowEvalPython), never row-at-a-time
+    (BatchEvalPython), and stay scan-shaped — exchanges only for spread()'s
+    round-robin and the output sort."""
+    df = Q.QUERIES["doc_rolling_fingerprints"](spark, sf_dir)
+    assert E.python_eval_nodes(df) == ["ArrowEvalPython"]
+    assert E.num_exchanges(df) <= 2

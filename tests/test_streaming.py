@@ -356,3 +356,27 @@ def test_batch_search_duplicate_probes_stay_separate(spark, sf_dir):
     assert len(per_user[("u1", "spark vector")]) == 6  # both duplicates served
     # pipe character in user_id cannot merge or split probe identities
     assert len(per_user[("u2|x", "spark")]) == 3
+
+
+def test_batch_search_has_no_single_partition_exchange(spark, sf_dir):
+    """The probe-id scheme must not serialize a large offline probe table
+    through a global window (VERDICT r01): no Exchange SinglePartition in
+    the batch_search plan."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        pipeline as P,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        serve as SV,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks, _ = P.ingest_documents(docs)
+    probes = spark.range(64).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+        F.concat(F.lit("query "), F.col("id")).alias("query_text"),
+    ).repartition(8)
+    plan = (
+        SV.batch_search(probes, chunks, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan, plan

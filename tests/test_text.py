@@ -183,3 +183,34 @@ class TestRollingFingerprint:
         # The minimum window of the base text still exists inside the
         # shifted text, so the shifted min can only be <= equal-or-lower.
         assert b <= a
+
+
+def test_rolling_fingerprint_udf_matches_native(spark):
+    """The NumPy pandas-UDF fingerprinter must equal the native
+    higher-order-expression form exactly (same Rabin-Karp math), including
+    short (<k), exactly-k, and empty texts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.functions import (
+        text as X,
+    )
+
+    rng = random.Random(3)
+    texts = ["", "ab", "exactly8", "a" * 7, "a" * 9]
+    texts += [
+        "".join(rng.choice(string.printable) for _ in range(rng.randint(1, 200)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    full_n, min_n = X.rolling_fingerprint("text", k=8)
+    fp = X.rolling_fingerprint_udf(k=8)(F.col("text"))
+    rows = df.select(
+        full_n.alias("fn"), min_n.alias("mn"),
+        fp["fp_full"].alias("fu"), fp["fp_min"].alias("mu"),
+    ).collect()
+    for r in rows:
+        assert r["fn"] == r["fu"] and r["mn"] == r["mu"], r
