@@ -155,6 +155,7 @@ ROWS_ONLY: list[str] = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "embedding_near_dup_lsh",
+    "embed_retry_pipeline",
 ]
 
 

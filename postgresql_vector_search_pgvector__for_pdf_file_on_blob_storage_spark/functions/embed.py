@@ -31,7 +31,13 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["DEFAULT_DIM", "hash_embed_py", "hash_embedder"]
+__all__ = [
+    "DEFAULT_DIM",
+    "hash_embed_py",
+    "hash_embedder",
+    "retrying_embedder",
+    "flaky_transport",
+]
 
 # Test-scale dim matches the fixtures' embeddings table (FIXTURES.md: dim 64
 # at test scale; reference is 1536 — same semantics, cheaper oracle).
@@ -70,3 +76,73 @@ def hash_embedder(dim: int = DEFAULT_DIM):
         return pd.Series(out)
 
     return _embed
+
+
+def retrying_embedder(
+    transport,
+    max_attempts: int = 3,
+    backoff_s: float = 0.0,
+):
+    """The PRODUCTION embedder seam, demonstrated: a pandas UDF
+    ``string -> struct<embedding array<float>, attempts int>`` with in-UDF
+    retry / backoff / empty-list-on-final-failure — the exact loop the
+    reference runs per invocation (``invokeTextEmbedding``: <=3 attempts,
+    10 s sleep between, empty list after the last failure —
+    Function.java:48,181-210,262-269).
+
+    ``transport(text, attempt) -> list[float]`` performs one attempt and
+    raises on failure (a vendor-API transport ignores ``attempt``; the
+    deterministic test transport uses it to fail transiently).  ``attempts``
+    rides along so the ingest pipeline can emit one
+    ``RETRY_OAI_INVOCATION`` status event per retry, matching the
+    reference's event sequence; a terminal failure yields an empty
+    embedding, which fails the vector-dimension invariant at insert time
+    and lands the row on the ``FAILED_DB_INSERTION`` path end-to-end.
+    """
+    import time
+
+    @F.pandas_udf("embedding array<float>, attempts int")
+    def _embed(texts: pd.Series) -> pd.DataFrame:
+        embs: list[list[float]] = []
+        atts: list[int] = []
+        for t in texts:
+            vec: list[float] = []
+            attempt = 0
+            while attempt < max_attempts:
+                attempt += 1
+                try:
+                    vec = transport(t, attempt)
+                    break
+                except Exception:
+                    vec = []  # empty on final failure (Function.java:207-209)
+                    if attempt < max_attempts and backoff_s:
+                        time.sleep(backoff_s)
+            embs.append(vec)
+            atts.append(attempt)
+        return pd.DataFrame({"embedding": embs, "attempts": atts})
+
+    return _embed
+
+
+def flaky_transport(
+    dim: int = DEFAULT_DIM,
+    transient_marker: str = "<<TRANSIENT>>",
+    fatal_marker: str = "<<FATAL>>",
+    fail_attempts: int = 2,
+):
+    """Deterministic mock transport for :func:`retrying_embedder` tests:
+    texts containing ``fatal_marker`` fail every attempt (terminal), texts
+    containing ``transient_marker`` fail the first ``fail_attempts``
+    attempts then succeed, everything else succeeds immediately (the
+    deterministic hash embedding)."""
+
+    def transport(text: str, attempt: int) -> list[float]:
+        if text is None:
+            raise ValueError("null text")
+        if fatal_marker in text:
+            raise TimeoutError("simulated terminal vendor failure")
+        if transient_marker in text and attempt <= fail_attempts:
+            raise TimeoutError("simulated transient vendor failure")
+        return hash_embed_py(text, dim)
+
+    return transport

@@ -94,6 +94,7 @@ def ingest_documents(
     page_col: str = "doc_id",
     max_len: int = X.MAX_SEPARATE_TOKEN_LENGTH,
     dim: int = E.DEFAULT_DIM,
+    embedder=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full ingest: returns ``(chunks, status_events)``.
 
@@ -102,29 +103,55 @@ def ingest_documents(
     pgvector dimension invariant enforced (embedding must have ``dim``
     elements or the row is marked failed).  ``status_events`` is the
     append-only event log: ``(id, fileName, pageNumber, status, seq)``.
+
+    ``embedder`` swaps the embedding operator (the production seam —
+    SURVEY.md §7.4 item 2): a pandas UDF returning either ``array<float>``
+    or ``struct<embedding array<float>, attempts int>`` — with the struct
+    form (see ``functions.embed.retrying_embedder``) each retry emits one
+    ``RETRY_OAI_INVOCATION`` status event, matching the reference's
+    per-attempt status writes (Function.java:148-156,262-269).  Default:
+    the deterministic hash embedder, one attempt.
     """
     chunked = chunk_documents(documents, text_col, file_col, page_col, max_len)
-    embedded = chunked.withColumn(
-        "embedding", E.hash_embedder(dim)(F.col("origntext"))
-    )
+    if embedder is None:
+        embedded = chunked.withColumn(
+            "embedding", E.hash_embedder(dim)(F.col("origntext"))
+        ).withColumn("__attempts", F.lit(1))
+    else:
+        res = embedder(F.col("origntext"))
+        embedded = chunked.withColumn("__er", res)
+        dtype = embedded.schema["__er"].dataType
+        if hasattr(dtype, "fieldNames") and "attempts" in dtype.fieldNames():
+            embedded = embedded.withColumn(
+                "embedding", F.col("__er.embedding")
+            ).withColumn("__attempts", F.col("__er.attempts"))
+        else:
+            embedded = embedded.withColumn(
+                "embedding", F.col("__er")
+            ).withColumn("__attempts", F.lit(1))
+        embedded = embedded.drop("__er")
     ok = V.dim_check("embedding", dim)
     chunks = embedded.filter(ok).select(
         "id", "embedding", "origntext", "fileName", "pageNumber"
     )
-    # Event log: happy-path sequence for valid rows, failure path otherwise.
-    statuses_ok = F.array(*[F.lit(s) for s in HAPPY_PATH])
-    statuses_fail = F.array(
-        F.lit("PAGE_SEPARATE_FINISHED"),
-        F.lit("FINISH_OAI_INVOCATION"),
-        F.lit("FAILED_DB_INSERTION"),
+    # Event log: PAGE_SEPARATE_FINISHED, one RETRY_OAI_INVOCATION per
+    # extra embedding attempt, then the happy/failure tail (failure =
+    # dimension invariant violated at insert, e.g. the empty embedding a
+    # terminally-failed embedder returns).
+    retries = F.array_repeat(
+        F.lit("RETRY_OAI_INVOCATION"), F.col("__attempts") - 1
     )
+    head = F.array(F.lit("PAGE_SEPARATE_FINISHED"))
+    tail_ok = F.array(*[F.lit(s) for s in HAPPY_PATH[1:]])
+    tail_fail = F.array(
+        F.lit("FINISH_OAI_INVOCATION"), F.lit("FAILED_DB_INSERTION")
+    )
+    statuses = F.concat(head, retries, F.when(ok, tail_ok).otherwise(tail_fail))
     status_events = embedded.select(
         "id",
         "fileName",
         "pageNumber",
-        F.posexplode(F.when(ok, statuses_ok).otherwise(statuses_fail)).alias(
-            "seq", "status"
-        ),
+        F.posexplode(statuses).alias("seq", "status"),
     ).select("id", "fileName", "pageNumber", "status", F.col("seq").cast("long"))
     return chunks, status_events
 

@@ -64,10 +64,11 @@ def pdf_filter(df: DataFrame, col: str = "path") -> DataFrame:
 def _extract_pages_py(content: bytes) -> list[str]:
     """Whole-document -> per-page text, best available parser.
 
-    Tries pypdf/pdfminer (not present in this container); the deterministic
-    fallback parses the ``%FAKEPDF`` fixture format.  Unknown formats yield
-    no pages (the reference logs & skips unparseable pages,
-    Function.java:121-125).
+    Order: pypdf if installed (full-fidelity), then the bundled pure-stdlib
+    simple-PDF parser (sources/minipdf — real ``%PDF-`` files with classic
+    layout and Flate/raw content streams), then the ``%FAKEPDF`` test
+    format.  Unknown/corrupt formats yield no pages (the reference logs &
+    skips unparseable pages, Function.java:121-125).
     """
     if content is None:
         return []
@@ -82,10 +83,17 @@ def _extract_pages_py(content: bytes) -> list[str]:
         reader = PdfReader(io.BytesIO(content))
         return [(p.extract_text() or "") for p in reader.pages]
     except ImportError:
-        return []
+        pass
     except Exception:
         # Per-document parse errors must never fail the job (the reference
         # skips bad pages); emit zero pages for a corrupt file.
+        return []
+    try:
+        from .minipdf import extract_text_pages
+
+        pages = extract_text_pages(content)
+        return pages if pages is not None else []
+    except Exception:
         return []
 
 

@@ -1,0 +1,221 @@
+"""Minimal real-PDF text extraction (and a tiny writer for fixtures).
+
+The reference parses real PDFs with PDFBox (Function.java:90-132).  This
+container ships neither PDFBox nor pypdf/pdfminer, so the engine carries a
+small pure-stdlib parser for the simple-PDF subset that covers
+generator-produced documents: classic xref layout, FlateDecode (zlib) or
+raw content streams, text via ``Tj`` / ``'`` / ``"`` / ``TJ`` operators in
+literal or hex strings, standard single-byte encoding.  It is NOT a general
+PDF library (no CMaps, no encryption, no object streams) — when ``pypdf``
+is available the extractor (sources/binary.py) prefers it; this module is
+the guaranteed-present fallback so "feed a real PDF" works out of the box.
+
+``make_pdf`` writes a genuinely valid PDF (correct xref offsets,
+Flate-compressed streams) — fixture files open in any PDF viewer, so tests
+exercise the real format end-to-end rather than a private stand-in.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["extract_text_pages", "make_pdf"]
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
+_PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+
+# PDF string escapes (PDF 32000-1 §7.3.4.2)
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _decode_literal(raw: bytes) -> bytes:
+    """Decode the inside of a ``( ... )`` literal string."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, 1-3 digits
+                j = i + 1
+                while j < min(i + 4, len(raw)) and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # lone backslash: drop (line continuation et al.)
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _iter_strings(ops: bytes):
+    """Yield ``(string_bytes, following_operator)`` pairs from a content
+    stream: literal ``(...)`` (with nesting/escapes) and hex ``<...>``
+    strings, plus TJ arrays."""
+    i, n = 0, len(ops)
+    while i < n:
+        c = ops[i : i + 1]
+        if c == b"(":
+            depth, j = 1, i + 1
+            start = j
+            buf = bytearray()
+            while j < n and depth:
+                ch = ops[j : j + 1]
+                if ch == b"\\":
+                    buf += ops[j : j + 2]
+                    j += 2
+                    continue
+                if ch == b"(":
+                    depth += 1
+                elif ch == b")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                buf += ch
+                j += 1
+            # find the operator after the string
+            m = re.match(rb"\s*(\[|\]|[A-Za-z'\"*]+)?", ops[j + 1 : j + 24])
+            op = (m.group(1) or b"") if m else b""
+            yield _decode_literal(bytes(buf)), op
+            i = j + 1
+        elif c == b"<" and ops[i : i + 2] != b"<<":
+            j = ops.find(b">", i)
+            if j < 0:
+                break
+            hexstr = re.sub(rb"\s", b"", ops[i + 1 : j])
+            if len(hexstr) % 2:
+                hexstr += b"0"
+            m = re.match(rb"\s*(\[|\]|[A-Za-z'\"*]+)?", ops[j + 1 : j + 24])
+            op = (m.group(1) or b"") if m else b""
+            yield bytes.fromhex(hexstr.decode("ascii", "ignore")), op
+            i = j + 1
+        elif c == b"<":  # dict <<...>> — skip
+            i += 2
+        else:
+            i += 1
+
+
+# operators that move to a new line / new text position
+_NEWLINE_OPS = re.compile(rb"(^|\s)(T\*|Td|TD)(\s|$)")
+
+
+def _stream_text(ops: bytes) -> str:
+    """Assemble shown text from one content stream: collect the shown
+    strings in order; if the stream positions lines with Td/TD/T*, treat
+    each show as one line (the layout simple PDF writers emit), otherwise
+    concatenate (TJ kerning arrays)."""
+    out = [s.decode("latin-1") for s, _op in _iter_strings(ops)]
+    if not out:
+        return ""
+    if _NEWLINE_OPS.search(ops):
+        return "\n".join(out)
+    return "".join(out)
+
+
+def extract_text_pages(content: bytes) -> list[str] | None:
+    """Per-page text from a simple real PDF, or ``None`` if ``content`` is
+    not parseable as one (callers fall through to other formats)."""
+    if content is None or not content.startswith(b"%PDF-"):
+        return None
+    objects: dict[int, bytes] = {
+        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(content)
+    }
+    if not objects:
+        return None
+
+    def stream_of(body: bytes) -> bytes | None:
+        m = _STREAM_RE.search(body)
+        if not m:
+            return None
+        d, data = m.group(1), m.group(2)
+        if b"/FlateDecode" in d:
+            try:
+                return zlib.decompress(data)
+            except zlib.error:
+                return None
+        return data
+
+    pages: list[str] = []
+    for num in sorted(objects):
+        body = objects[num]
+        if not _PAGE_RE.search(body):
+            continue
+        texts: list[str] = []
+        for m in _CONTENTS_RE.finditer(body):
+            ref = int(m.group(1))
+            data = stream_of(objects.get(ref, b""))
+            if data:
+                texts.append(_stream_text(data))
+        pages.append("\n".join(t for t in texts if t))
+    return pages if pages else None
+
+
+def _escape_literal(s: str) -> bytes:
+    b = s.encode("latin-1", "replace")
+    return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+
+
+def make_pdf(pages: list[list[str]] | list[str]) -> bytes:
+    """Write a real, valid, Flate-compressed PDF — one page per entry; an
+    entry may be a single string (split on newlines) or a list of lines."""
+    norm: list[list[str]] = [
+        p.split("\n") if isinstance(p, str) else list(p) for p in pages
+    ]
+    objs: list[bytes] = []  # bodies; object number = index+1
+
+    n_pages = len(norm)
+    # 1: catalog, 2: pages, 3: font, 4..: page+content pairs
+    kid_nums = [4 + 2 * i for i in range(n_pages)]
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, lines in enumerate(norm):
+        content_num = kid_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % content_num
+        )
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                ops += b"0 -14 Td\n"
+            ops += b"(" + _escape_literal(line) + b") Tj\n"
+        ops += b"ET"
+        data = zlib.compress(bytes(ops))
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)

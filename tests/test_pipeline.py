@@ -145,3 +145,60 @@ def test_sse_events_json_is_valid_with_hostile_text(spark):
     assert msg["content"] == 'He<SPECIAL_WHITE_SPACE>said<SPECIAL_WHITE_SPACE>"hi"<SPECIAL_WHITE_SPACE>and<SPECIAL_WHITE_SPACE>C:\\path\\file'
     link = json.loads(ev[1]["event_json"])
     assert link["fileName"] == 'we"ird\\name.pdf'
+
+
+def test_retrying_embedder_end_to_end(spark):
+    """Transient failures retry (emitting RETRY_OAI_INVOCATION per extra
+    attempt) and end COMPLETED; terminal failures return an empty embedding,
+    fail the dimension invariant, and land on FAILED_DB_INSERTION — the
+    reference's invokeTextEmbedding loop (Function.java:48,181-210,262-269)
+    mapped onto the status event log."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        state as ST,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain successful document text", "a.pdf"),
+            (2, "flaky document <<TRANSIENT>> body", "b.pdf"),
+            (3, "doomed document <<FATAL>> body", "c.pdf"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    embedder = E.retrying_embedder(E.flaky_transport(), max_attempts=3)
+    chunks, status = P.ingest_documents(docs, embedder=embedder)
+
+    # Terminal failure never reaches the vector table.
+    assert chunks.filter(F.col("pageNumber") == 3).count() == 0
+    assert chunks.filter(F.col("pageNumber").isin(1, 2)).count() == 2
+
+    seqs = {
+        p: [r["status"] for r in rows]
+        for p, rows in (
+            (p, status.filter(F.col("pageNumber") == p).orderBy("seq").collect())
+            for p in (1, 2, 3)
+        )
+    }
+    assert seqs[1] == [
+        "PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION",
+        "FINISH_DB_INSERTION", "COMPLETED",
+    ]
+    assert seqs[2] == [
+        "PAGE_SEPARATE_FINISHED", "RETRY_OAI_INVOCATION",
+        "RETRY_OAI_INVOCATION", "FINISH_OAI_INVOCATION",
+        "FINISH_DB_INSERTION", "COMPLETED",
+    ]
+    assert seqs[3] == [
+        "PAGE_SEPARATE_FINISHED", "RETRY_OAI_INVOCATION",
+        "RETRY_OAI_INVOCATION", "FINISH_OAI_INVOCATION",
+        "FAILED_DB_INSERTION",
+    ]
+
+    # Every emitted sequence is legal under the status state machine.
+    tracked = ST.track_status_batch(status.select("id", "status", "seq"))
+    assert tracked.filter(~F.col("valid")).count() == 0
+
+    # The failed listing (reference Q5) surfaces exactly the doomed page.
+    failed = P.status_failed(status).collect()
+    assert [r["pageNumber"] for r in failed] == [3]
+    assert [r["status"] for r in failed] == ["FAILED_DB_INSERTION"]

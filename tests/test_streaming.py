@@ -380,3 +380,46 @@ def test_batch_search_has_no_single_partition_exchange(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_real_pdf_ingest_end_to_end(spark, tmp_path):
+    """A REAL multi-page PDF (valid xref, Flate-compressed content streams,
+    built by sources/minipdf.make_pdf) through the full pipeline:
+    binaryFile scan -> per-page extraction -> normalize/chunk -> embed ->
+    searchable vector table (reference Function.java:90-132 with PDFBox;
+    here the bundled pure-stdlib simple-PDF parser)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        pipeline as P,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.sources import (
+        minipdf as MP,
+    )
+
+    d = tmp_path / "realpdfs"
+    d.mkdir()
+    pdf = MP.make_pdf(
+        [
+            "Spark is a distributed engine. It shuffles; it broadcasts!",
+            "Vector search over embeddings. Parentheses (like these) and a \\ survive.",
+        ]
+    )
+    (d / "real.pdf").write_bytes(pdf)
+    assert pdf.startswith(b"%PDF-")  # a real PDF file, not the test format
+
+    raw = B.read_binary_dir(spark, str(d), glob="*.pdf")
+    pages = B.extract_pages(B.pdf_filter(raw))
+    rows = {r["pageNumber"]: r["text"] for r in pages.collect()}
+    assert rows[1] == "Spark is a distributed engine. It shuffles; it broadcasts!"
+    assert (
+        rows[2]
+        == "Vector search over embeddings. Parentheses (like these) and a \\ survive."
+    )
+
+    chunks, status = P.ingest_documents(
+        pages, text_col="text", file_col="fileName", page_col="pageNumber"
+    )
+    got = chunks.orderBy("pageNumber").collect()
+    assert [r["pageNumber"] for r in got] == [1, 2]
+    assert all(len(r["embedding"]) == 64 for r in got)
+    hits = P.search(chunks, "vector search embeddings", k=1).collect()
+    assert len(hits) == 1 and hits[0]["fileName"] == "real.pdf"
