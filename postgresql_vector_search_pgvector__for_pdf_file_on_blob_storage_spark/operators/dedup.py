@@ -37,6 +37,8 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash64",
+    "connected_components",
+    "connected_components_star",
 ]
 
 
@@ -419,3 +421,104 @@ def connected_components(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node"), F.col("cluster"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    on_max_iter: str = "raise",
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — same ``(node, cluster)`` contract as
+    :func:`connected_components`, converging in **O(log n)** rounds
+    instead of O(diameter): the scale path for long-chain duplicate
+    graphs (the min-label probe needs ~20 rounds for a 20-hop chain;
+    star contraction collapses it in a handful).
+
+    Each round is joins + min-aggregations only — no per-node adjacency
+    arrays are ever materialized, so a celebrity node with millions of
+    neighbors costs a big *group*, not a big *row*:
+
+    - large-star: every node's strictly-larger neighbors re-attach to the
+      minimum of its closed neighborhood (emitted as child→parent, so the
+      parent is always strictly smaller);
+    - small-star: every node and its (now all-smaller) neighbors attach
+      to the group minimum.
+
+    Fixpoint = a star forest rooted at each component's minimum id.
+    Equality with the min-label operator is pinned on random graphs in
+    tests; the ``dedup_clusters`` recursive-CTE oracle checks it
+    end-to-end.
+    """
+    if on_max_iter not in ("raise", "warn"):
+        raise ValueError(f"on_max_iter must be 'raise' or 'warn', got {on_max_iter!r}")
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Orient child→parent (a > b) and dedup.
+    edges = (
+        e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        # Large-star over the symmetrized edge set: for each u, neighbors
+        # v > u point at m = min(N(u) ∪ {u}).  Output keeps a > b.
+        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # Small-star: neighbors are now all smaller; group minimum becomes
+        # everyone's parent (including the former center).
+        mins_s = (
+            large.groupBy("a")
+            .agg(F.min("b").alias("m"))
+        )
+        out = (
+            large.join(mins_s, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins_s.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = out.subtract(edges).limit(1).count()
+        edges = out
+        if changed == 0:
+            converged = True
+            break
+    if not converged and max_iter > 0:
+        msg = (
+            f"connected_components_star did not converge in {max_iter} "
+            f"rounds — raise max_iter"
+        )
+        if on_max_iter == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return nodes.join(
+        edges.withColumnRenamed("a", "node"), "node", "left"
+    ).select("node", F.coalesce("b", "node").alias("cluster"))

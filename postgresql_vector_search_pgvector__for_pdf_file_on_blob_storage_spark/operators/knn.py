@@ -148,14 +148,14 @@ def knn_join(
     probe on one reducer.)
 
     ``shuffle_free=False``: classic broadcast-crossJoin + window rank
-    (shuffles every scored pair, all JVM-native codegen).
+    (shuffles every scored pair, all JVM-native — no Python workers).
 
-    Measured trade-off (scripts/scale_probe.py, local[32]): the window
-    form wins while the scored-pair shuffle (probes x items rows) fits
-    the cluster — everything stays in whole-stage codegen.  Switch to
-    ``shuffle_free=True`` when items x probes makes that shuffle the
-    bottleneck: its exchange stays O(partitions x probes x k) no matter
-    how large the item table grows, which is the 100 TB regime.
+    Measured (scripts/scale_probe.py, 32 probes x 500k items, local[32],
+    quiet host): bounded two-stage ~7 s vs window ~14 s — the BLAS batch
+    matmul beats per-pair interpreted HOF scoring even while the scored-
+    pair shuffle still fits, and its exchange stays O(partitions x probes
+    x k) no matter how large the item table grows (the 100 TB regime).
+    The window form remains for environments without Python workers.
 
     Numerics note: stage 1 scores in NumPy float64 (BLAS pairwise sums),
     which can differ from the native left-to-right expression in the last

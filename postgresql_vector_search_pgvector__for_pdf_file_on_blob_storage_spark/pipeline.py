@@ -262,14 +262,21 @@ def json_escape(c) -> F.Column:
     return F.replace(c, F.lit('"'), F.lit('\\"'))
 
 
-def sse_events(hits: DataFrame, user_id: str = "user-0") -> DataFrame:
+def sse_events(
+    hits: DataFrame, user_id: str = "user-0", user_col: str | None = None
+) -> DataFrame:
     """Serving projection: the three SSE record types the reference emits
     per hit (entities CreateAreaInHTML/CreateLinkInHTML/CreateMessageInHTML,
     serialized at SSEOpenAIController.java:186-239), as an ordered DataFrame
     ``(userId, id, seq, event_json)``.  JSON built with explicit concat so
     the bytes are engine-independent; the real LLM 'addMessage' stream is
     represented by one summary event (the LLM call is an opaque enrichment
-    UDF seam, SURVEY.md §3.2)."""
+    UDF seam, SURVEY.md §3.2).
+
+    ``user_col`` names a per-row user column (multi-user serving batches —
+    streaming/serve.py); default is the single literal ``user_id``.  A
+    ``rank`` column on ``hits`` (the kNN join emits one) rides along so
+    push sinks can deliver a user's hits in relevance order."""
     fname = json_escape("fileName")
     link = F.concat(
         F.lit("https://storage.example/pdfs/"),
@@ -303,8 +310,11 @@ def sse_events(hits: DataFrame, user_id: str = "user-0") -> DataFrame:
             F.lit('"}'),
         ),
     )
+    ucol = F.col(user_col) if user_col else F.lit(user_id)
+    extra = [F.col("rank")] if "rank" in hits.columns else []
     return hits.select(
-        F.lit(user_id).alias("userId"),
+        ucol.alias("userId"),
+        *extra,
         F.col("id"),
         F.posexplode(events).alias("seq", "event_json"),
     )

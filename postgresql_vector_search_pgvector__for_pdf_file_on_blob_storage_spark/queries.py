@@ -2781,13 +2781,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connected components / keep-min-id"): iterative min-label propagation
     over the exact-Jaccard pair graph.  The oracle states the same
     fixpoint as a recursive transitive closure — viable at 500 docs,
-    quadratic at scale, which is exactly why the engine side iterates
-    O(diameter) label-propagation shuffles instead.  Pairs come from the
+    quadratic at scale, which is exactly why the engine side contracts the
+    graph in O(log n) large-star/small-star rounds instead (min-label
+    propagation, the O(diameter) sibling, measured 2.3x slower at 200k
+    edges/diameter 20 — scripts/scale_probe.py).  Pairs come from the
     df-capped Jaccard (max_df=5, mirrored in the oracle — see
     jaccard_similar_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_df=5)
-    return D.connected_components(pairs).orderBy("node")
+    return D.connected_components_star(pairs).orderBy("node")
 
 
 @query("udtf_chunk_lateral")

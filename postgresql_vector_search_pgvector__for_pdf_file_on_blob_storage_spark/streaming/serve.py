@@ -84,6 +84,69 @@ def batch_search(
     )
 
 
+def serve_push_stream(
+    probes_stream: DataFrame,
+    chunks: DataFrame,
+    sink_factory,
+    checkpoint: str,
+    k: int = 5,
+    dim: int = E.DEFAULT_DIM,
+    processing_time: str | None = None,
+):
+    """Continuous PUSH serving — the reference's SSE emitter made literal
+    (SSEOpenAIController.java:96-133): each micro-batch's hits expand to
+    the ordered create/createLink/addMessage event rows
+    (pipeline.sse_events) and are pushed row-by-row from the EXECUTORS
+    through per-partition connections (``sink_factory() -> obj with
+    .send(str)/.close()`` — an SSE response, a Kafka producer, a socket).
+
+    Delivery contract (what the reference's per-user Flux guarantees):
+    events repartition by ``userId`` and sort within partitions by
+    ``(userId, rank, id, seq)``, so ONE connection carries each user's
+    events, in relevance order, create→createLink→addMessage per hit.
+    Different users interleave freely across connections, as in the
+    reference.  ``processing_time`` (e.g. ``"1 second"``) keeps the query
+    continuously polling; default drains the backlog and stops
+    (AvailableNow) so tests are hermetic.
+    """
+    from .. import pipeline as P
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hits = batch_search(batch_df, chunks, k=k, dim=dim)
+        # batch_search's kNN rank rides along for relevance-ordered delivery.
+        events = P.sse_events(hits, user_col="user_id")
+
+        def push(rows) -> None:
+            sink = None
+            try:
+                for r in rows:
+                    if sink is None:
+                        sink = sink_factory()
+                    sink.send(
+                        f'{r["userId"]}\t{r["rank"]}\t{r["seq"]}\t{r["event_json"]}'
+                    )
+            finally:
+                if sink is not None:
+                    sink.close()
+
+        (
+            events.repartition("userId")
+            .sortWithinPartitions("userId", "rank", "id", "seq")
+            .foreachPartition(push)
+        )
+
+    writer = probes_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def serve_search_stream(
     probes_stream: DataFrame,
     chunks: DataFrame,

@@ -159,6 +159,36 @@ def main() -> None:
     results["minhash_100k_sec"] = round(time.time() - t0, 2)
     results["minhash_100k_pairs"] = n_pairs
 
+    # 3b2. Hot-shingle bomb: 50k docs that ALL share one stopword-gram
+    #      prefix (df = 50k).  Uncapped exact Jaccard would emit
+    #      C(50k,2) ≈ 1.25e9 candidate pairs from that single bucket;
+    #      max_df drops it, so candidates track true near-dups only
+    #      (~500 planted dups).  Records candidate volume + wall-clock.
+    hot_seed = F.pmod(F.col("id"), F.lit(49_500))
+    hot_corpus = spark.range(0, 50_000, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps "),  # the planted hot prefix
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(F.hash(hot_seed, F.lit(j)), F.lit(100_000)),
+                    )
+                    for j in range(12)
+                ],
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    capped_pairs = D.jaccard_pairs(
+        hot_corpus, "text", "doc_id", n=3, threshold=0.5, max_df=100
+    ).count()
+    results["jaccard_hot_shingle_capped_sec"] = round(time.time() - t0, 2)
+    results["jaccard_hot_shingle_pairs"] = capped_pairs
+    assert capped_pairs >= 450, "planted dups must survive the df cap"
+
     # 3c. Connected components on a 200k-edge graph (10k chains of 20
     #     nodes: diameter forces ~20 propagation rounds of join+agg).
     chain = spark.range(0, 200_000, 1, 32).select(
@@ -168,6 +198,11 @@ def main() -> None:
     n_nodes = D.connected_components(chain, max_iter=25).count()
     results["concomp_200k_edges_sec"] = round(time.time() - t0, 2)
     results["concomp_nodes"] = n_nodes
+    # Star contraction: O(log n) rounds — the long-chain scale path.
+    t0 = time.time()
+    n_nodes_star = D.connected_components_star(chain).count()
+    results["concomp_star_200k_edges_sec"] = round(time.time() - t0, 2)
+    assert n_nodes_star == n_nodes
 
     # 4. Linear text scans: quality metrics + BPE-ish token count, 10M rows.
     t0 = time.time()

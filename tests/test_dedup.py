@@ -248,3 +248,43 @@ def test_connected_components_raises_without_convergence(spark):
         D.connected_components(pairs, max_iter=2)
     with _pytest.warns(RuntimeWarning, match="did not converge"):
         D.connected_components(pairs, max_iter=2, on_max_iter="warn").collect()
+
+
+def test_star_components_match_min_label(spark):
+    """Large-star/small-star contraction must produce the identical
+    (node, cluster) labeling as min-label propagation on random graphs,
+    chains, triangles, and isolated pairs."""
+    import random
+
+    rng = random.Random(42)
+    cases = [
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(i, i + 1) for i in range(30)],  # 30-hop chain: few star rounds
+        [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)],
+        [(rng.randint(0, 1000), rng.randint(0, 1000)) for _ in range(300)],
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            r["node"]: r["cluster"]
+            for r in D.connected_components(pairs, max_iter=80).collect()
+        }
+        got = {
+            r["node"]: r["cluster"]
+            for r in D.connected_components_star(pairs).collect()
+        }
+        assert got == want
+
+
+def test_star_components_converge_fast_on_long_chain(spark):
+    """A 64-hop chain converges within O(log n) star rounds (min-label
+    would need 64)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in D.connected_components_star(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(65)}

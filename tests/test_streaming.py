@@ -423,3 +423,88 @@ def test_real_pdf_ingest_end_to_end(spark, tmp_path):
     assert all(len(r["embedding"]) == 64 for r in got)
     hits = P.search(chunks, "vector search embeddings", k=1).collect()
     assert len(hits) == 1 and hits[0]["fileName"] == "real.pdf"
+
+
+def test_serve_push_stream_per_user_ordered_delivery(spark, sf_dir, tmp_path):
+    """The continuous push sink (SSE emitter analog,
+    SSEOpenAIController.java:96-133): executors push event rows over
+    per-partition connections; each user's events arrive on ONE connection,
+    in relevance (rank) then seq order, create->createLink->addMessage per
+    hit."""
+    import json
+    import socket
+    import socketserver
+    import threading
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        pipeline as P,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        serve as SV,
+    )
+
+    # Line-collecting TCP server: one list per connection.
+    conns: list[list[str]] = []
+    lock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            mine: list[str] = []
+            with lock:
+                conns.append(mine)
+            for line in self.rfile:
+                mine.append(line.decode("utf-8").rstrip("\n"))
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    class SocketSink:
+        def __init__(self):
+            self.sock = socket.create_connection(("127.0.0.1", port))
+
+        def send(self, line: str) -> None:
+            self.sock.sendall(line.encode("utf-8") + b"\n")
+
+        def close(self) -> None:
+            self.sock.close()
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks, _ = P.ingest_documents(docs)
+
+    probes_src = str(tmp_path / "probes_src")
+    spark.createDataFrame(
+        [("alice", "spark vector search"), ("bob", "join shuffle"),
+         ("carol", "embedding distance")],
+        "user_id string, query_text string",
+    ).write.parquet(probes_src)
+    probes_stream = spark.readStream.schema(
+        "user_id string, query_text string"
+    ).parquet(probes_src)
+
+    q = SV.serve_push_stream(
+        probes_stream, chunks, SocketSink,
+        checkpoint=str(tmp_path / "ckpt_push"), k=3,
+    )
+    q.awaitTermination()
+    server.shutdown()
+
+    by_user: dict[str, list[tuple[int, int, str]]] = {}
+    user_conns: dict[str, set[int]] = {}
+    for ci, lines in enumerate(conns):
+        for line in lines:
+            user, rank, seq, ev = line.split("\t", 3)
+            by_user.setdefault(user, []).append((int(rank), int(seq), ev))
+            user_conns.setdefault(user, set()).add(ci)
+
+    assert set(by_user) == {"alice", "bob", "carol"}
+    for user, events in by_user.items():
+        # one connection per user (repartition by userId)
+        assert len(user_conns[user]) == 1, user
+        # 3 hits x 3 events, delivered already in (rank, seq) order
+        assert len(events) == 9, user
+        assert events == sorted(events, key=lambda e: (e[0], e[1])), user
+        for rank in (1, 2, 3):
+            types = [json.loads(e[2])["type"] for e in events if e[0] == rank]
+            assert types == ["create", "createLink", "addMessage"], (user, rank)
