@@ -760,7 +760,7 @@ FROM t ORDER BY doc_id
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + mean token length (SURVEY.md §2B B6)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     n_chars = F.length("text").cast("long")
     n_tokens = X.token_count("text").cast("long")
     return docs.select(
@@ -786,7 +786,7 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 100
 )
 def token_frequencies_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus word-count (explode -> partial agg -> top-k)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(X.word_tokens("text")).alias("token"))
         .groupBy("token")
@@ -870,7 +870,7 @@ def array_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function library sample (SURVEY.md §2B B12): slice/join,
     distinct, membership, ordering, nested transform — all native
     expressions over the tokenized corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = X.word_tokens("text")
     return docs.select(
         "doc_id",
@@ -898,7 +898,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish regex flavor (brief training-data ops) next
     to the whitespace count — the pattern is RE2-safe so Spark (Java regex)
     and DuckDB (RE2) extract identical token streams."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     n_bpe = X.bpe_token_count("text").cast("long")
     n_ws = X.token_count("text").cast("long")
     return docs.select(
@@ -988,7 +988,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data ops; generalizes SURVEY.md §2A rows 15-17): char/token
     counts, mean token length, punctuation/digit/stopword ratios.  Pure
     scan — every column is a native expression, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = X.word_tokens("text")
     n_tokens = F.size(toks).cast("long")
     n_stop = F.size(
