@@ -141,6 +141,7 @@ INDIVIDUAL: list[str] = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "sse_projection_sql",
+    "simhash_fingerprints",
 ]
 
 # Rows-only queries (no SQL oracle) that keep their own driver entry.
@@ -153,7 +154,6 @@ ROWS_ONLY: list[str] = [
     "sse_event_projection",
     "ivf_ann_search",
     "minhash_lsh_pairs",
-    "simhash_fingerprints",
     "embedding_near_dup_lsh",
     "embed_retry_pipeline",
 ]

@@ -310,7 +310,10 @@ def simhash64(c: Column | str, n: int = 3) -> Column:
     Arrow-batched pandas UDF: Spark's ``shiftright`` takes a literal shift
     count, so the per-bit +/-1 vote fold is not expressible as a native
     lambda; NumPy does the 64-bit vote matrix per batch instead.  Shingle
-    hashes are md5-derived (deterministic everywhere)."""
+    hashes are md5-derived, little-endian first 8 bytes — exactly DuckDB's
+    ``md5_number_upper``, so the whole operator has an exact SQL oracle
+    (the ``simhash_fingerprints`` driver query states the 64 per-bit
+    majority votes directly)."""
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -327,7 +330,7 @@ def simhash64(c: Column | str, n: int = 3) -> Column:
             hs = np.fromiter(
                 (
                     int.from_bytes(
-                        hashlib.md5(g.encode("utf-8")).digest()[:8], "big"
+                        hashlib.md5(g.encode("utf-8")).digest()[:8], "little"
                     )
                     for g in grams
                 ),

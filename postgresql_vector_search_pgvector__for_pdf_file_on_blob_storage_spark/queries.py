@@ -3033,11 +3033,47 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("simhash_fingerprints")
+# SimHash oracle: per-bit majority votes stated directly in SQL.  The
+# shingle hash is md5_number_upper (little-endian first 8 md5 bytes) — the
+# exact convention the UDF uses — and the signed 64-bit value is assembled
+# with bit 63 contributing -2^63 (two's complement, no overflowing cast).
+_SIMHASH_VOTES = ",\n    ".join(
+    f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+_SIMHASH_VALUE = " + ".join(
+    [f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+     for b in range(63)]
+    + ["CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END"]
+)
+_SIMHASH_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks),
+h AS (SELECT doc_id, md5_number_upper(unnest(shingles)) AS hv FROM sh),
+votes AS (
+  SELECT doc_id,
+    {_SIMHASH_VOTES}
+  FROM h GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce({_SIMHASH_VALUE}, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("simhash_fingerprints", _SIMHASH_ORACLE)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (near-dup signature; xxhash64-based, no
-    DuckDB twin)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """64-bit SimHash per document (near-dup signature, SURVEY.md §2B B5).
+    Oracle-checked since r02: the SQL twin restates the 64 per-bit majority
+    votes over md5_number_upper shingle hashes — exact integers, so the
+    hash compare is bit-for-bit."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", D.simhash64("text", n=3).alias("simhash")
     ).orderBy("doc_id")

@@ -95,14 +95,14 @@ def test_tpch_q4_semi_join_no_python(spark, sf_dir):
 
 
 def test_fingerprints_and_quality_are_pure_scans(spark, sf_dir):
-    """Single-stage map queries must not shuffle (ignoring the output
-    sort's range exchange) nor call into Python."""
+    """Single-stage map queries must not shuffle to COMPUTE per-row values
+    (the only exchanges allowed are spread()'s round-robin for the
+    single-file fixture and the output sort's range exchange) nor call
+    into Python."""
     for name in ["doc_quality_scores", "bpe_token_stats"]:
         df = Q.QUERIES[name](spark, sf_dir)
         assert E.python_eval_nodes(df) == [], name
-        # orderBy(doc_id) adds exactly one range exchange; anything more
-        # would mean the scan shuffled data to compute per-row values.
-        assert E.num_exchanges(df) <= 1, name
+        assert E.num_exchanges(df) <= 2, name
 
 
 def test_fingerprints_use_arrow_not_rowwise_python(spark, sf_dir):
