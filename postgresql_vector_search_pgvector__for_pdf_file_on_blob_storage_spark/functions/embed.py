@@ -82,6 +82,7 @@ def retrying_embedder(
     transport,
     max_attempts: int = 3,
     backoff_s: float = 0.0,
+    min_interval_s: float = 0.0,
 ):
     """The PRODUCTION embedder seam, demonstrated: a pandas UDF
     ``string -> struct<embedding array<float>, attempts int>`` with in-UDF
@@ -98,6 +99,14 @@ def retrying_embedder(
     reference's event sequence; a terminal failure yields an empty
     embedding, which fails the vector-dimension invariant at insert time
     and lands the row on the ``FAILED_DB_INSERTION`` path end-to-end.
+
+    ``min_interval_s`` is the reference's inter-call pacing
+    (``OPENAI_INVOCATION_INTERVAL`` = 20 ms, Function.java:45,148): each
+    Python worker spaces its transport calls at least that far apart, so
+    cluster-wide request rate is bounded by ``workers / interval`` —
+    per-worker state, deliberately NOT coordinated across executors (the
+    reference paces per JVM the same way; size the interval to
+    quota / max-parallelism).
     """
     import time
 
@@ -105,13 +114,23 @@ def retrying_embedder(
     def _embed(texts: pd.Series) -> pd.DataFrame:
         embs: list[list[float]] = []
         atts: list[int] = []
+        last_call = [float("-inf")]
+
+        def paced(t: str, attempt: int):
+            if min_interval_s:
+                wait = last_call[0] + min_interval_s - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                last_call[0] = time.monotonic()
+            return transport(t, attempt)
+
         for t in texts:
             vec: list[float] = []
             attempt = 0
             while attempt < max_attempts:
                 attempt += 1
                 try:
-                    vec = transport(t, attempt)
+                    vec = paced(t, attempt)
                     break
                 except Exception:
                     vec = []  # empty on final failure (Function.java:207-209)

@@ -202,3 +202,24 @@ def test_retrying_embedder_end_to_end(spark):
     failed = P.status_failed(status).collect()
     assert [r["pageNumber"] for r in failed] == [3]
     assert [r["status"] for r in failed] == ["FAILED_DB_INSERTION"]
+
+
+def test_retrying_embedder_paces_transport_calls(spark):
+    """min_interval_s spaces transport invocations within a worker —
+    the reference's OPENAI_INVOCATION_INTERVAL (Function.java:45,148)."""
+    import time as _time
+
+    def timed_transport(text, attempt):
+        return [float(_time.monotonic())] * 4  # smuggle the call time out
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "i long, t string"
+    ).coalesce(1)  # one worker so the pacing series is observable
+    out = df.select(
+        E.retrying_embedder(timed_transport, min_interval_s=0.05)(
+            F.col("t")
+        )["embedding"].alias("e")
+    ).collect()
+    times = sorted(r["e"][0] for r in out)
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    assert all(g >= 0.045 for g in gaps), gaps
