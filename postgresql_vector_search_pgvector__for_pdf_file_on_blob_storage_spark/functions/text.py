@@ -136,14 +136,19 @@ def chunk_udf(
 
     Python-side by necessity (imperative backward scan); cheap because it
     runs once per *document*, not per token, and the output feeds
-    ``F.explode`` + ``F.posexplode`` for chunk indexes.
+    ``F.explode`` + ``F.posexplode`` for chunk indexes.  Arrow-batched
+    (pandas UDF) so the Python boundary is crossed once per batch — the
+    per-row logic is still the pinned pure function ``split_text_py``.
     """
 
-    @F.udf(T.ArrayType(T.StringType(), containsNull=False))
-    def _chunk(text: str) -> list[str]:
-        if text is None:
-            return []
-        return split_text_py(text, max_len, floor_delta)
+    @F.pandas_udf(T.ArrayType(T.StringType(), containsNull=False))
+    def _chunk(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [] if t is None else split_text_py(t, max_len, floor_delta)
+                for t in texts
+            ]
+        )
 
     return _chunk
 
