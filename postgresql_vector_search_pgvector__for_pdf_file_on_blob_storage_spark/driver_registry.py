@@ -142,6 +142,7 @@ INDIVIDUAL: list[str] = [
     "tpch_q3_shipping_priority",
     "sse_projection_sql",
     "simhash_fingerprints",
+    "corpus_curation_pipeline",
 ]
 
 # Rows-only queries (no SQL oracle) that keep their own driver entry.

@@ -1626,7 +1626,7 @@ FROM ev ORDER BY doc_id, seq
 """,
 )
 def sse_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-expressible twin of the SSE serving projection (SURVEY.md §2A
+    r"""SQL-expressible twin of the SSE serving projection (SURVEY.md §2A
     rows 24-28): create/createLink/addMessage JSON events built with
     explicit concatenation (engine-neutral bytes — SSEOpenAIController.java:
     186-239), the blob-URL #page anchor (:204-206), and the
@@ -3121,4 +3121,104 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_id", "right_id", F.round("dist", 4).alias("cos_dist")
         )
         .orderBy("left_id", "right_id")
+    )
+
+
+@query(
+    "corpus_curation_pipeline",
+    r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+gated AS (
+  SELECT doc_id, lang, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t
+  WHERE lang IN ('en', 'de', 'fr') AND len(toks) >= 25),
+keep AS (
+  SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS exact_dups
+  FROM gated
+  GROUP BY regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')),
+kept AS (
+  SELECT g.doc_id, g.lang, g.n_tokens, g.toks, k.exact_dups
+  FROM gated g JOIN keep k USING (doc_id)),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM kept),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+elig AS (SELECT e.doc_id, e.s FROM ex e JOIN dfreq d ON e.s = d.s
+         WHERE d.df <= 5),
+na AS (SELECT doc_id, count(*) AS n_sh FROM elig GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM elig a JOIN elig b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN na x ON c.id_a = x.doc_id
+  JOIN na y ON c.id_b = y.doc_id
+  WHERE CAST(c.inter AS DOUBLE) / (x.n_sh + y.n_sh - c.inter) >= 0.8),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+dropped AS (
+  SELECT a AS node FROM reach GROUP BY a HAVING least(a, min(b)) <> a)
+SELECT k.doc_id, k.lang, k.n_tokens, k.exact_dups
+FROM kept k LEFT JOIN dropped d ON k.doc_id = d.node
+WHERE d.node IS NULL
+ORDER BY k.doc_id
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation (brief training-data ops; the
+    composition a C4/RefinedWeb-style pipeline runs): language gate ->
+    quality gate (token count) -> exact dedup keep-min-id -> near-dup
+    dedup (df-capped exact Jaccard >= 0.8 -> O(log n) star-contraction
+    components -> drop non-representatives) -> curated docs with token
+    accounting.
+
+    Every stage keeps its 100 TB shape: the gates are pure scan
+    predicates (pushed to parquet); exact dedup shuffles an 8-byte
+    fingerprint key, never text; the near-dup candidate step is the
+    df-capped group-then-pair Jaccard (one hot shingle cannot bomb a
+    reducer — operators/dedup.py); components contract in O(log n)
+    rounds; the final anti-join broadcasts only the dropped-id list
+    (near-dup survivors' complement is small by construction).  The
+    oracle restates the same pipeline over the recursive-CTE closure."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(X.word_tokens("text")).cast("long").alias("n_tokens"),
+    ).filter(F.col("lang").isin("en", "de", "fr") & (F.col("n_tokens") >= 25))
+    keep = (
+        gated.select(X.fingerprint64("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("long").alias("exact_dups"),
+        )
+        .drop("fp")
+    )
+    kept = gated.join(keep, "doc_id")
+    pairs = D.jaccard_pairs(
+        kept, "text", "doc_id", n=3, threshold=0.8, max_df=5
+    )
+    dropped = (
+        D.connected_components_star(pairs)
+        .filter(F.col("node") != F.col("cluster"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        kept.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens", "exact_dups")
+        .orderBy("doc_id")
     )

@@ -288,3 +288,42 @@ def test_star_components_converge_fast_on_long_chain(spark):
         for r in D.connected_components_star(pairs, max_iter=10).collect()
     }
     assert got == {i: 0 for i in range(65)}
+
+
+def test_corpus_curation_pipeline_invariants(spark, sf_dir):
+    """The curation flagship's stage contracts hold on the fixture corpus:
+    gates applied, keepers are exact-dup group minima, and no surviving
+    pair is Jaccard-similar at the dedup threshold (the oracle check pins
+    exact values; this pins the *semantics* of each stage)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        queries as Q,
+    )
+
+    out = Q.QUERIES["corpus_curation_pipeline"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "curated corpus must be non-empty"
+    assert [c for c, _ in out.dtypes] == [
+        "doc_id", "lang", "n_tokens", "exact_dups",
+    ]
+    assert all(r["lang"] in ("en", "de", "fr") for r in rows)
+    assert all(r["n_tokens"] >= 25 for r in rows)
+    assert all(r["exact_dups"] >= 1 for r in rows)
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) and ids == sorted(ids)
+
+    # No two survivors remain near-duplicates: re-run the df-capped pair
+    # finder restricted to the surviving ids — it must come back empty.
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as DD,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    survivors = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin(ids)
+    )
+    leftover = DD.jaccard_pairs(
+        survivors, "text", "doc_id", n=3, threshold=0.8, max_df=5
+    )
+    assert leftover.count() == 0
