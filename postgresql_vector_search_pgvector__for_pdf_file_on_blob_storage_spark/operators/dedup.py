@@ -169,6 +169,13 @@ def jaccard_pairs(
         ).alias("dropped_hot_shingles"),
     )
     elig = all_buckets.filter(F.size("ids") <= max_df)
+    # Note: the bucket set is consumed twice below (per-doc capped sizes
+    # and the pair buckets) with no exchange reuse, but an A/B at sf0.1
+    # showed a localCheckpoint boundary here is a net LOSS (min 3.95 s vs
+    # 3.82 s, and +4 s on the first pass): materializing every bucket
+    # array costs more than recomputing the narrow shingle scan, unlike
+    # minhash_lsh_pairs where the boundary saves two full shingling
+    # passes.  Measured, not guessed — keep the recompute.
     # Per-doc size of the CAPPED shingle set (singleton shingles included).
     n_sh = (
         elig.select(F.explode("ids").alias("id"))
@@ -258,6 +265,12 @@ def minhash_lsh_pairs(
     sh = spread(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
+    # The shingle table is consumed three times (signature scan + both
+    # sides of the exact-verify join); a lazy localCheckpoint computes it
+    # once per action instead of three shingling passes over the corpus —
+    # the materialized signature/shingle table every production MinHash
+    # pipeline keeps anyway.
+    sh = sh.localCheckpoint(eager=False)
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     # Candidate generation joins only (band, key, id) — 24 bytes/row —
     # never the shingle arrays; the exact-verify step fetches arrays for the
