@@ -3191,34 +3191,81 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer — operators/dedup.py); components contract in O(log n)
     rounds; the final anti-join broadcasts only the dropped-id list
     (near-dup survivors' complement is small by construction).  The
-    oracle restates the same pipeline over the recursive-CTE closure."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    gated = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        F.size(X.word_tokens("text")).cast("long").alias("n_tokens"),
-    ).filter(F.col("lang").isin("en", "de", "fr") & (F.col("n_tokens") >= 25))
-    keep = (
-        gated.select(X.fingerprint64("text").alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count("*").cast("long").alias("exact_dups"),
-        )
-        .drop("fp")
-    )
-    kept = gated.join(keep, "doc_id")
-    pairs = D.jaccard_pairs(
-        kept, "text", "doc_id", n=3, threshold=0.8, max_df=5
-    )
-    dropped = (
-        D.connected_components_star(pairs)
-        .filter(F.col("node") != F.col("cluster"))
-        .select(F.col("node").alias("doc_id"))
-    )
+    oracle restates the same pipeline over the recursive-CTE closure.
+
+    The composition lives in ``operators.dedup.curate_corpus`` (also run
+    by scripts/scale_probe.py at 300k synthetic docs, and available with
+    ``use_minhash=True`` for the banded 100 TB form)."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        kept.join(dropped, "doc_id", "left_anti")
-        .select("doc_id", "lang", "n_tokens", "exact_dups")
+        D.curate_corpus(
+            docs,
+            "text",
+            "doc_id",
+            "lang",
+            langs=("en", "de", "fr"),
+            min_tokens=25,
+            jaccard_threshold=0.8,
+            max_df=5,
+        )
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "weighted_sample_topk",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         AS BIGINT) AS n_tokens,
+    (((doc_id % 1000003) * 2654435761
+      + (doc_id // 1000003) * 97) % 4294967296) AS bucket
+  FROM documents),
+k AS (
+  SELECT doc_id, n_tokens,
+         ln((bucket + 1) / 4294967297.0) / n_tokens AS key
+  FROM t)
+SELECT doc_id, n_tokens, round(key, 6) AS sample_key
+FROM k ORDER BY key DESC, doc_id LIMIT 20
+""",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    "Weighted random sampling with a reservoir", IPL 2006): each doc gets
+    key ``u^(1/w)`` — equivalently ordered by ``ln(u)/w`` — and the top-k
+    keys ARE a weighted sample without replacement.  Weight = token count
+    (training-data pipelines sample long/high-quality docs more often).
+
+    The 100 TB shape: ``u`` derives from the same engine-neutral
+    multiplicative key-hash as ``deterministic_sample_per_lang`` (any
+    worker decides membership from the key alone — reproducible,
+    coordination-free, no RNG state), and top-k-by-key compiles to
+    ``TakeOrderedAndProject``: each partition keeps k rows, no global
+    sort, no shuffle beyond the k-row driver merge — a single pass
+    whatever the corpus size.  ``ln`` on identical doubles agrees across
+    engines within 1 ulp (both are correctly-rounded-or-1ulp libm calls
+    on the same IEEE input; ordering gaps between hash-derived keys are
+    >> 1 ulp), and the emitted key is rounded to 6 decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    lo = F.col("doc_id") % F.lit(1000003)
+    hi = F.expr("doc_id div 1000003")
+    bucket = (
+        (lo * F.lit(2654435761) + hi * F.lit(97)) % F.lit(4294967296)
+    )
+    u = (bucket + F.lit(1)) / F.lit(4294967297.0)
+    n_tokens = F.size(X.word_tokens("text")).cast("long")
+    key = F.log(u) / n_tokens
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            key.alias("__key"),
+        )
+        .orderBy(F.col("__key").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id", "n_tokens", F.round("__key", 6).alias("sample_key")
+        )
     )

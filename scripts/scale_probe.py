@@ -189,6 +189,59 @@ def main() -> None:
     results["jaccard_hot_shingle_pairs"] = capped_pairs
     assert capped_pairs >= 450, "planted dups must survive the df cap"
 
+    # 3b3. End-to-end corpus curation at 300k docs (the full pipeline a
+    #      training-data build runs): 5 langs (2 gated out), ~10% planted
+    #      exact duplicates, ~1% planted near-duplicates, and every doc
+    #      sharing a hot 5-gram prefix that the df cap must drop.  Runs
+    #      the MinHash form (the 100 TB default).  Survivor count checks
+    #      the planted structure: gates keep 3/5 of langs, each dup group
+    #      collapses to one keeper.
+    n_cur = 300_000
+    n_base = int(n_cur * 0.9)
+    # ids >= n_base repeat base doc (id - n_base): 10% exact dups, same
+    # lang (n_base % 5 == 0 keeps the residue).
+    base = F.pmod(F.col("id"), F.lit(n_base))
+    # Near-dup plant: base % 101 == 100 copies the previous doc's first 29
+    # words and differs only in the last — 3-gram Jaccard ≈ 0.87.  101 is
+    # coprime to 5, so a fraction of the planted pairs lands with both
+    # sides in the gated languages (both residues in {0,1,2}).
+    near = F.when(F.pmod(base, F.lit(101)) == 100, base - 1).otherwise(base)
+    cur = spark.range(0, n_cur, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")]),
+            (F.pmod(base, F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.lit("the quick brown fox jumps "),  # hot prefix, df = 300k
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(F.hash(near, F.lit(j)), F.lit(1_000_000)),
+                    )
+                    for j in range(29)
+                ],
+            ),
+            F.lit(" w"),
+            F.pmod(F.hash(base, F.lit(29)), F.lit(1_000_000)).cast("string"),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    curated = D.curate_corpus(
+        cur,
+        "text",
+        "doc_id",
+        "lang",
+        langs=("en", "de", "fr"),
+        min_tokens=25,
+        jaccard_threshold=0.8,
+        use_minhash=True,
+    ).count()
+    results["curate_300k_sec"] = round(time.time() - t0, 2)
+    results["curate_300k_survivors"] = curated
+
     # 3c. Connected components on a 200k-edge graph (10k chains of 20
     #     nodes: diameter forces ~20 propagation rounds of join+agg).
     chain = spark.range(0, 200_000, 1, 32).select(

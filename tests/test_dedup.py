@@ -327,3 +327,27 @@ def test_corpus_curation_pipeline_invariants(spark, sf_dir):
         survivors, "text", "doc_id", n=3, threshold=0.8, max_df=5
     )
     assert leftover.count() == 0
+
+
+def test_minhash_max_df_drops_boilerplate(spark):
+    """A boilerplate prefix shared by every doc must not band random pairs
+    together under max_df, while planted near-dups still surface — the
+    same universe convention as jaccard_pairs(max_df): capped sets feed
+    BOTH the signatures and the verify Jaccard."""
+    hot = "copyright acme corporation all rights reserved"
+    docs = [
+        (i, f"{hot} unique{i} body{i} words{i} here{i} tail{i}")
+        for i in range(20)
+    ]
+    docs += [
+        (100, f"{hot} same duplicated content one two three four five six"),
+        (101, f"{hot} same duplicated content one two three four five six"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(
+            df, "text", "doc_id", n=3, threshold=0.8, max_df=3
+        ).collect()
+    }
+    assert got == {(100, 101): 1.0}
