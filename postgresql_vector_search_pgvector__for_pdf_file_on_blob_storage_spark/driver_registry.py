@@ -158,6 +158,7 @@ ROWS_ONLY: list[str] = [
     "minhash_lsh_pairs",
     "embedding_near_dup_lsh",
     "embed_retry_pipeline",
+    "streaming_neardup_matches",
 ]
 
 

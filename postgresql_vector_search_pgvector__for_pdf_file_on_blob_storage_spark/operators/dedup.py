@@ -31,6 +31,7 @@ from ..functions import text as X
 from ..utils import spread
 
 __all__ = [
+    "minhash_band_keys",
     "exact_dedup",
     "word_shingles",
     "jaccard_pairs",
@@ -244,6 +245,46 @@ def minhash_signature(c: Column | str, num_hashes: int = 32) -> Column:
     return sig
 
 
+def minhash_band_keys(
+    sh: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """``(id, shingles)`` -> one ``(id, band, key)`` row per band: MinHash
+    signature split into ``bands`` slices, each slice hashed to a 64-bit
+    band key.  Candidate generation then joins only these 24-byte rows —
+    never the shingle arrays.
+
+    Empty shingle sets are EXCLUDED: their signature is all sentinel
+    values, so every sub-n-gram document would share every band key with
+    every other — a quadratic candidate bomb on corpora with many short
+    documents (they cannot be near-duplicates under set Jaccard anyway;
+    handle exact-equal short docs with exact_dedup).
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    sig = sh.filter(F.size("shingles") > 0).withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes)
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[
+                                F.element_at("sig", bi * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ])
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -314,29 +355,7 @@ def minhash_lsh_pairs(
     # the materialized signature/shingle table every production MinHash
     # pipeline keeps anyway.
     sh = sh.localCheckpoint(eager=False)
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-    # Candidate generation joins only (band, key, id) — 24 bytes/row —
-    # never the shingle arrays; the exact-verify step fetches arrays for the
-    # (few) surviving candidate ids afterwards.
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[
-                                F.element_at("sig", bi * rows + r + 1).cast("string")
-                                for r in range(rows)
-                            ])
-                        ).alias("key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = minhash_band_keys(sh, num_hashes=num_hashes, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

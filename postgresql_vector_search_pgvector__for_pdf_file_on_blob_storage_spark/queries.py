@@ -3269,3 +3269,41 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_tokens", F.round("__key", 6).alias("sample_key")
         )
     )
+
+
+@query("streaming_neardup_matches")
+def streaming_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (streaming/neardup.py) driven over
+    the documents fixture as two arrival batches: the first half of the
+    corpus is registered, then the second half arrives and each new doc is
+    checked against the persisted band store (plus within-batch).  Returns
+    the verified matches ``(new_id, matched_id, jaccard)``.  foreachBatch
+    state-table pattern -> rows-only; the batch-operator equivalence (same
+    pairs as ``minhash_lsh_pairs`` on the union corpus, directions
+    normalized) is pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from .streaming import neardup as ND
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    tmp = tempfile.mkdtemp(prefix="neardup_q_")
+    try:
+        band_d, sh_d, m_d = f"{tmp}/bands", f"{tmp}/shingles", f"{tmp}/matches"
+        ND.detect_and_register(
+            docs.filter(F.col("doc_id") <= mid), band_d, sh_d, m_d,
+            threshold=0.8,
+        )
+        ND.detect_and_register(
+            docs.filter(F.col("doc_id") > mid), band_d, sh_d, m_d,
+            threshold=0.8,
+        )
+        out = spark.read.parquet(m_d).orderBy("new_id", "matched_id")
+        # Materialize before the backing files are deleted.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema) if rows else (
+            spark.createDataFrame([], out.schema)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

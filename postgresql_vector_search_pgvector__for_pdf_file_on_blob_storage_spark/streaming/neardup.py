@@ -1,0 +1,179 @@
+"""Incremental (streaming) near-duplicate detection — MinHash banding
+with a persistent band store (SURVEY.md §2B B5 x B13 composition).
+
+The batch near-dup operators (operators/dedup.py) answer "which pairs in
+this corpus are near-duplicates"; a training-data INGEST pipeline needs
+the incremental question instead: *as each new document arrives, does it
+near-duplicate anything already accepted?*  The reference's trigger model
+(one blob upload -> one Function invocation, Function.java:71-88) has the
+same arrival shape, but no dedup at all.
+
+Spark-first design — every micro-batch is pure DataFrame algebra:
+
+- A **band store** (parquet, partitioned by ``band``) holds one
+  ``(id, band, key)`` row per accepted document per band — 24 bytes/row,
+  never text.  A **shingle store** holds ``(id, shingles)`` for the
+  exact-verify step.
+- Per micro-batch: shingle + sign the new docs (one pass), candidate =
+  equi-join of new band keys against the store (plus new-vs-new within
+  the batch), exact-verify candidates with Jaccard over the shingle
+  arrays, append verified matches, then append the new docs' bands and
+  shingles to the stores.
+- The store join is partition-pruned by ``band`` (the store is laid out
+  by band), and candidate volume tracks true near-dups exactly as in the
+  batch operator.  State never lives in executor memory — it is a table,
+  so the stream restarts cleanly from the checkpoint and the store.
+
+``foreachBatch`` (not ``applyInPandasWithState``) is the right Spark
+primitive here: the state is a *relation* joined per batch, not a
+per-key scalar — exactly the pattern Structured Streaming documents for
+stream-static joins where the static side must grow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..utils import spread
+
+__all__ = ["detect_and_register", "neardup_stream"]
+
+
+def detect_and_register(
+    batch: DataFrame,
+    band_dir: str,
+    shingle_dir: str,
+    matches_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> None:
+    """Process one (micro-)batch of new documents: append near-dup
+    matches ``(new_id, matched_id, jaccard)`` to ``matches_dir`` —
+    ``matched_id`` is either an earlier-accepted doc from the store or a
+    smaller-id doc in the same batch — then register the batch's bands
+    and shingles.  Callable directly on a static DataFrame (the batch
+    twin the tests pin) or from ``foreachBatch``.
+    """
+    spark = batch.sparkSession
+    sh = spread(batch).select(
+        F.col(id_col).alias("id"),
+        D.word_shingles(text_col, n).alias("shingles"),
+    )
+    # One shingling pass feeds banding, verification, and the store append.
+    sh = sh.localCheckpoint(eager=True)
+    new_bands = D.minhash_band_keys(
+        sh, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint(eager=True)
+
+    # Candidates: new vs accepted store (any direction) + new vs new
+    # (smaller id wins, mirroring the batch operator's id_a < id_b).
+    cand_new = (
+        new_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("matched_id"))
+    )
+    if os.path.exists(band_dir):
+        store = spark.read.parquet(band_dir)
+        cand_old = (
+            new_bands.alias("a")
+            .join(
+                store.alias("s"),
+                (F.col("a.band") == F.col("s.band"))
+                & (F.col("a.key") == F.col("s.key")),
+            )
+            .select(
+                F.col("a.id").alias("new_id"), F.col("s.id").alias("matched_id")
+            )
+        )
+        cand = cand_new.unionByName(cand_old)
+    else:
+        cand = cand_new
+    cand = cand.dropDuplicates(["new_id", "matched_id"])
+
+    # Exact verification over the full shingle sets: new side from this
+    # batch, matched side from the batch or the store.
+    sh_all = sh
+    if os.path.exists(shingle_dir):
+        sh_all = sh.unionByName(spark.read.parquet(shingle_dir))
+    verified = (
+        cand.join(
+            sh.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            sh_all.select(
+                F.col("id").alias("matched_id"), F.col("shingles").alias("sh_b")
+            ),
+            "matched_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("new_id", "matched_id", "jaccard")
+    )
+    verified.write.mode("append").parquet(matches_dir)
+    # Register AFTER matching: a batch's docs never match their own store
+    # rows (the within-batch join covers them exactly once).
+    new_bands.write.partitionBy("band").mode("append").parquet(band_dir)
+    sh.write.mode("append").parquet(shingle_dir)
+
+
+def neardup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    band_dir: str,
+    shingle_dir: str,
+    matches_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+):
+    """Streaming wrapper: parquet-directory source -> per-micro-batch
+    :func:`detect_and_register`.  AvailableNow trigger drains the backlog
+    and stops; re-starting with the same checkpoint processes only new
+    files, and the band/shingle stores carry the accepted state across
+    runs."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        detect_and_register(
+            batch_df,
+            band_dir,
+            shingle_dir,
+            matches_dir,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -114,3 +114,13 @@ def test_fingerprints_use_arrow_not_rowwise_python(spark, sf_dir):
     df = Q.QUERIES["doc_rolling_fingerprints"](spark, sf_dir)
     assert E.python_eval_nodes(df) == ["ArrowEvalPython"]
     assert E.num_exchanges(df) <= 2
+
+
+def test_weighted_sample_is_take_ordered_no_python(spark, sf_dir):
+    """A-ES weighted sampling must stay a single TakeOrderedAndProject
+    pass — no global sort, no shuffle, no Python (the whole point of the
+    key-hash formulation at 100 TB)."""
+    df = Q.QUERIES["weighted_sample_topk"](spark, sf_dir)
+    assert E.has_take_ordered(df)
+    assert E.python_eval_nodes(df) == []
+    assert E.num_exchanges(df) == 0

@@ -508,3 +508,102 @@ def test_serve_push_stream_per_user_ordered_delivery(spark, sf_dir, tmp_path):
         for rank in (1, 2, 3):
             types = [json.loads(e[2])["type"] for e in events if e[0] == rank]
             assert types == ["create", "createLink", "addMessage"], (user, rank)
+
+
+def test_neardup_detect_and_register_batches(spark, tmp_path):
+    """Incremental near-dup detection: batch 2's near-copy of a batch-1 doc
+    is flagged on arrival against the persisted band store; within-batch
+    duplicates are flagged once with the smaller id as the match; unrelated
+    docs never match.  The pair set equals the batch operator's answer on
+    the union corpus (same banding + verification)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        neardup as ND,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as D,
+    )
+
+    band_d = str(tmp_path / "bands")
+    sh_d = str(tmp_path / "shingles")
+    m_d = str(tmp_path / "matches")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while a cat "
+        "watches from the windowsill in the warm afternoon sun today"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1, same batch
+            (3, "completely different text about spark shuffles and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    ND.detect_and_register(b1, band_d, sh_d, m_d)
+    m1 = {
+        (r["new_id"], r["matched_id"])
+        for r in spark.read.parquet(m_d).collect()
+    }
+    assert m1 == {(2, 1)}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " indeed"),  # near-dup of 1 (J≈0.95) and 2 (J=0.9)
+            (11, "yet another unrelated document mentioning catalyst and codegen"),
+        ],
+        "doc_id long, text string",
+    )
+    ND.detect_and_register(b2, band_d, sh_d, m_d)
+    m2 = {
+        (r["new_id"], r["matched_id"])
+        for r in spark.read.parquet(m_d).collect()
+    }
+    assert (10, 1) in m2 and (10, 2) in m2
+    assert all(new != 11 for new, _ in m2)
+
+    # Equivalence with the batch operator over the union corpus: the
+    # incremental match set is exactly the batch pair set (directions
+    # normalized — incremental emits (later, earlier)).
+    batch_pairs = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in D.minhash_lsh_pairs(
+            b1.unionByName(b2), "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert m2 == batch_pairs
+
+
+def test_neardup_stream_restarts_with_store(spark, tmp_path):
+    """The streaming wrapper drains with AvailableNow, and a SECOND run
+    with the same checkpoint processes only the newly arrived file while
+    matching against the first run's band store."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        neardup as ND,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    band_d = str(tmp_path / "bands")
+    sh_d = str(tmp_path / "shingles")
+    m_d = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    base = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen"
+    )
+    spark.createDataFrame([(1, base)], schema).write.mode("append").parquet(
+        src
+    )
+    q = ND.neardup_stream(spark, src, schema, band_d, sh_d, m_d, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(m_d).count() == 0
+
+    spark.createDataFrame(
+        [(2, base + " seventeen")], schema
+    ).write.mode("append").parquet(src)
+    q = ND.neardup_stream(spark, src, schema, band_d, sh_d, m_d, ckpt)
+    q.awaitTermination()
+    rows = spark.read.parquet(m_d).collect()
+    assert {(r["new_id"], r["matched_id"]) for r in rows} == {(2, 1)}
