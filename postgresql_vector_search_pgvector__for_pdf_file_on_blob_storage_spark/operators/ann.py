@@ -110,6 +110,49 @@ class IVFIndex:
         self.indexed = spark.read.parquet(f"{path}/items")
         return self
 
+    def assign(self, items: DataFrame) -> DataFrame:
+        """Assign each row its nearest-centroid ``cluster_id`` with native
+        expressions only (centroids inlined as array literals — no k-means
+        model, so it works on a :meth:`load`-ed index and never touches
+        Python workers).  Ties break to the lowest cluster id, matching
+        k-means transform."""
+        dists = F.array(
+            *[
+                V.squared_l2_distance(
+                    F.col(self.vec_col),
+                    F.array(*[F.lit(x) for x in c]),
+                )
+                for c in self.centroids
+            ]
+        )
+        cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return items.withColumn("cluster_id", cid)
+
+    def add(self, new_items: DataFrame) -> None:
+        """Incrementally insert vectors: assign to the EXISTING centroids
+        (no refit) and merge into the cached layout — pgvector-ivfflat
+        semantics, where inserts append to posting lists and the coarse
+        quantizer stays fixed.  Under distribution drift recall degrades
+        gradually; the remedy is an offline rebuild (new ``IVFIndex``),
+        not an in-place refit."""
+        assigned = self.assign(spread(new_items))
+        old = self.indexed
+        self.indexed = (
+            old.unionByName(assigned).repartition("cluster_id").cache()
+        )
+        old.unpersist()
+
+    def append_to(self, path: str, new_items: DataFrame) -> None:
+        """Insert into a SAVED index: new rows are written partitioned by
+        their assigned cluster, appending files inside each existing
+        cluster directory — partition pruning on probes is unchanged, no
+        rewrite of prior data.  (The compaction trade-off is the same as
+        every log-structured index: many small appends -> periodically
+        rewrite a cluster's files.)"""
+        self.assign(spread(new_items)).write.partitionBy(
+            "cluster_id"
+        ).mode("append").parquet(f"{path}/items")
+
     def search(
         self, probe: list[float], k: int = 5, nprobe: int = 2,
         impl: str = "native",

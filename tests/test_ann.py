@@ -150,3 +150,64 @@ def test_embedding_near_dup_lsh_recall_vs_exact(spark):
     assert exact  # fixture must actually contain near-dup pairs
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
+def test_ivf_incremental_add_equals_full_build_search(spark, emb):
+    """Insert path: build on half the table, add() the rest — a full-probe
+    search must equal exact kNN over the WHOLE table (assignment uses the
+    frozen centroids, so only recall at small nprobe may differ from a
+    fresh build, never correctness at nprobe=k)."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = A.IVFIndex(half_a, k_clusters=8)
+    idx.add(half_b)
+    probe_vec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    probe = [float(x) for x in probe_vec]
+    exact = [
+        r["vec_id"]
+        for r in K.knn(emb, probe, k=5, tie_cols=("vec_id",)).collect()
+    ]
+    got = [r["vec_id"] for r in idx.search(probe, k=5, nprobe=8).collect()]
+    assert got == exact
+
+
+def test_ivf_assign_matches_kmeans_transform(spark, emb):
+    """The native argmin assignment must agree with the fitted k-means
+    transform on every row (same geometry, lowest-id tie-break)."""
+    idx = A.IVFIndex(emb, k_clusters=8)
+    native = idx.assign(emb).select("vec_id", "cluster_id")
+    fitted = idx.indexed.select(
+        "vec_id", F.col("cluster_id").alias("expected")
+    )
+    diff = native.join(fitted, "vec_id").filter(
+        F.col("cluster_id") != F.col("expected")
+    )
+    assert diff.count() == 0
+
+
+def test_ivf_append_to_saved_index_keeps_pruning(spark, emb, tmp_path):
+    """append_to() lands new rows inside the existing cluster directories:
+    a loaded index sees them, full-probe search covers the union, and the
+    probed search still prunes partitions."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = A.IVFIndex(half_a, k_clusters=8)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    idx.append_to(path, half_b)
+
+    loaded = A.IVFIndex.load(spark, path)
+    assert loaded.indexed.count() == emb.count()
+    probe_vec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    probe = [float(x) for x in probe_vec]
+    exact = [
+        r["vec_id"]
+        for r in K.knn(emb, probe, k=5, tie_cols=("vec_id",)).collect()
+    ]
+    got = [
+        r["vec_id"] for r in loaded.search(probe, k=5, nprobe=8).collect()
+    ]
+    assert got == exact
+    plan = loaded.search(probe, k=5, nprobe=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
