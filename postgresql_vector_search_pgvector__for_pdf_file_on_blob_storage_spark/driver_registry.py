@@ -159,6 +159,7 @@ ROWS_ONLY: list[str] = [
     "embedding_near_dup_lsh",
     "embed_retry_pipeline",
     "streaming_neardup_matches",
+    "approx_aggregates_gallery",
 ]
 
 

@@ -3307,3 +3307,34 @@ def streaming_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("approx_aggregates_gallery")
+def approx_aggregates_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregation beside its exact twin (the
+    100 TB path for distinct counts and quantiles): per order-status,
+    HyperLogLog++ distinct customers (``approx_count_distinct``), an
+    Apache-DataSketches HLL built with ``hll_sketch_agg`` — the MERGEABLE
+    form: partitions pre-aggregate sketch bytes that union associatively,
+    so an incremental pipeline can keep per-day sketches and merge on
+    read — and KLL-style ``approx_percentile`` for the price median.
+
+    Exact values ride along for self-documenting error; tests assert the
+    relative error bounds (HLL default rsd 5%; percentile accuracy
+    parameter 10k).  Sketches are engine-specific bytes -> rows-only."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("exact_distinct"),
+            F.approx_count_distinct("o_custkey").alias("hll_distinct"),
+            F.expr(
+                "hll_sketch_estimate(hll_sketch_agg(o_custkey))"
+            ).cast("long").alias("sketch_distinct"),
+            F.percentile("o_totalprice", 0.5).alias("exact_p50"),
+            F.expr(
+                "approx_percentile(o_totalprice, 0.5, 10000)"
+            ).alias("approx_p50"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -124,3 +124,20 @@ def test_weighted_sample_is_take_ordered_no_python(spark, sf_dir):
     assert E.has_take_ordered(df)
     assert E.python_eval_nodes(df) == []
     assert E.num_exchanges(df) == 0
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    """Approximate aggregates must degrade predictably: HLL distinct
+    within the default 5% rsd (3 sigma ~ 15%), sketch estimate likewise,
+    approx_percentile(10k) exact at fixture cardinalities."""
+    rows = Q.QUERIES["approx_aggregates_gallery"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_distinct"]
+        assert abs(r["hll_distinct"] - exact) <= max(0.15 * exact, 2), r
+        assert abs(r["sketch_distinct"] - exact) <= max(0.15 * exact, 2), r
+        # approx_percentile returns an observed value; the exact twin
+        # interpolates between the two middle values — allow the gap.
+        assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.02 * max(
+            abs(r["exact_p50"]), 1.0
+        ), r
