@@ -160,6 +160,7 @@ ROWS_ONLY: list[str] = [
     "embed_retry_pipeline",
     "streaming_neardup_matches",
     "approx_aggregates_gallery",
+    "ann_recall_report",
 ]
 
 

@@ -171,6 +171,65 @@ class IVFIndex:
         ).drop("cluster_id")
 
 
+    def search_many(
+        self,
+        probes: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        probe_id: str = "probe_id",
+        probe_vec: str = "embedding",
+    ) -> DataFrame:
+        """Batch ANN retrieval: top-k per probe, scanning only each
+        probe's ``nprobe`` nearest clusters — the nightly-retrieval shape
+        (re-embedded query log joined against the corpus index).
+
+        The probe side is collected (small by contract, as in
+        ``knn_join``); its (probe, cluster) assignments and vectors
+        broadcast.  Items join their cluster's probes — the scan reads
+        every cluster some probe needs, each once — and the final top-k
+        window shuffles only the PRUNED candidate set
+        (n_items x nprobe / k_clusters rows, not n_items x n_probes);
+        for the unpruned exact form with a fully bounded exchange use
+        ``operators.knn.knn_join``.  Returns
+        ``(probe_id, item_id, dist, rank)`` like ``knn_join``."""
+        import numpy as np
+
+        from pyspark.sql.window import Window
+
+        rows = probes.select(probe_id, probe_vec).collect()
+        rows = [(r[0], r[1]) for r in rows if r[1]]
+        ptype = dict(probes.dtypes)[probe_id]
+        cents = np.asarray(self.centroids)
+        spark = self.indexed.sparkSession
+        asg = spark.createDataFrame(
+            [
+                (pid, int(c), [float(x) for x in vec])
+                for pid, vec in rows
+                for c in np.argsort(
+                    np.linalg.norm(cents - np.asarray(vec, dtype=float), axis=1)
+                )[:nprobe]
+            ],
+            f"__pid {ptype}, cluster_id int, __pvec array<double>",
+        )
+        scored = self.indexed.join(F.broadcast(asg), "cluster_id").withColumn(
+            "__order",
+            V.squared_l2_distance(F.col(self.vec_col), F.col("__pvec")),
+        )
+        w = Window.partitionBy("__pid").orderBy(
+            F.col("__order").asc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("__pid").alias("probe_id"),
+                F.col(self.id_col).alias("item_id"),
+                F.sqrt("__order").alias("dist"),
+                "rank",
+            )
+        )
+
+
 def lsh_similarity_join(
     left: DataFrame,
     right: DataFrame,

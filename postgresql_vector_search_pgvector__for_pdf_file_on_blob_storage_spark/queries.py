@@ -3338,3 +3338,47 @@ def approx_aggregates_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query("ann_recall_report")
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-quality measurement as a first-class operator: batch ANN
+    retrieval (IVF ``search_many`` — every probe scans only its nprobe
+    clusters) evaluated against the exact bounded kNN join over the same
+    32 probes.  Returns per-probe recall@5 plus the corpus mean in the
+    probe_id = -1 row.  k-means is seeded -> deterministic per
+    fixture, but sketch geometry is engine-specific -> rows-only; the
+    measure-don't-guess discipline (BASELINE.md) as a driver query."""
+    from .operators import ann as A
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"), "embedding")
+    exact = K.knn_join(probes, items, k=5).select(
+        F.col("probe_id"), F.col("item_id")
+    )
+    idx = A.IVFIndex(emb, k_clusters=8)
+    approx = idx.search_many(probes, k=5, nprobe=2).select(
+        F.col("probe_id"), F.col("item_id")
+    )
+    hits = exact.join(approx, ["probe_id", "item_id"], "left_semi")
+    per_probe = (
+        exact.groupBy("probe_id")
+        .agg(F.count("*").alias("n"))
+        .join(
+            hits.groupBy("probe_id").agg(F.count("*").alias("h")),
+            "probe_id",
+            "left",
+        )
+        .select(
+            F.col("probe_id").cast("long").alias("probe_id"),
+            (F.coalesce("h", F.lit(0)) / F.col("n")).alias("recall_at_5"),
+        )
+    )
+    mean = per_probe.agg(
+        F.lit(-1).cast("long").alias("probe_id"),
+        F.avg("recall_at_5").alias("recall_at_5"),
+    )
+    return per_probe.unionByName(mean).orderBy("probe_id")

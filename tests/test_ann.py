@@ -211,3 +211,23 @@ def test_ivf_append_to_saved_index_keeps_pruning(spark, emb, tmp_path):
     plan = loaded.search(probe, k=5, nprobe=2)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_search_many_matches_per_probe_search(spark, emb):
+    """Batch retrieval must return, for every probe, exactly what the
+    single-probe search returns at the same nprobe."""
+    idx = A.IVFIndex(emb, k_clusters=8)
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    many = {
+        (r["probe_id"], r["rank"]): (r["item_id"], round(r["dist"], 4))
+        for r in idx.search_many(probes, k=3, nprobe=2).collect()
+    }
+    for p in probes.collect():
+        single = idx.search([float(x) for x in p["embedding"]], k=3, nprobe=2)
+        for rank, r in enumerate(single.collect(), start=1):
+            assert many[(p["probe_id"], rank)] == (
+                r["vec_id"],
+                round(r["dist"], 4),
+            )
