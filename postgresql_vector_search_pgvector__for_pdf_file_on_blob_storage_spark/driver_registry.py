@@ -1,6 +1,6 @@
 """Driver-facing query registry: every operator, at most 50 entries.
 
-Round 1's driver correctness sweep recorded exactly the first 50 of 86
+Round 1's driver correctness sweep recorded exactly the first 50 of 86 (now 96)
 registered queries — a hard cap in the harness, not a correctness issue.
 This module folds the full registry (``queries.QUERIES`` — unchanged, still
 used by tests and bench) into <=50 driver entries WITHOUT losing
@@ -119,6 +119,13 @@ SUITES: dict[str, list[str]] = {
                      "tpch_q19_discounted_revenue",
                      "tpch_q20_dominant_supplier", "tpch_q21_waiting_supplier",
                      "tpch_q22_global_sales_opportunity"],
+    # Retrieval-side closure (operators/ranking.py): lexical BM25 ranking,
+    # hybrid BM25+vector RRF fusion, benchmark decontamination.
+    "retrieval_suite": [
+        "bm25_keyword_search",
+        "hybrid_rrf_search",
+        "decontamination_overlap",
+    ],
 }
 
 # Oracle-backed queries that keep their own driver entry.
