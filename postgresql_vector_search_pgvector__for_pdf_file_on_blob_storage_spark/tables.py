@@ -33,20 +33,29 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar scan; filters/projections push down.
 
-    ``events.ts`` is written as parquet INT64 TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects (PARQUET_TYPE_ILLEGAL).  We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds —
-    the same truncation DuckDB applies — keeping the column a proper
-    timestamp for window/watermark operators.
+    ``events.ts`` has shipped in two parquet encodings across driver data
+    generations: INT64 TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    reader — read as long via ``spark.sql.legacy.parquet.nanosAsLong`` and
+    truncated to micros, same as DuckDB) and TIMESTAMP(MICROS) with
+    ``isAdjustedToUTC=false`` (inferred as TIMESTAMP_NTZ by Spark 4).  We
+    normalize both to a session-zone TIMESTAMP so epoch extraction
+    (``unix_micros``), windows, and watermarks type-check; with the engine's
+    UTC session timezone the wall-clock values match DuckDB's naive reading.
+    Disabling NTZ inference at the reader (not a post-scan cast) keeps
+    filter pushdown on ``ts`` intact.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
