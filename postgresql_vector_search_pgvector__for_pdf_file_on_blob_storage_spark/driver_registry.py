@@ -22,9 +22,15 @@ Canonical-string rules (why the bytes match across engines):
 - strings pass through (NULL -> a sentinel both engines agree on);
 - integers/booleans render via CAST(x AS VARCHAR) (same text both sides);
 - doubles render via ``%.6f`` (Spark ``format_string`` = Java, DuckDB
-  ``printf`` = C).  Java rounds HALF_UP, C half-even, but no finite double
-  can sit exactly on a 10^-6 half boundary (it would need a 5^6 factor in
-  a dyadic denominator), so the two conventions never diverge.  The member
+  ``printf`` = C).  Java rounds HALF_UP, C half-even; a double CAN sit
+  exactly on a 10^-6 half boundary, but only when it is a dyadic rational
+  whose decimal expansion terminates in the 7th place with a 5 — i.e. a
+  small-power-of-two denominator (x/2^k, k<=7 after reduction; e.g.
+  516/512 = 1.0078125 formatted 1.007813 by Java, 1.007812 by C).  Member
+  queries must therefore never divide by a power of two on a formatted
+  double column (sequence_packing uses a 500-token capacity for exactly
+  this reason — /500 terminates at 3 decimals, nowhere near a boundary);
+  with that rule the two conventions never diverge.  The member
   queries already emit deterministic doubles (decimal-exact sums, single
   IEEE ops — see queries.py module doc), so identical inputs reach the
   formatter on both sides.
@@ -99,6 +105,9 @@ SUITES: dict[str, list[str]] = {
         "bpe_token_stats",
         "doc_quality_scores",
         "doc_rolling_fingerprints",
+        "pii_redaction",
+        "repetition_signals",
+        "sequence_packing",
     ],
     "corpus_stats_suite": [
         "lang_distribution",

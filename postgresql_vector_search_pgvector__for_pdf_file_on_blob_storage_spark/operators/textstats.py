@@ -14,7 +14,14 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 from ..utils import spread
 
-__all__ = ["doc_stats", "token_frequencies", "language_distribution"]
+__all__ = [
+    "doc_stats",
+    "token_frequencies",
+    "language_distribution",
+    "redact_pii",
+    "repetition_signals",
+    "pack_token_bins",
+]
 
 
 def doc_stats(
@@ -57,4 +64,172 @@ def language_distribution(
         df.select(F.col(lang_col).alias("lang_label"), pred)
         .groupBy("lang_label", "lang_pred")
         .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data ops: privacy scrubbing before training)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backrefs) so Spark (Java regex) and the
+# DuckDB oracle (RE2) match the identical spans.  \d and \b are ASCII in
+# both dialects.  Email is replaced FIRST: an address also contains digit
+# runs the other patterns must never see.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails / IPv4s / phone numbers with typed placeholder tokens and
+    count the redactions per category.
+
+    Pure scan — a chain of native ``regexp_replace``/``regexp_count``
+    expressions inside one whole-stage-codegen span, no shuffle, no Python:
+    the shape that runs at memory bandwidth over 100 TB.  Counts are taken
+    on the ORIGINAL text (before any replacement) so categories don't
+    interact; replacements are applied in PII_PATTERNS order on a single
+    running column.
+    """
+    src = F.col(text_col)
+    redacted = src
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(src, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return spread(df).select(
+        F.col(id_col), *counts, redacted.alias("redacted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters, training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics used as LLM training-data quality
+    gates (Rae et al. 2021 "Gopher" §A1.1 repetition filters): fraction of
+    tokens that are the single most frequent token, fraction of duplicate
+    tokens, and fraction of duplicate 2-grams.
+
+    Unigram frequencies use the explode -> groupBy(doc, token) shape, NOT a
+    per-row ``transform(array_distinct(..), d -> size(filter(..)))`` scan —
+    the latter is O(n_tokens x n_distinct) per document and dies on a
+    pathological 100k-token doc, while explode+partial-agg stays linear and
+    map-side-combines before the doc_id shuffle.  The bigram metric needs
+    only distinct-vs-total, so it stays a native array expression on the
+    scan (no second explode), joined back on the same doc_id shuffle key.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = spread(df).select(F.col(id_col), toks.alias("toks"))
+    uni = (
+        base.select(id_col, F.explode("toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.max("c").cast("long").alias("top_freq"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
+    )
+    n_big = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(toks, i + 2)))"
+    )
+    big = base.select(
+        id_col,
+        n_big.cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("double")
+    return (
+        big.join(uni, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(nt > 0, F.col("top_freq").cast("double") / nt)
+            .otherwise(F.lit(0.0))
+            .alias("top_token_frac"),
+            F.when(nt > 0, 1 - F.col("n_distinct").cast("double") / nt)
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_frac"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                1
+                - F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-data ops: fill context windows)
+# ---------------------------------------------------------------------------
+
+
+def pack_token_bins(
+    df: DataFrame,
+    token_count_col,
+    shard_col,
+    order_col,
+    capacity: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to training context windows ("bins") of
+    ``capacity`` tokens: concat-then-chop packing, the streaming-friendly
+    strategy real pretraining loaders use (documents are laid out in a
+    deterministic order and a new window starts every ``capacity`` tokens;
+    a document belongs to the window its first token lands in).
+
+    Deterministic and shuffle-minimal by construction: one window
+    (running sum of token counts ordered by ``order_col``) per shard — the
+    shard column is the parallelism unit, so 100 TB packs as thousands of
+    independent shard sorts, never a global sort.  Returns per-bin stats;
+    ``fill_ratio`` < 1 on each shard's final partial bin, > 1 when a
+    straddling document overhangs the boundary (the loader chops it).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    start = (F.sum(n.cast("long")).over(w) - n).cast("long")
+    binned = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        n.cast("long").alias("n_tok"),
+        # exact BIGINT division (`div`), not floor(double/) — bit-identical
+        # to the oracle's `//` at any token-count magnitude
+        start.alias("start"),
+    ).withColumn("bin", F.expr(f"start div {int(capacity)}")).drop("start")
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            (F.sum("n_tok").cast("double") / F.lit(float(capacity))).alias(
+                "fill_ratio"
+            ),
+            F.min(id_col).cast("long").alias("first_doc"),
+        )
+        .orderBy("shard", "bin")
     )

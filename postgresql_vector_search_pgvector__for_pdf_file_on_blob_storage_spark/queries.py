@@ -41,6 +41,7 @@ from .functions import vector as V
 from .operators import dedup as D
 from .operators import knn as K
 from .operators import ranking as R
+from .operators import textstats as T
 from .tables import load_table
 from .utils import spread
 
@@ -3561,3 +3562,150 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 25 == 0)
     train = docs.filter(F.col("doc_id") % 25 != 0)
     return R.decontaminate(train, bench, "text", "doc_id", n=4)
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops round 2: PII redaction, repetition filters, packing
+# ---------------------------------------------------------------------------
+
+# Deterministic PII seeding shared by the Spark query and its oracle: every
+# 7th doc gets one email + one IPv4 + one phone appended, so the redactor
+# has real work whatever the fixture text contains.  The seeding is part of
+# the QUERY fixture; the operator under test is operators/textstats.redact_pii.
+_PII_SEED_FMT = (
+    " contact eng-%d@example.com from 10.%d.%d.7 call +1-555-%03d-%04d"
+)
+
+
+@query(
+    "pii_redaction",
+    r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+           THEN printf(' contact eng-%d@example.com from 10.%d.%d.7 call +1-555-%03d-%04d',
+                       doc_id, doc_id % 256, doc_id % 100,
+                       doc_id % 1000, doc_id % 10000)
+           ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(text, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+FROM seeded ORDER BY doc_id
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora (brief training-data ops;
+    generalizes the reference's scalar string rewrites, SURVEY.md §2A rows
+    15-16,26): mask emails/IPs/phones with typed tokens and count
+    redactions per category.  Native regexp chain, RE2-safe so the oracle
+    runs the identical patterns (operators/textstats.redact_pii)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.format_string(
+                    _PII_SEED_FMT,
+                    F.col("doc_id"),
+                    F.col("doc_id") % 256,
+                    F.col("doc_id") % 100,
+                    F.col("doc_id") % 1000,
+                    F.col("doc_id") % 10000,
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return T.redact_pii(seeded).orderBy("doc_id")
+
+
+@query(
+    "repetition_signals",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok),
+m AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_freq,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM f GROUP BY doc_id),
+b AS (
+  SELECT doc_id,
+         CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+           j -> toks[j] || ' ' || toks[j+1]))) AS BIGINT) AS n_distinct_bigrams
+  FROM t)
+SELECT b.doc_id AS doc_id,
+  COALESCE(m.n_tokens, 0) AS n_tokens,
+  CASE WHEN COALESCE(m.n_tokens, 0) > 0
+    THEN CAST(m.top_freq AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) ELSE 0.0 END
+    AS top_token_frac,
+  CASE WHEN COALESCE(m.n_tokens, 0) > 0
+    THEN 1 - CAST(m.n_distinct AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) ELSE 0.0 END
+    AS dup_token_frac,
+  CASE WHEN b.n_bigrams > 0
+    THEN 1 - CAST(b.n_distinct_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+    ELSE 0.0 END AS dup_bigram_frac
+FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+ORDER BY doc_id
+""",
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (brief training-data ops):
+    top-token / duplicate-token / duplicate-bigram fractions per document
+    (operators/textstats.repetition_signals — explode+partial-agg for
+    unigram frequencies, native array exprs for bigrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_signals(docs).orderBy("doc_id")
+
+
+@query(
+    "sequence_packing",
+    r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents),
+s AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS strt
+  FROM t)
+SELECT shard, CAST(strt // 500 AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS tokens,
+  CAST(sum(n_tok) AS DOUBLE) / 500.0 AS fill_ratio,
+  CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM s GROUP BY shard, bin ORDER BY shard, bin
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining loaders (brief training-data ops):
+    lay documents out deterministically per shard and assign each to the
+    500-token context window its first token lands in (concat-then-chop).
+    Per-shard running sums — thousands of independent shard sorts at
+    100 TB, never a global sort (operators/textstats.pack_token_bins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        X.token_count("text").cast("long").alias("n_tok"),
+    )
+    return T.pack_token_bins(with_counts, "n_tok", "shard", "doc_id", 500)

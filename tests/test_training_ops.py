@@ -1,0 +1,114 @@
+"""Round-2 training-data operators: PII redaction, repetition signals,
+sequence packing (operators/textstats.py).
+
+The oracle parity of the three driver queries is checked by
+scripts/check_correctness.py; these tests pin the operator semantics on
+handcrafted rows where the expected values are computable by eye.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    textstats as T,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "reach me at jane.doe+spam@mail.example.org or 192.168.0.1 now"),
+        (2, "call +1-555-014-2391 twice +44-555-014-2391 ok"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.io c.d@e.f.museum and ip 10.0.0.7"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestRedactPII:
+    def test_counts_and_masks(self, docs):
+        out = {r["doc_id"]: r for r in T.redact_pii(docs).collect()}
+        assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 0)
+        assert "<EMAIL>" in out[1]["redacted"]
+        assert "<IP>" in out[1]["redacted"]
+        assert "jane" not in out[1]["redacted"]
+        assert (out[2]["n_phone"], out[2]["n_email"]) == (2, 0)
+        assert out[2]["redacted"].count("<PHONE>") == 2
+        assert out[3]["redacted"] == "no pii here at all"
+        assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+        assert out[4]["n_email"] == 2 and out[4]["n_ip"] == 1
+
+    def test_clean_text_unchanged(self, docs):
+        clean = T.redact_pii(docs.filter("doc_id = 3"))
+        row = clean.collect()[0]
+        assert row["redacted"] == "no pii here at all"
+
+
+class TestRepetitionSignals:
+    def test_handcrafted_fractions(self, spark):
+        rows = [
+            # 4x the same token: top=1.0, dup=3/4, bigrams "a a" x3 -> dup 2/3
+            (1, "a a a a"),
+            # all distinct: top=1/4, dup=0, bigrams all distinct -> 0
+            (2, "w x y z"),
+            # empty -> all zeros
+            (3, "   "),
+            # case folding: "The the" counts as one token twice
+            (4, "The the"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in T.repetition_signals(df).collect()}
+        assert out[1]["n_tokens"] == 4
+        assert out[1]["top_token_frac"] == 1.0
+        assert out[1]["dup_token_frac"] == pytest.approx(0.75)
+        assert out[1]["dup_bigram_frac"] == pytest.approx(2 / 3)
+        assert out[2]["top_token_frac"] == pytest.approx(0.25)
+        assert out[2]["dup_token_frac"] == 0.0
+        assert out[2]["dup_bigram_frac"] == 0.0
+        assert out[3]["n_tokens"] == 0
+        assert out[3]["top_token_frac"] == 0.0
+        assert out[4]["top_token_frac"] == 1.0
+
+
+class TestPackTokenBins:
+    def test_concat_then_chop(self, spark):
+        # shard 0: token counts 300, 300, 300 with capacity 512:
+        #   doc 0 starts at 0   -> bin 0
+        #   doc 2 starts at 300 -> bin 0 (straddles the 512 boundary)
+        #   doc 4 starts at 600 -> bin 1
+        rows = [(0, 0, 300), (2, 0, 300), (4, 0, 300), (1, 1, 1000), (3, 1, 24)]
+        df = spark.createDataFrame(rows, "doc_id bigint, shard bigint, n_tok bigint")
+        out = {
+            (r["shard"], r["bin"]): r
+            for r in T.pack_token_bins(df, "n_tok", "shard", "doc_id", 512).collect()
+        }
+        assert out[(0, 0)]["n_docs"] == 2 and out[(0, 0)]["tokens"] == 600
+        assert out[(0, 0)]["fill_ratio"] == pytest.approx(600 / 512)
+        assert out[(0, 1)]["n_docs"] == 1 and out[(0, 1)]["first_doc"] == 4
+        # shard 1: doc 1 (1000 tokens) fills bins 0-1; doc 3 starts at 1000 -> bin 1
+        assert out[(1, 0)]["tokens"] == 1000
+        assert out[(1, 1)]["tokens"] == 24 and out[(1, 1)]["first_doc"] == 3
+
+    def test_token_conservation(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, i % 4, rng.randint(1, 900)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id bigint, shard bigint, n_tok bigint")
+        out = T.pack_token_bins(df, "n_tok", "shard", "doc_id", 256)
+        got = out.agg(
+            F.sum("tokens").alias("tok"), F.sum("n_docs").alias("docs")
+        ).collect()[0]
+        assert got["tok"] == sum(r[2] for r in rows)
+        assert got["docs"] == 200
+        # bins are contiguous per shard and starts are consistent: every
+        # bin index must be reachable from the running sum
+        for shard in range(4):
+            bins = sorted(
+                r["bin"] for r in out.filter(F.col("shard") == shard).collect()
+            )
+            # strictly increasing, and bin 0 always present
+            assert bins[0] == 0
+            assert all(b2 > b1 for b1, b2 in zip(bins, bins[1:]))
