@@ -114,6 +114,7 @@ SUITES: dict[str, list[str]] = {
         "deterministic_sample_per_lang",
         "token_frequencies_salted",
         "weighted_sample_topk",
+        "domain_mixture_sample",
     ],
     "tpch_suite_a": ["tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
                      "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",

@@ -8,7 +8,7 @@ that runs at 100 TB (map-side partial aggs, 8-byte/short shuffle keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -21,6 +21,7 @@ __all__ = [
     "redact_pii",
     "repetition_signals",
     "pack_token_bins",
+    "mixture_sample",
 ]
 
 
@@ -204,8 +205,6 @@ def pack_token_bins(
     ``fill_ratio`` < 1 on each shard's final partial bin, > 1 when a
     straddling document overhangs the boundary (the loader chops it).
     """
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy(shard_col)
         .orderBy(order_col)
@@ -232,4 +231,104 @@ def pack_token_bins(
             F.min(id_col).cast("long").alias("first_doc"),
         )
         .orderBy("shard", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling (training-data ops: mixture reweighting)
+# ---------------------------------------------------------------------------
+
+
+def hash_bucket(key, modulus: int = 4294967296):
+    """Deterministic uniform bucket in [0, modulus) from an integer key —
+    the same split-multiply hash `deterministic_sample_per_lang` pins:
+    coordination-free (any worker decides membership from the key alone)
+    and overflow-safe for any int64 key (the key is split mod 1000003
+    before multiplying, largest intermediate ~2.7e15)."""
+    k = F.col(key) if isinstance(key, str) else key
+    lo = k % F.lit(1000003)
+    hi = F.expr(f"{key} div 1000003") if isinstance(key, str) else None
+    if hi is None:
+        raise TypeError("hash_bucket needs a column NAME for exact div")
+    return ((lo * F.lit(2654435761) + hi * F.lit(97)) % F.lit(4294967296)) % F.lit(
+        modulus
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget: int,
+    token_count_col,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample a corpus to a target domain mixture (training-data ops:
+    "domain reweighting" — hit `budget` total tokens split across domains
+    proportionally to integer `weights`; domains absent from the spec are
+    dropped).  Per-domain acceptance rate = min(1, target_d / tokens_d),
+    membership decided by the deterministic key hash, so the sample is
+    reproducible and coordination-free.
+
+    Shape at 100 TB: one tiny per-domain aggregate (|domains| rows),
+    broadcast back onto the scan, filter, final per-domain aggregate —
+    no wide shuffle ever touches the full corpus.  The rate is a double,
+    but both engines build it with the identical IEEE op sequence from
+    exact integers, so the accept/reject decision is bit-reproducible;
+    the reported share uses exact BIGINT ppm, never a formatted ratio.
+    """
+    spark = df.sparkSession
+    wsum = sum(weights.values())
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            list(weights.items()), f"{domain_col} string, wt bigint"
+        )
+    )
+    n = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    base = spread(df).select(
+        F.col(key_col), F.col(domain_col), n.cast("long").alias("__ntok")
+    )
+    totals = base.groupBy(domain_col).agg(
+        F.sum("__ntok").alias("domain_tokens"), F.count("*").alias("domain_docs")
+    )
+    # rate = min(1, (budget*wt) / (wsum * domain_tokens)) — both engines
+    # evaluate: int-product -> double cast -> one multiply -> one divide.
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(int(budget)) * F.col("wt")).cast("double")
+        / (F.lit(float(wsum)) * F.col("domain_tokens").cast("double")),
+    )
+    kept = (
+        base.join(wdf, domain_col)
+        .join(F.broadcast(totals), domain_col)
+        .filter(
+            hash_bucket(key_col).cast("double") / F.lit(4294967296.0) < rate
+        )
+    )
+    out = kept.groupBy(domain_col, "wt", "domain_tokens", "domain_docs").agg(
+        F.count("*").cast("long").alias("kept_docs"),
+        F.sum("__ntok").cast("long").alias("kept_tokens"),
+    )
+    # kept share as exact BIGINT ppm (never a formatted double ratio — see
+    # driver_registry's %.6f half-boundary rule); the all-rows window is
+    # |domains| rows, not data-sized.
+    total_kept = F.sum("kept_tokens").over(Window.partitionBy())
+    return (
+        out.select(
+            domain_col,
+            F.col("wt").cast("long").alias("wt"),
+            F.col("domain_tokens").cast("long").alias("domain_tokens"),
+            F.col("domain_docs").cast("long").alias("domain_docs"),
+            "kept_docs",
+            "kept_tokens",
+            (F.col("kept_tokens") * F.lit(1000000)).alias("__num"),
+            total_kept.alias("__den"),
+        )
+        .withColumn("kept_ppm", F.expr("__num div __den").cast("long"))
+        .drop("__num", "__den")
+        .orderBy(domain_col)
     )

@@ -3709,3 +3709,64 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count("text").cast("long").alias("n_tok"),
     )
     return T.pack_token_bins(with_counts, "n_tok", "shard", "doc_id", 500)
+
+
+# Domain-mixture spec shared by the Spark query and its oracle: integer
+# weights (zh intentionally absent — the spec also EXCLUDES domains) and a
+# fixed token budget small enough that every listed domain really samples
+# at sf0.01.
+_MIXTURE_WEIGHTS = {"en": 40, "de": 25, "es": 20, "fr": 15}
+_MIXTURE_BUDGET = 12000
+
+
+@query(
+    "domain_mixture_sample",
+    r"""
+WITH w(lang, wt) AS (VALUES ('en', 40), ('de', 25), ('es', 20), ('fr', 15)),
+base AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+              AS BIGINT) AS ntok
+  FROM documents),
+totals AS (
+  SELECT lang, CAST(sum(ntok) AS BIGINT) AS domain_tokens,
+         CAST(count(*) AS BIGINT) AS domain_docs
+  FROM base GROUP BY lang),
+kept AS (
+  SELECT b.lang, w.wt, t.domain_tokens, t.domain_docs, b.ntok
+  FROM base b JOIN w ON b.lang = w.lang JOIN totals t ON b.lang = t.lang
+  WHERE CAST((((b.doc_id % 1000003) * 2654435761
+               + (b.doc_id // 1000003) * 97) % 4294967296) AS DOUBLE)
+          / 4294967296.0
+        < least(1.0, CAST(12000 * w.wt AS DOUBLE)
+                     / (100.0 * CAST(t.domain_tokens AS DOUBLE)))),
+agg AS (
+  SELECT lang, CAST(wt AS BIGINT) AS wt, domain_tokens, domain_docs,
+         CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(ntok) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY lang, wt, domain_tokens, domain_docs)
+SELECT lang, wt, domain_tokens, domain_docs, kept_docs, kept_tokens,
+       CAST((kept_tokens * 1000000) // (sum(kept_tokens) OVER ()) AS BIGINT)
+         AS kept_ppm
+FROM agg ORDER BY lang
+""",
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (training-data ops): down-sample each
+    language so kept tokens approach budget x weight share, with the
+    deterministic key-hash membership rule (reproducible, coordination-free
+    at 100 TB: tiny per-domain totals broadcast onto the scan, never a wide
+    shuffle).  zh is absent from the spec -> excluded entirely
+    (operators/textstats.mixture_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", "lang", X.token_count("text").cast("long").alias("ntok")
+    )
+    return T.mixture_sample(
+        with_counts,
+        _MIXTURE_WEIGHTS,
+        _MIXTURE_BUDGET,
+        "ntok",
+        domain_col="lang",
+        key_col="doc_id",
+    )

@@ -112,3 +112,42 @@ class TestPackTokenBins:
             # strictly increasing, and bin 0 always present
             assert bins[0] == 0
             assert all(b2 > b1 for b1, b2 in zip(bins, bins[1:]))
+
+
+class TestMixtureSample:
+    def test_mixture_converges_and_excludes(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, ["en", "de", "xx"][i % 3], rng.randint(50, 150))
+            for i in range(3000)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string, ntok bigint")
+        out = T.mixture_sample(
+            df, {"en": 3, "de": 1}, budget=40000, token_count_col="ntok"
+        )
+        got = {r["lang"]: r for r in out.collect()}
+        # spec-absent domain dropped entirely
+        assert "xx" not in got
+        # kept tokens approach budget * weight share (hash sampling is
+        # uniform; 3:1 split of 40k => 30k/10k with sampling noise)
+        assert got["en"]["kept_tokens"] == pytest.approx(30000, rel=0.15)
+        assert got["de"]["kept_tokens"] == pytest.approx(10000, rel=0.15)
+        # ppm shares sum to ~1e6 and reflect the 3:1 spec
+        ppm = sum(r["kept_ppm"] for r in got.values())
+        assert 999998 <= ppm <= 1000000
+        assert got["en"]["kept_ppm"] == pytest.approx(750000, rel=0.1)
+        # kept is a subset: never more docs/tokens than the domain holds
+        for r in got.values():
+            assert r["kept_docs"] <= r["domain_docs"]
+            assert r["kept_tokens"] <= r["domain_tokens"]
+
+    def test_rate_caps_at_one(self, spark):
+        rows = [(i, "en", 10) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string, ntok bigint")
+        out = T.mixture_sample(df, {"en": 1}, budget=10**9, token_count_col="ntok")
+        row = out.collect()[0]
+        # budget >> corpus: rate caps at 1.0, everything kept
+        assert row["kept_docs"] == 50 and row["kept_tokens"] == 500
+        assert row["kept_ppm"] == 1000000
