@@ -267,6 +267,76 @@ def main() -> None:
         n_text / results["text_scan_sec"] / 1e6, 2
     )
 
+    # 5. Round-2 training ops on a 1M-doc synthetic corpus (~30 words per
+    #    doc, 5 langs, ~1 seeded email per 7 docs).
+    n_docs = 1_000_000
+    docs = spark.range(0, n_docs, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")]),
+            (F.pmod(F.col("id"), F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(F.hash(F.col("id"), F.lit(j)), F.lit(5_000)),
+                    )
+                    for j in range(30)
+                ],
+            ),
+            F.when(
+                F.pmod(F.col("id"), F.lit(7)) == 0,
+                F.concat(
+                    F.lit(" mail u"),
+                    F.col("id").cast("string"),
+                    F.lit("@example.com at 10.1.2.3"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402,PLC0415
+        textstats as TS,
+    )
+
+    t0 = time.time()
+    red = TS.redact_pii(docs).agg(
+        F.sum("n_email"), F.sum(F.length("redacted"))
+    ).collect()
+    results["pii_redact_1m_sec"] = round(time.time() - t0, 2)
+    results["pii_redact_emails_found"] = int(red[0][0])
+
+    t0 = time.time()
+    TS.repetition_signals(docs).agg(F.sum("n_tokens")).collect()
+    results["repetition_1m_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    TS.pack_token_bins(
+        docs.select(
+            "doc_id",
+            F.pmod("doc_id", F.lit(256)).alias("shard"),
+            X.token_count("text").cast("long").alias("n_tok"),
+        ),
+        "n_tok",
+        "shard",
+        "doc_id",
+        2048,
+    ).count()
+    results["packing_1m_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    TS.mixture_sample(
+        docs.select(
+            "doc_id", "lang", X.token_count("text").cast("long").alias("ntok")
+        ),
+        {"en": 40, "de": 25, "es": 20, "fr": 15},
+        budget=10_000_000,
+        token_count_col="ntok",
+    ).collect()
+    results["mixture_1m_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps(results))
 
 

@@ -141,3 +141,35 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
         assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.02 * max(
             abs(r["exact_p50"]), 1.0
         ), r
+
+
+def test_training_ops_are_pruned_scans(spark, sf_dir):
+    """The round-2 training ops read only (doc_id, text[, lang]) from the
+    documents scan — never the full row — and keep Python out entirely."""
+    for name, allowed in [
+        ("pii_redaction", {"doc_id", "text"}),
+        ("repetition_signals", {"doc_id", "text"}),
+        ("sequence_packing", {"doc_id", "text"}),
+        ("domain_mixture_sample", {"doc_id", "text", "lang"}),
+    ]:
+        df = Q.QUERIES[name](spark, sf_dir)
+        for cols in E.read_schema_columns(df):
+            assert set(cols) <= allowed, (name, cols)
+        assert E.python_eval_nodes(df) == [], name
+
+
+def test_pii_redaction_is_shuffle_free_scan(spark, sf_dir):
+    """Redaction is a pure map: the only exchanges allowed are spread()'s
+    round-robin and the output sort's range partitioning."""
+    df = Q.QUERIES["pii_redaction"](spark, sf_dir)
+    assert E.num_exchanges(df) <= 2
+
+
+def test_mixture_sample_broadcasts_totals(spark, sf_dir):
+    """The per-domain totals/weights are |domains| rows: they must come
+    back onto the corpus scan as broadcast joins, never shuffle joins of
+    the full table."""
+    df = Q.QUERIES["domain_mixture_sample"](spark, sf_dir)
+    assert E.has_broadcast_join(df)
+    plan = E.plan_string(df, "executed")
+    assert "SortMergeJoin" not in plan
