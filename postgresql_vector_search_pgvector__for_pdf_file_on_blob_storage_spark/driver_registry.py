@@ -93,6 +93,7 @@ SUITES: dict[str, list[str]] = {
         "array_functions_gallery",
         "json_extract_events",
         "json_struct_rollup",
+        "unpivot_order_metrics",
     ],
     "join_family_suite": [
         "join_semi_active_customers",

@@ -24,6 +24,8 @@ __all__ = [
     "python_eval_nodes",
     "num_exchanges",
     "summarize_plan",
+    "plan_signature",
+    "SIGNATURE_OPS",
 ]
 
 
@@ -99,3 +101,55 @@ def summarize_plan(df: DataFrame) -> dict:
         "exchanges": num_exchanges(df),
         "read_schemas": read_schema_columns(df),
     }
+
+
+# Operators that define a plan's scale shape: exchanges (shuffles), join
+# strategies, aggregation/window/sort operators, Python boundaries, and
+# row-generating nodes.  Everything else (Project/Filter/Scan details) is
+# free to evolve without breaking the signature.
+SIGNATURE_OPS = frozenset(
+    {
+        "Exchange",
+        "BroadcastExchange",
+        "Sort",
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "HashAggregate",
+        "ObjectHashAggregate",
+        "SortAggregate",
+        "Window",
+        "WindowGroupLimit",
+        "TakeOrderedAndProject",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+        "Generate",
+        "Expand",
+    }
+)
+
+_OP_LINE = re.compile(r"^[\s:+*\-]*(?:\([0-9]+\) )?([A-Za-z]+)")
+
+
+def plan_signature(df: DataFrame) -> dict[str, int]:
+    """Count the scale-defining physical operators in the (pre-AQE)
+    executed plan.  The signature pins a query's SHAPE — how many
+    shuffles, which join strategy, where Python intrudes — so a plan
+    regression (a broadcast silently degrading to sort-merge, an extra
+    exchange) fails tests even while results stay correct.  Golden values
+    live in tests/golden_plans.json (regenerate with
+    scripts/gen_plan_goldens.py after reviewing any intentional change).
+    """
+    counts: dict[str, int] = {}
+    for line in _executed(df).splitlines():
+        m = _OP_LINE.match(line)
+        if not m:
+            continue
+        op = m.group(1)
+        if op in SIGNATURE_OPS:
+            counts[op] = counts.get(op, 0) + 1
+    return dict(sorted(counts.items()))

@@ -3770,3 +3770,34 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_col="lang",
         key_col="doc_id",
     )
+
+
+@query(
+    "unpivot_order_metrics",
+    """
+SELECT o_orderkey, 'order_year' AS metric,
+       CAST(year(o_orderdate) AS DOUBLE) AS val
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'total_price', CAST(o_totalprice AS DOUBLE)
+FROM orders
+ORDER BY o_orderkey, metric
+""",
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping via the native ``unpivot`` operator
+    (SURVEY.md §2B B7/B12 closure — the inverse of the pivot already
+    covered by ``pivot_returnflag_by_status``).  The oracle states the
+    same semantics as the portable UNION ALL; Spark executes the real
+    Expand-based unpivot (one scan, rows fan out map-side, no shuffle
+    beyond the output sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("double").alias("order_year"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+        .unpivot("o_orderkey", ["order_year", "total_price"], "metric", "val")
+        .orderBy("o_orderkey", "metric")
+    )

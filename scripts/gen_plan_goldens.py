@@ -1,0 +1,58 @@
+"""Regenerate tests/golden_plans.json — the per-query physical-plan shape
+fingerprints (scale-defining operator counts, plans/explain.plan_signature).
+
+Run after REVIEWING an intentional plan change:
+
+    python scripts/gen_plan_goldens.py
+
+The goldens pin every bench headline query plus the round-2 training ops
+at sf0.001 (the tests' fixture scale).  A diff here is a plan regression
+gate tripping: a broadcast degraded to sort-merge, an extra exchange, a
+Python node entering a hot path — review the new shape before committing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (  # noqa: E402
+    get_spark,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (  # noqa: E402
+    queries as Q,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans import (  # noqa: E402
+    explain as E,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EXTRA = [
+    "pii_redaction",
+    "repetition_signals",
+    "sequence_packing",
+    "domain_mixture_sample",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="plan-goldens", cpus=8, driver_memory="8g")
+    out: dict[str, dict[str, int]] = {}
+    for name in list(bench.HEADLINE) + EXTRA:
+        out[name] = E.plan_signature(Q.QUERIES[name](spark, SF_DIR))
+    path = os.path.join(REPO, "tests", "golden_plans.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {path} ({len(out)} signatures)")
+
+
+if __name__ == "__main__":
+    main()
