@@ -94,6 +94,7 @@ SUITES: dict[str, list[str]] = {
         "json_extract_events",
         "json_struct_rollup",
         "unpivot_order_metrics",
+        "variant_extract_events",
     ],
     "join_family_suite": [
         "join_semi_active_customers",

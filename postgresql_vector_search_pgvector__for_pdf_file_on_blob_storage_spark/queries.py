@@ -3801,3 +3801,32 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("o_orderkey", ["order_year", "total_price"], "metric", "val")
         .orderBy("o_orderkey", "metric")
     )
+
+
+@query(
+    "variant_extract_events",
+    """
+WITH t AS (
+  SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+  FROM events)
+SELECT event_id, k, CAST(k % 10 AS INTEGER) AS k_bucket,
+       CAST(k IS NOT NULL AS INTEGER) AS parsed_ok
+FROM t ORDER BY event_id
+""",
+)
+def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics via Spark 4's VARIANT type (SURVEY.md §2B
+    B12 depth beyond ``get_json_object``): ``parse_json`` ingests the raw
+    JSON once into the binary VARIANT encoding, ``variant_get`` does typed
+    path extraction — at 100 TB the parse happens once per row instead of
+    once per extracted path, which is the reason VARIANT exists.  The
+    oracle states the same extraction over DuckDB's JSON operators."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).cast("int").alias("k_bucket"),
+        k.isNotNull().cast("int").alias("parsed_ok"),
+    ).orderBy("event_id")

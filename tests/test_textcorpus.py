@@ -93,3 +93,70 @@ class TestShardedParquet:
         assert pruned.count() == 333  # ids ≡ 1 (mod 3) in [0, 1000)
         plan = E.plan_string(pruned, "formatted")
         assert "PartitionFilters" in plan
+
+
+class TestSynthDocsDataSource:
+    """Spark 4 Python DataSource extension point (sources/synthdocs.py)."""
+
+    @pytest.fixture(scope="class")
+    def registered(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.sources import (
+            synthdocs as SD,
+        )
+
+        SD.register(spark)
+        return SD
+
+    def test_reads_deterministically(self, spark, registered):
+        df = (
+            spark.read.format("synthdocs")
+            .option("rows", 500)
+            .option("partitions", 4)
+            .load()
+        )
+        assert df.columns == ["doc_id", "lang", "text"]
+        assert df.count() == 500
+        a = df.orderBy("doc_id").limit(3).collect()
+        b = (
+            spark.read.format("synthdocs")
+            .option("rows", 500)
+            .option("partitions", 4)
+            .load()
+            .orderBy("doc_id")
+            .limit(3)
+            .collect()
+        )
+        assert a == b  # pure function of (seed, doc_id)
+        # different seed -> different text
+        c = (
+            spark.read.format("synthdocs")
+            .option("rows", 500)
+            .option("seed", 7)
+            .load()
+            .orderBy("doc_id")
+            .limit(3)
+            .collect()
+        )
+        assert [r["text"] for r in a] != [r["text"] for r in c]
+
+    def test_partition_parallel_scan(self, spark, registered):
+        df = (
+            spark.read.format("synthdocs")
+            .option("rows", 1000)
+            .option("partitions", 8)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 8
+        # each doc_id appears exactly once across partitions (no overlap,
+        # no gap at the ceil-division boundary)
+        assert df.select("doc_id").distinct().count() == 1000
+
+    def test_composes_with_engine_operators(self, spark, registered):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            textstats as T,
+        )
+
+        df = spark.read.format("synthdocs").option("rows", 200).load()
+        out = T.repetition_signals(df)
+        assert out.count() == 200
+        assert out.filter(F.col("n_tokens") != 30).count() == 0
