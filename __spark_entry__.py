@@ -25,7 +25,7 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark impor
 )
 
 # Round 1's driver sweep recorded only the first 50 registered queries, so
-# the full registry (queries.QUERIES, 96 entries) is folded into <=50
+# the full registry (queries.QUERIES, 102 entries) is folded into <=50
 # driver entries here: flagship operators stay individual; the long tail is
 # grouped into suite entries that union their members' rows in a canonical
 # engine-neutral string form — the oracle compare still verifies every

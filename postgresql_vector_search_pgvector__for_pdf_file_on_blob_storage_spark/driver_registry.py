@@ -1,6 +1,6 @@
 """Driver-facing query registry: every operator, at most 50 entries.
 
-Round 1's driver correctness sweep recorded exactly the first 50 of 86 (now 96)
+Round 1's driver correctness sweep recorded exactly the first 50 of 86 (now 102)
 registered queries — a hard cap in the harness, not a correctness issue.
 This module folds the full registry (``queries.QUERIES`` — unchanged, still
 used by tests and bench) into <=50 driver entries WITHOUT losing
@@ -95,6 +95,7 @@ SUITES: dict[str, list[str]] = {
         "json_struct_rollup",
         "unpivot_order_metrics",
         "variant_extract_events",
+        "edit_distance_gallery",
     ],
     "join_family_suite": [
         "join_semi_active_customers",

@@ -3830,3 +3830,40 @@ def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).cast("int").alias("k_bucket"),
         k.isNotNull().cast("int").alias("parsed_ok"),
     ).orderBy("event_id")
+
+
+@query(
+    "edit_distance_gallery",
+    """
+WITH t AS (
+  SELECT p_partkey, p_name,
+         lag(p_name) OVER (ORDER BY p_partkey) AS prev_name
+  FROM part)
+SELECT p_partkey,
+       CAST(CASE WHEN prev_name IS NULL THEN -1
+            ELSE levenshtein(p_name, prev_name) END AS INTEGER) AS edit_prev,
+       CAST(levenshtein(p_name, reverse(p_name)) AS INTEGER) AS edit_rev,
+       CAST(length(p_name) AS INTEGER) AS name_len
+FROM t ORDER BY p_partkey
+""",
+)
+def edit_distance_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity metrics (SURVEY.md §2B B12 depth — the scalar
+    kernel under fuzzy matching/blocking): Levenshtein distance between
+    window-adjacent part names and against each name's reversal.  Both
+    engines implement the standard Wagner-Fischer definition, so the
+    integer distances match exactly.  (A fuzzy JOIN at scale would block
+    first — LSH/banding as in dedup — and only score within blocks; this
+    pins the kernel.)"""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy("p_partkey")
+    prev = F.lag("p_name").over(w)
+    return p.select(
+        "p_partkey",
+        F.when(prev.isNull(), F.lit(-1))
+        .otherwise(F.levenshtein("p_name", prev))
+        .cast("int")
+        .alias("edit_prev"),
+        F.levenshtein("p_name", F.reverse("p_name")).cast("int").alias("edit_rev"),
+        F.length("p_name").cast("int").alias("name_len"),
+    ).orderBy("p_partkey")
