@@ -118,6 +118,7 @@ SUITES: dict[str, list[str]] = {
         "token_frequencies_salted",
         "weighted_sample_topk",
         "domain_mixture_sample",
+        "dataset_split_shuffle",
     ],
     "tpch_suite_a": ["tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
                      "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",

@@ -3867,3 +3867,50 @@ def edit_distance_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_name", F.reverse("p_name")).cast("int").alias("edit_rev"),
         F.length("p_name").cast("int").alias("name_len"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "dataset_split_shuffle",
+    """
+WITH t AS (
+  SELECT doc_id,
+         (((doc_id % 1000003) * 2654435761
+           + (doc_id // 1000003) * 97) % 4294967296) % 100 AS pct,
+         ((doc_id % 999983) * 2246822519
+           + (doc_id // 999983) * 101) % 4294967296 AS shuffle_key
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN pct < 90 THEN 'train'
+            WHEN pct < 95 THEN 'validation'
+            ELSE 'test' END AS split,
+       CAST(shuffle_key AS BIGINT) AS shuffle_key
+FROM t ORDER BY split, shuffle_key, doc_id
+""",
+)
+def dataset_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment (90/5/5) plus a
+    reproducible global shuffle order (training-data ops: the step between
+    curation and packing).  Both come from key hashes, so membership and
+    order are pure functions of doc_id: any worker, any rerun, any engine
+    agrees with no coordination — the property seeded-RNG splits lose the
+    moment partitioning changes.  Scan-only (no window): the shuffle
+    position is IMPLIED by (split, shuffle_key) ordering, so at 100 TB the
+    sort happens once in the final write layout instead of a skewed
+    90%-of-rows-on-one-reducer row_number."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.textstats import hash_bucket
+
+    pct = hash_bucket("doc_id", 100)
+    lo = F.col("doc_id") % F.lit(999983)
+    hi = F.expr("doc_id div 999983")
+    shuffle_key = (
+        (lo * F.lit(2246822519) + hi * F.lit(101)) % F.lit(4294967296)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.when(pct < 90, F.lit("train"))
+        .when(pct < 95, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        shuffle_key.alias("shuffle_key"),
+    ).orderBy("split", "shuffle_key", "doc_id")
