@@ -151,3 +151,51 @@ class TestMixtureSample:
         # budget >> corpus: rate caps at 1.0, everything kept
         assert row["kept_docs"] == 50 and row["kept_tokens"] == 500
         assert row["kept_ppm"] == 1000000
+
+
+class TestDatasetSplitShuffle:
+    def test_ratios_determinism_and_partition_invariance(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+            queries as Q,
+        )
+
+        out = Q.QUERIES["dataset_split_shuffle"](spark, sf_dir)
+        rows = out.collect()
+        n = len(rows)
+        by_split = {}
+        for r in rows:
+            by_split.setdefault(r["split"], []).append(r)
+        # hash split tracks 90/5/5 within sampling noise on 500 docs
+        assert by_split["train"] and len(by_split["train"]) / n == pytest.approx(
+            0.90, abs=0.05
+        )
+        assert len(by_split["validation"]) / n == pytest.approx(0.05, abs=0.035)
+        assert len(by_split["test"]) / n == pytest.approx(0.05, abs=0.035)
+        # every doc exactly once
+        assert len({r["doc_id"] for r in rows}) == n
+        # assignment is a pure function of doc_id: a repartitioned rerun
+        # produces the identical (doc_id -> split, shuffle_key) mapping
+        again = {
+            r["doc_id"]: (r["split"], r["shuffle_key"])
+            for r in Q.QUERIES["dataset_split_shuffle"](spark, sf_dir)
+            .repartition(13)
+            .collect()
+        }
+        assert {r["doc_id"]: (r["split"], r["shuffle_key"]) for r in rows} == again
+
+    def test_hash_bucket_uniformity(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators.textstats import (
+            hash_bucket,
+        )
+
+        df = spark.range(0, 20_000).select(F.col("id").alias("doc_id"))
+        counts = (
+            df.select(hash_bucket("doc_id", 10).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        assert len(counts) == 10
+        for r in counts:
+            # each decile within 10% of expected 2000
+            assert r["count"] == pytest.approx(2000, rel=0.1)
