@@ -153,10 +153,20 @@ def chunk_udf(
     return _chunk
 
 
+# Whitespace is an EXPLICIT class everywhere (never \s): Java regex includes
+# U+000B (vertical tab — present in PDF-extracted text) in \s while RE2 (the
+# DuckDB oracle engine) does not, so any oracle-compared tokenization built
+# on \s+ silently diverges on such input.  Both engines interpret the hex
+# escape identically inside a class.
+_WS = r" \t\n\r\f\x0B"
+WS_RUN = r"[" + _WS + r"]+"
+
+
 def word_tokens(c: Column | str) -> Column:
     """Whitespace tokenization with empty tokens dropped (robust to leading/
-    trailing/double spaces)."""
-    return F.filter(F.split(_col(c), r"\s+"), lambda t: t != "")
+    trailing/double spaces).  Splits on the explicit ``WS_RUN`` class — see
+    the Java-\\s-vs-RE2 note above; every oracle uses the same class."""
+    return F.filter(F.split(_col(c), WS_RUN), lambda t: t != "")
 
 
 def token_count(c: Column | str) -> Column:
@@ -170,10 +180,7 @@ def char_count(c: Column | str) -> Column:
 # GPT-2-style pretokenizer pattern, minus lookahead (kept to the RE2-safe
 # subset so the DuckDB oracle can run the identical pattern): a token is an
 # optionally space-prefixed letter run, digit run, or punctuation run, or a
-# whitespace run.  Whitespace is an EXPLICIT class, not \s: Java regex
-# includes U+000B (vertical tab — present in PDF-extracted text) in \s
-# while RE2 does not, and the parity claim must hold byte-for-byte.
-_WS = r" \t\n\r\f\x0B"
+# whitespace run.  Reuses the explicit ``_WS`` class defined above.
 BPE_TOKEN_PATTERN = (
     r" ?\p{L}+| ?\p{N}+| ?[^" + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+"
 )

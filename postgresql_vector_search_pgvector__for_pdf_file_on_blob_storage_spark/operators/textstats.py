@@ -129,11 +129,19 @@ def repetition_signals(
     map-side-combines before the doc_id shuffle.  The bigram metric needs
     only distinct-vs-total, so it stays a native array expression on the
     scan (no second explode), joined back on the same doc_id shuffle key.
+
+    Fractions are reported as exact BIGINT parts-per-million (``div``), not
+    formatted doubles: the denominators are data-dependent token counts, so
+    a fraction can reduce to odd/2^k and land exactly on a ``%.6f`` half
+    boundary where Java HALF_UP and C half-even round differently (the
+    driver_registry canon rule).  Integer ppm is bit-identical in Spark's
+    ``div`` and the oracle's ``//`` at any magnitude.  Tokenization splits
+    on the explicit whitespace class (functions/text.WS_RUN), never Java
+    ``\\s`` — see the U+000B note there.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    base = spread(df).select(
+        F.col(id_col), X.word_tokens(F.lower(F.col(text_col))).alias("toks")
     )
-    base = spread(df).select(F.col(id_col), toks.alias("toks"))
     uni = (
         base.select(id_col, F.explode("toks").alias("tok"))
         .groupBy(id_col, "tok")
@@ -155,26 +163,44 @@ def repetition_signals(
         n_big.cast("long").alias("n_bigrams"),
         F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
     )
-    nt = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("double")
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
     return (
         big.join(uni, on=id_col, how="left")
         .select(
             id_col,
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.when(nt > 0, F.col("top_freq").cast("double") / nt)
-            .otherwise(F.lit(0.0))
-            .alias("top_token_frac"),
-            F.when(nt > 0, 1 - F.col("n_distinct").cast("double") / nt)
-            .otherwise(F.lit(0.0))
-            .alias("dup_token_frac"),
+            nt.alias("n_tokens"),
+            F.col("top_freq").cast("long").alias("top_freq"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("n_bigrams"),
+            F.col("n_distinct_bigrams"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(top_freq * 1000000) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("top_token_ppm"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("((n_tokens - n_distinct) * 1000000) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_token_ppm"),
             F.when(
                 F.col("n_bigrams") > 0,
-                1
-                - F.col("n_distinct_bigrams").cast("double")
-                / F.col("n_bigrams").cast("double"),
+                F.expr(
+                    "((n_bigrams - n_distinct_bigrams) * 1000000)"
+                    " div n_bigrams"
+                ),
             )
-            .otherwise(F.lit(0.0))
-            .alias("dup_bigram_frac"),
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_bigram_ppm"),
         )
     )
 
@@ -239,17 +265,18 @@ def pack_token_bins(
 # ---------------------------------------------------------------------------
 
 
-def hash_bucket(key, modulus: int = 4294967296):
-    """Deterministic uniform bucket in [0, modulus) from an integer key —
-    the same split-multiply hash `deterministic_sample_per_lang` pins:
-    coordination-free (any worker decides membership from the key alone)
-    and overflow-safe for any int64 key (the key is split mod 1000003
-    before multiplying, largest intermediate ~2.7e15)."""
-    k = F.col(key) if isinstance(key, str) else key
-    lo = k % F.lit(1000003)
-    hi = F.expr(f"{key} div 1000003") if isinstance(key, str) else None
-    if hi is None:
+def hash_bucket(key: str, modulus: int = 4294967296):
+    """Deterministic uniform bucket in [0, modulus) from an integer key
+    column NAME — the same split-multiply hash
+    `deterministic_sample_per_lang` pins: coordination-free (any worker
+    decides membership from the key alone) and overflow-safe for any int64
+    key (the key is split mod 1000003 before multiplying, largest
+    intermediate ~2.7e15).  Takes a name, not a Column: the exact integer
+    `div` is built with F.expr on the name."""
+    if not isinstance(key, str):
         raise TypeError("hash_bucket needs a column NAME for exact div")
+    lo = F.col(key) % F.lit(1000003)
+    hi = F.expr(f"{key} div 1000003")
     return ((lo * F.lit(2654435761) + hi * F.lit(97)) % F.lit(4294967296)) % F.lit(
         modulus
     )

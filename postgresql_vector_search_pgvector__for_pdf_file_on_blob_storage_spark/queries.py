@@ -753,7 +753,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents)
 SELECT doc_id, n_chars, n_tokens,
        CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_token_len
@@ -781,7 +781,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT token, CAST(count(*) AS BIGINT) AS freq
 FROM (
-  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+  SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS token
   FROM documents)
 GROUP BY token ORDER BY freq DESC, token LIMIT 100
 """,
@@ -857,7 +857,7 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks
   FROM documents)
 SELECT doc_id,
   array_to_string(toks[1:3], '-') AS first3,
@@ -889,9 +889,9 @@ def array_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+|[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_bpe_tokens,
-  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
   CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+|[ \t\n\r\f\x0B]+')) AS DOUBLE)
-    / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 1.0)
+    / greatest(CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS DOUBLE), 1.0)
     AS bpe_per_ws
 FROM documents ORDER BY doc_id
 """,
@@ -966,7 +966,7 @@ _STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 WITH t AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
   FROM documents),
@@ -1049,7 +1049,7 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jaccard_similar_pairs",
     r"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
   FROM documents),
 sh AS (
   SELECT doc_id,
@@ -2651,7 +2651,7 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT token, CAST(count(*) AS BIGINT) AS freq
 FROM (
-  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+  SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS token
   FROM documents)
 GROUP BY token ORDER BY freq DESC, token LIMIT 100
 """,
@@ -2746,7 +2746,7 @@ def status_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     r"""
 WITH RECURSIVE toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
   FROM documents),
 sh AS (
   SELECT doc_id,
@@ -3050,7 +3050,7 @@ _SIMHASH_VALUE = " + ".join(
 )
 _SIMHASH_ORACLE = rf"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
   FROM documents),
 sh AS (
   SELECT doc_id,
@@ -3131,7 +3131,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH RECURSIVE t AS (
   SELECT doc_id, lang, text,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks
   FROM documents),
 gated AS (
   SELECT doc_id, lang, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens
@@ -3220,7 +3220,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH t AS (
   SELECT doc_id,
-    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+    CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> ''))
          AS BIGINT) AS n_tokens,
     (((doc_id % 1000003) * 2654435761
       + (doc_id // 1000003) * 97) % 4294967296) AS bucket
@@ -3406,14 +3406,14 @@ _BM25_TERMS = ["vector", "hash", "window", "spark"]
 _SQL_BM25_RANKS = r"""
 toks AS (
   SELECT doc_id,
-         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> ''))
               AS BIGINT) AS dl,
-         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> ''))
            AS token
   FROM documents),
 bmstats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(CAST(len(list_filter(string_split_regex(text, '\s+'),
+         CAST(sum(CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
                                        x -> x <> '')) AS BIGINT)) AS BIGINT)
            AS sum_dl
   FROM documents),
@@ -3531,7 +3531,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
   FROM documents),
 sh AS (
   SELECT doc_id,
@@ -3633,7 +3633,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks
   FROM documents),
 f AS (
   SELECT doc_id, tok, count(*) AS c
@@ -3652,22 +3652,24 @@ b AS (
   FROM t)
 SELECT b.doc_id AS doc_id,
   COALESCE(m.n_tokens, 0) AS n_tokens,
-  CASE WHEN COALESCE(m.n_tokens, 0) > 0
-    THEN CAST(m.top_freq AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) ELSE 0.0 END
-    AS top_token_frac,
-  CASE WHEN COALESCE(m.n_tokens, 0) > 0
-    THEN 1 - CAST(m.n_distinct AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) ELSE 0.0 END
-    AS dup_token_frac,
-  CASE WHEN b.n_bigrams > 0
-    THEN 1 - CAST(b.n_distinct_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
-    ELSE 0.0 END AS dup_bigram_frac
+  CAST(CASE WHEN COALESCE(m.n_tokens, 0) > 0
+    THEN (m.top_freq * 1000000) // m.n_tokens ELSE 0 END AS BIGINT)
+    AS top_token_ppm,
+  CAST(CASE WHEN COALESCE(m.n_tokens, 0) > 0
+    THEN ((m.n_tokens - m.n_distinct) * 1000000) // m.n_tokens ELSE 0 END
+    AS BIGINT) AS dup_token_ppm,
+  CAST(CASE WHEN b.n_bigrams > 0
+    THEN ((b.n_bigrams - b.n_distinct_bigrams) * 1000000) // b.n_bigrams
+    ELSE 0 END AS BIGINT) AS dup_bigram_ppm
 FROM b LEFT JOIN m ON b.doc_id = m.doc_id
 ORDER BY doc_id
 """,
 )
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates (brief training-data ops):
-    top-token / duplicate-token / duplicate-bigram fractions per document
+    top-token / duplicate-token / duplicate-bigram rates per document as
+    exact BIGINT ppm — never formatted doubles, whose data-dependent
+    power-of-two denominators can land on the %.6f half boundary
     (operators/textstats.repetition_signals — explode+partial-agg for
     unigram frequencies, native array exprs for bigrams)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3679,7 +3681,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH t AS (
   SELECT doc_id, doc_id % 8 AS shard,
-         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> ''))
               AS BIGINT) AS n_tok
   FROM documents),
 s AS (
@@ -3725,7 +3727,7 @@ _MIXTURE_BUDGET = 12000
 WITH w(lang, wt) AS (VALUES ('en', 40), ('de', 25), ('es', 20), ('fr', 15)),
 base AS (
   SELECT doc_id, lang,
-         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> ''))
               AS BIGINT) AS ntok
   FROM documents),
 totals AS (

@@ -57,23 +57,31 @@ def read_jsonl_corpus(
     return reader.load(path)
 
 
-def quarantine_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split a PERMISSIVE read into (clean, quarantined).  Clean rows drop
-    the corrupt column; quarantined rows keep only the raw line, ready for
-    a repair pass or an audit sink.
+def quarantine_corrupt(
+    df: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (clean, quarantined, cached).
 
-    The parsed frame is cached first: Spark refuses plans whose only
-    referenced column from a raw JSON scan is the corrupt-record column
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both halves
-    of the split re-scan the same input anyway — one cached parse feeding
-    both sides is also the cheaper shape.
+    Clean rows drop the corrupt column; quarantined rows keep only the raw
+    line, ready for a repair pass or an audit sink.
+
+    CACHING CONTRACT: the parsed frame is cached and RETURNED as the third
+    element — the caller owns its lifetime and must call
+    ``cached.unpersist()`` once both halves are materialized (a long-lived
+    session running repeated quarantine passes otherwise accumulates cached
+    partitions).  Caching is not optional here: Spark refuses plans whose
+    only referenced column from a raw JSON scan is the corrupt-record
+    column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
+    halves of the split re-scan the same input anyway — one cached parse
+    feeding both sides is also the cheaper shape.
     """
     if CORRUPT_COL not in df.columns:
-        return df, df.sparkSession.createDataFrame([], f"{CORRUPT_COL} string")
+        empty = df.sparkSession.createDataFrame([], f"{CORRUPT_COL} string")
+        return df, empty, df
     df = df.cache()
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    return clean, corrupt
+    return clean, corrupt, df
 
 
 def write_sharded_parquet(

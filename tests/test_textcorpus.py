@@ -32,7 +32,7 @@ def jsonl_dir(tmp_path):
 class TestReadJsonl:
     def test_permissive_quarantines_corrupt_lines(self, spark, jsonl_dir):
         df = TC.read_jsonl_corpus(spark, jsonl_dir, SCHEMA)
-        clean, corrupt = TC.quarantine_corrupt(df)
+        clean, corrupt, cached = TC.quarantine_corrupt(df)
         assert clean.count() == 20
         bad = [r[0] for r in corrupt.collect()]
         assert len(bad) == 2
@@ -40,6 +40,10 @@ class TestReadJsonl:
         # clean side keeps the declared schema, no corrupt column
         assert clean.columns == ["doc_id", "lang", "text"]
         assert clean.agg(F.sum("doc_id")).collect()[0][0] == sum(range(20))
+        # caching contract: caller owns the cached parse and releases it
+        assert cached.storageLevel.useMemory
+        cached.unpersist()
+        assert not cached.storageLevel.useMemory
 
     def test_dropmalformed_drops(self, spark, jsonl_dir):
         df = TC.read_jsonl_corpus(spark, jsonl_dir, SCHEMA, mode="DROPMALFORMED")

@@ -60,16 +60,28 @@ class TestRepetitionSignals:
         ]
         df = spark.createDataFrame(rows, "doc_id bigint, text string")
         out = {r["doc_id"]: r for r in T.repetition_signals(df).collect()}
+        # exact BIGINT ppm (floor division), never formatted doubles
         assert out[1]["n_tokens"] == 4
-        assert out[1]["top_token_frac"] == 1.0
-        assert out[1]["dup_token_frac"] == pytest.approx(0.75)
-        assert out[1]["dup_bigram_frac"] == pytest.approx(2 / 3)
-        assert out[2]["top_token_frac"] == pytest.approx(0.25)
-        assert out[2]["dup_token_frac"] == 0.0
-        assert out[2]["dup_bigram_frac"] == 0.0
+        assert out[1]["top_token_ppm"] == 1_000_000
+        assert out[1]["dup_token_ppm"] == 750_000
+        assert out[1]["dup_bigram_ppm"] == 666_666  # floor(2e6 / 3)
+        assert out[2]["top_token_ppm"] == 250_000
+        assert out[2]["dup_token_ppm"] == 0
+        assert out[2]["dup_bigram_ppm"] == 0
         assert out[3]["n_tokens"] == 0
-        assert out[3]["top_token_frac"] == 0.0
-        assert out[4]["top_token_frac"] == 1.0
+        assert out[3]["top_token_ppm"] == 0
+        assert out[4]["top_token_ppm"] == 1_000_000
+
+    def test_vertical_tab_matches_explicit_class(self, spark):
+        # Java \s includes U+000B; RE2's does not.  The operator must split
+        # on the explicit class so a VT-separated doc tokenizes identically
+        # to what the DuckDB oracle computes (ADVICE r02).
+        df = spark.createDataFrame(
+            [(1, "a\x0bb a")], "doc_id bigint, text string"
+        )
+        row = T.repetition_signals(df).collect()[0]
+        assert row["n_tokens"] == 3  # VT is a separator on both engines
+        assert row["top_token_ppm"] == 666_666
 
 
 class TestPackTokenBins:
