@@ -178,14 +178,16 @@ class IVFIndex:
         nprobe: int = 2,
         probe_id: str = "probe_id",
         probe_vec: str = "embedding",
+        max_probe_rows: int = 100_000,
     ) -> DataFrame:
         """Batch ANN retrieval: top-k per probe, scanning only each
         probe's ``nprobe`` nearest clusters — the nightly-retrieval shape
         (re-embedded query log joined against the corpus index).
 
         The probe side is collected (small by contract, as in
-        ``knn_join``); its (probe, cluster) assignments and vectors
-        broadcast.  Items join their cluster's probes — the scan reads
+        ``knn_join`` — ENFORCED by ``max_probe_rows``: an oversized probe
+        table raises instead of OOMing the driver); its (probe, cluster)
+        assignments and vectors broadcast.  Items join their cluster's probes — the scan reads
         every cluster some probe needs, each once — and the final top-k
         window shuffles only the PRUNED candidate set
         (n_items x nprobe / k_clusters rows, not n_items x n_probes);
@@ -196,7 +198,16 @@ class IVFIndex:
 
         from pyspark.sql.window import Window
 
-        rows = probes.select(probe_id, probe_vec).collect()
+        from ..utils import collect_bounded
+
+        rows = collect_bounded(
+            probes,
+            [probe_id, probe_vec],
+            max_probe_rows,
+            "IVFIndex.search_many",
+            "Batch the probe table, or for a large exact retrieval use"
+            " operators.knn.knn_join with batched probes.",
+        )
         rows = [(r[0], r[1]) for r in rows if r[1]]
         ptype = dict(probes.dtypes)[probe_id]
         cents = np.asarray(self.centroids)

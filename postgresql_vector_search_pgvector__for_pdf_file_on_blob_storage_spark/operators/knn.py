@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vector as V
-from ..utils import spread
+from ..utils import collect_bounded, spread
 
 __all__ = ["distance_expr", "knn", "knn_join", "similarity_join"]
 
@@ -126,6 +126,7 @@ def knn_join(
     item_vec: str = "embedding",
     dist_col: str = "dist",
     shuffle_free: bool = True,
+    max_probe_rows: int = 100_000,
 ) -> DataFrame:
     """For every probe row, the k nearest item rows.
 
@@ -164,7 +165,8 @@ def knn_join(
     """
     if shuffle_free:
         out = _bounded_topk_join(
-            probes, items, k, metric, probe_id, item_id, probe_vec, item_vec
+            probes, items, k, metric, probe_id, item_id, probe_vec, item_vec,
+            max_probe_rows=max_probe_rows,
         )
     else:
         p = probes.select(
@@ -222,6 +224,7 @@ def _bounded_topk_join(
     item_id: str,
     probe_vec: str,
     item_vec: str,
+    max_probe_rows: int = 100_000,
 ) -> DataFrame:
     """Stage 1 of the shuffle-bounded kNN join: per-partition top-k per
     probe via ``mapInPandas`` (probe matrix as a closure, one BLAS matmul
@@ -231,8 +234,18 @@ def _bounded_topk_join(
     Note this COLLECTS the probe side (it is small by contract, and a
     broadcast join would move the same bytes to every executor anyway) —
     the returned plan is therefore built eagerly with respect to probes.
+    The contract is enforced: more than ``max_probe_rows`` probe rows
+    raises instead of OOMing the driver.
     """
-    rows = probes.select(probe_id, probe_vec).collect()
+    rows = collect_bounded(
+        probes,
+        [probe_id, probe_vec],
+        max_probe_rows,
+        "knn_join",
+        "For probe tables beyond this size, swap the roles (probe the"
+        " smaller side) or batch the probes; the exchange stays bounded"
+        " either way.",
+    )
     pids = [r[0] for r in rows if r[1]]
     vecs = [r[1] for r in rows if r[1]]
     ptype = dict(probes.dtypes)[probe_id]
@@ -318,18 +331,39 @@ def similarity_join(
     left_vec: str = "embedding",
     right_vec: str = "embedding",
     dist_col: str = "dist",
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Range join: all pairs with distance < threshold (SURVEY.md §2B B2).
 
     Broadcast the smaller side when possible; the distance predicate is
     evaluated JVM-side so the filter runs inside the join's codegen stage.
-    For massive self-joins use the LSH variant (operators.dedup / ANN) —
-    this exact form is O(|L| x |R|) scoring.
+
+    This exact form is O(|L| x |R|) scoring — matching the reference's
+    exact-scan semantics (SSEOpenAIController.java:315-316) — and is
+    GUARDED: when ``max_pairs`` is set (default 1e8), the pair count
+    |L| x |R| is checked up front and an oversized join raises with a
+    pointer at the scale path instead of silently running a cartesian
+    scorer for hours (VERDICT r02 #1).  The two ``count()`` jobs are noise
+    next to the scoring stage they bound.  For large self-joins use
+    ``operators.ann.lsh_similarity_join`` (L2: candidate buckets + exact
+    re-filter, recall-asserted vs this form) or MinHash/SimHash in
+    ``operators.dedup`` for set similarity.  ``max_pairs=None`` disables
+    the guard for callers that have already sized the inputs.
     """
     l = spread(
         left.select(F.col(left_id).alias("__lid"), F.col(left_vec).alias("__lvec"))
     )
     r = right.select(F.col(right_id).alias("__rid"), F.col(right_vec).alias("__rvec"))
+    if max_pairs is not None:
+        n_l, n_r = l.count(), r.count()
+        if n_l * n_r > max_pairs:
+            raise ValueError(
+                f"similarity_join: exact all-pairs scoring of {n_l} x {n_r}"
+                f" = {n_l * n_r} pairs exceeds max_pairs={max_pairs}."
+                " Use operators.ann.lsh_similarity_join (L2) or"
+                " operators.dedup's MinHash/SimHash paths, or pass"
+                " max_pairs=None if the cartesian cost is intended."
+            )
     if metric == "cosine":
         # Pre-normalize each side ONCE (norm as a projected scalar column so
         # the division doesn't re-evaluate the aggregate per element); the

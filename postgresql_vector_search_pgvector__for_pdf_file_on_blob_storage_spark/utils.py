@@ -7,6 +7,25 @@ from pyspark.sql import DataFrame
 SPREAD_CONF = "spark.graft.spread.enabled"
 
 
+def collect_bounded(
+    df: DataFrame, cols: list[str], max_rows: int, what: str, hint: str
+) -> list:
+    """Collect a "small by contract" side with the contract ENFORCED.
+
+    ``limit(max_rows + 1)`` bounds what can ever reach the driver — a
+    mistakenly-large probe table raises a clear error instead of OOMing the
+    driver after shipping it (VERDICT r02 #2).  ``hint`` names the
+    scale-safe alternative for oversized inputs.
+    """
+    rows = df.select(*cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what}: side to be collected exceeds max_rows={max_rows};"
+            f" this operator collects it to the driver by design. {hint}"
+        )
+    return rows
+
+
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Ensure at least ``defaultParallelism * min_factor`` partitions.
 

@@ -231,3 +231,13 @@ def test_search_many_matches_per_probe_search(spark, emb):
                 r["vec_id"],
                 round(r["dist"], 4),
             )
+
+
+def test_search_many_probe_cap_fires(spark, emb, ivf):
+    # VERDICT r02 #2: search_many collects the probe side — enforce the
+    # "small by contract" claim instead of OOMing the driver.
+    probes = emb.select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        ivf.search_many(probes, k=3, max_probe_rows=10)

@@ -115,3 +115,38 @@ def test_knn_pandas_impl_matches_native(spark, sf_dir):
         assert [r["vec_id"] for r in nat] == [r["vec_id"] for r in pnd], metric
         for a, b in zip(nat, pnd):
             assert round(a["dist"], 4) == round(b["dist"], 4), metric
+
+
+def test_similarity_join_guard_fires_on_oversized_pairs(spark, emb):
+    # VERDICT r02 #1: the exact all-pairs scorer must refuse a cartesian
+    # it was never meant to run.  640 x 640 = 409,600 pairs > max_pairs=1000.
+    with pytest.raises(ValueError, match="lsh_similarity_join"):
+        K.similarity_join(
+            emb.withColumnRenamed("vec_id", "left_id"),
+            emb.withColumnRenamed("vec_id", "right_id"),
+            threshold=1.0,
+            max_pairs=1000,
+        )
+
+
+def test_similarity_join_guard_disabled_with_none(spark, emb):
+    small = emb.filter(F.col("vec_id") < 10)
+    out = K.similarity_join(
+        small.withColumnRenamed("vec_id", "left_id"),
+        small.withColumnRenamed("vec_id", "right_id"),
+        threshold=1e9,
+        max_pairs=None,
+    )
+    assert out.count() == 100  # all pairs under an infinite threshold
+
+
+def test_knn_join_probe_cap_fires(spark, emb):
+    # VERDICT r02 #2: the "small by contract" probe collect is enforced.
+    with pytest.raises(ValueError, match="max_rows"):
+        K.knn_join(
+            emb.withColumnRenamed("vec_id", "probe_id"),
+            emb.withColumnRenamed("vec_id", "item_id"),
+            probe_id="probe_id",
+            item_id="item_id",
+            max_probe_rows=10,
+        )
