@@ -54,7 +54,17 @@ _NULL = "∅"  # ∅
 # ---------------------------------------------------------------------------
 # Suite membership — every oracle-backed query in queries.QUERIES must be
 # either in INDIVIDUAL or in exactly one SUITES entry (asserted below).
+#
+# !!! DRIVER ENTRY CEILING: the driver records AT MOST 50 top-level entries
+# (INDIVIDUAL + SUITES + ROWS_ONLY) and SILENTLY TRUNCATES the rest.  The
+# registry currently sits at 49.  Any NEW oracle-backed query must join an
+# EXISTING suite (then rerun scripts/gen_driver_schemas.py); do not add a
+# top-level entry without retiring another.  ``build()`` asserts the cap so
+# a 51st entry fails tests here, not silently in the driver sweep.
 # ---------------------------------------------------------------------------
+
+# The driver harness records at most this many entries per sweep.
+DRIVER_ENTRY_CAP = 50
 
 SUITES: dict[str, list[str]] = {
     # pgvector distance family besides the flagship l2 (kept individual)
@@ -286,4 +296,12 @@ def build() -> tuple[dict[str, Callable], dict[str, str]]:
         oracles[suite] = _suite_sql(members)
     for name in ROWS_ONLY:
         queries[name] = Q.QUERIES[name]
+    # The driver records at most DRIVER_ENTRY_CAP entries and silently
+    # truncates beyond that — fail HERE instead (see module-top warning).
+    assert len(queries) <= DRIVER_ENTRY_CAP, (
+        f"driver registry has {len(queries)} entries > cap"
+        f" {DRIVER_ENTRY_CAP}; fold the new query into an existing suite"
+        " (driver_registry.SUITES) or the driver sweep will silently"
+        " truncate the registry"
+    )
     return queries, oracles

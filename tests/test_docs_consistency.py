@@ -51,3 +51,29 @@ def test_driver_registry_covers_every_query():
     assert len(members) == len(set(members))
     # Cap headroom: the round-1 driver recorded only 50 entries.
     assert len(R.INDIVIDUAL) + len(R.ROWS_ONLY) + len(R.SUITES) <= 50
+
+
+def test_driver_registry_respects_entry_cap():
+    """The driver records at most 50 entries and silently truncates the
+    rest — the registry must stay under the cap, and exceeding it must
+    fail HERE (loudly) rather than in the driver sweep (VERDICT r02)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        driver_registry as DR,
+    )
+
+    qs, oracles = DR.build()
+    assert len(qs) <= DR.DRIVER_ENTRY_CAP == 50
+    # a hypothetical 51st+ entry trips the assert inside build()
+    import pytest
+
+    extra = [f"__overflow_{i}" for i in range(51)]
+    old = DR.ROWS_ONLY
+    DR.ROWS_ONLY = list(old) + extra
+    try:
+        import unittest.mock as mock
+
+        with mock.patch.dict(DR.Q.QUERIES, {e: (lambda *_: None) for e in extra}):
+            with pytest.raises(AssertionError, match="silently"):
+                DR.build()
+    finally:
+        DR.ROWS_ONLY = old
