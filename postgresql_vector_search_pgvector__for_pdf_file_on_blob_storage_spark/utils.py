@@ -7,6 +7,22 @@ from pyspark.sql import DataFrame
 SPREAD_CONF = "spark.graft.spread.enabled"
 
 
+def log_observed_drops(observation, logger=None) -> dict:
+    """Read an ``Observation``'s metrics after the consuming action and log
+    every ``dropped_*`` counter (the no-silent-caps rule, made checkable:
+    pipelines can assert on the returned dict instead of eyeballing the
+    Spark UI — VERDICT r02 #8).  ``observation.get`` blocks until the
+    observed plan has executed, so call this only after materializing."""
+    import logging
+
+    metrics = dict(observation.get)
+    logger = logger or logging.getLogger("spark_graft.metrics")
+    for key, val in metrics.items():
+        if key.startswith("dropped"):
+            logger.info("observed %s=%s", key, val)
+    return metrics
+
+
 def collect_bounded(
     df: DataFrame, cols: list[str], max_rows: int, what: str, hint: str
 ) -> list:

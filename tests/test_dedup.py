@@ -351,3 +351,118 @@ def test_minhash_max_df_drops_boilerplate(spark):
         ).collect()
     }
     assert got == {(100, 101): 1.0}
+
+def test_jaccard_observation_reads_drop_count(spark):
+    """VERDICT r02 #8: the df-cap drop count must be programmatically
+    checkable, not just visible in the Spark UI.  Also pins that the dual
+    consumption of the observed bucket node does NOT double-count."""
+    from pyspark.sql import Observation
+
+    hot = "the quick brown fox"
+    docs = [(i, f"{hot} unique{i} tail{i} words{i} here{i}") for i in range(10)]
+    docs += [
+        (100, f"{hot} same body of duplicated text content one two three"),
+        (101, f"{hot} same body of duplicated text content one two three"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    obs = Observation()
+    out = D.jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.8, max_df=3, observation=obs
+    )
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(100, 101)}
+    # exactly the two df=12 prefix shingles ("the quick brown",
+    # "quick brown fox") exceed the cap; 2, not 4 (no double count)
+    assert obs.get["dropped_hot_shingles"] == 2
+
+
+def test_minhash_observation_reads_drop_count(spark):
+    from pyspark.sql import Observation
+
+    hot = "the quick brown fox"
+    docs = [(i, f"{hot} unique{i} tail{i} words{i} here{i}") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    obs = Observation()
+    out = D.minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, max_df=3, observation=obs
+    )
+    out.collect()
+    # each of the 8 docs contributes one occurrence of each of the two
+    # hot df=8 prefix shingles -> 16 dropped occurrences
+    assert obs.get["dropped_hot_occurrences"] == 16
+
+
+def test_curation_pipeline_logs_drop_count(spark, caplog):
+    """The curation pipeline surfaces its cap metric: materialize, then
+    utils.log_observed_drops logs and returns the count."""
+    import logging
+
+    from pyspark.sql import Observation
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        utils as U,
+    )
+
+    hot = "shared boilerplate header line"
+    rows = [
+        (i, "en", f"{hot} unique body {i} with plenty of distinct words "
+                  f"alpha{i} beta{i} gamma{i}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    obs = Observation()
+    out = D.curate_corpus(
+        df, langs=("en",), min_tokens=3, max_df=3, observation=obs
+    )
+    assert out.count() == 12  # nothing near-dup after the cap
+    with caplog.at_level(logging.INFO, logger="spark_graft.metrics"):
+        metrics = U.log_observed_drops(obs)
+    assert metrics["dropped_hot_shingles"] >= 1
+    assert "dropped_hot_shingles" in caplog.text
+
+
+def test_jaccard_observation_survives_empty_output(spark):
+    """AQE empty-relation propagation must not eat the cap metric: even
+    when no pair survives, the drop count is still readable."""
+    from pyspark.sql import Observation
+
+    hot = "shared boilerplate header line"
+    docs = [(i, f"{hot} unique body {i} alpha{i} beta{i}") for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    obs = Observation()
+    out = D.jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.8, max_df=3, observation=obs
+    )
+    assert out.count() == 0
+    assert obs.get["dropped_hot_shingles"] >= 1
+
+
+def test_jaccard_observation_path_matches_default_path(spark):
+    """The restructured observation plan must produce byte-identical pairs
+    to the default single-grouping plan."""
+    import random
+
+    from pyspark.sql import Observation
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    kw = dict(n=3, threshold=0.2, max_df=4)
+    base = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.jaccard_pairs(df, "text", "doc_id", **kw).collect()
+    }
+    obs = Observation()
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.jaccard_pairs(
+            df, "text", "doc_id", observation=obs, **kw
+        ).collect()
+    }
+    assert got == base
+    assert obs.get["dropped_hot_shingles"] >= 0
