@@ -3,16 +3,26 @@
 The reference parses real PDFs with PDFBox (Function.java:90-132).  This
 container ships neither PDFBox nor pypdf/pdfminer, so the engine carries a
 small pure-stdlib parser for the simple-PDF subset that covers
-generator-produced documents: classic xref layout, FlateDecode (zlib) or
-raw content streams, text via ``Tj`` / ``'`` / ``"`` / ``TJ`` operators in
-literal or hex strings, standard single-byte encoding.  It is NOT a general
-PDF library (no CMaps, no encryption, no object streams) — when ``pypdf``
-is available the extractor (sources/binary.py) prefers it; this module is
-the guaranteed-present fallback so "feed a real PDF" works out of the box.
+generator-produced documents: classic xref layout OR the PDF 1.5+ layout
+every post-2005 writer emits (``/Type /ObjStm`` compressed object streams
++ cross-reference streams), FlateDecode (zlib) or raw content streams,
+text via ``Tj`` / ``'`` / ``"`` / ``TJ`` operators in literal or hex
+strings, standard single-byte encoding.  It is NOT a general PDF library
+(no CMaps, no encryption, no predictors) — when ``pypdf`` is available the
+extractor (sources/binary.py) prefers it; this module is the
+guaranteed-present fallback so "feed a real PDF" works out of the box.
 
-``make_pdf`` writes a genuinely valid PDF (correct xref offsets,
-Flate-compressed streams) — fixture files open in any PDF viewer, so tests
-exercise the real format end-to-end rather than a private stand-in.
+Object discovery is a raw scan for ``N 0 obj``/``endobj`` spans plus
+expansion of every object stream's contents — xref tables/streams are
+deliberately NOT consulted (a correct byte-offset index is an
+optimization for random access; a linear scan finds the same objects and
+also survives mildly damaged files, which PDFBox does too via its
+brute-force fallback).
+
+``make_pdf`` writes a genuinely valid classic-layout PDF;
+``make_pdf_15`` writes the modern layout (object stream + cross-reference
+stream, binary W-packed entries) — both open in any PDF viewer, so tests
+exercise the real formats end-to-end rather than a private stand-in.
 """
 
 from __future__ import annotations
@@ -20,7 +30,7 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["extract_text_pages", "make_pdf"]
+__all__ = ["extract_text_pages", "make_pdf", "make_pdf_15"]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
@@ -124,9 +134,50 @@ def _stream_text(ops: bytes) -> str:
     return "".join(out)
 
 
+def _expand_object_streams(objects: dict[int, bytes]) -> None:
+    """Expand every ``/Type /ObjStm`` compressed object stream in-place.
+
+    PDF 1.5+ (PDF 32000-1 §7.5.7): non-stream objects are packed inside a
+    Flate-compressed stream object whose dict carries ``/N`` (count) and
+    ``/First`` (byte offset of the first object body).  The decompressed
+    payload starts with N ``objnum offset`` integer pairs; body i spans
+    [First+offset_i, First+offset_{i+1}).  Contained objects (page dicts,
+    catalog...) are added to ``objects``; existing top-level objects win
+    (incremental updates append newer top-level definitions).
+    """
+    for body in list(objects.values()):
+        if not re.search(rb"/Type\s*/ObjStm", body):
+            continue
+        m = _STREAM_RE.search(body)
+        if not m:
+            continue
+        d, data = m.group(1), m.group(2)
+        if b"/FlateDecode" in d:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        mn = re.search(rb"/N\s+(\d+)", d)
+        mf = re.search(rb"/First\s+(\d+)", d)
+        if not mn or not mf:
+            continue
+        n, first = int(mn.group(1)), int(mf.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [
+            (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+        ]
+        for i, (num, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            if num not in objects:
+                objects[num] = data[first + off : first + end]
+
+
 def extract_text_pages(content: bytes) -> list[str] | None:
-    """Per-page text from a simple real PDF, or ``None`` if ``content`` is
-    not parseable as one (callers fall through to other formats)."""
+    """Per-page text from a simple real PDF (classic or 1.5+ object-stream
+    layout), or ``None`` if ``content`` is not parseable as one (callers
+    fall through to other formats)."""
     if content is None or not content.startswith(b"%PDF-"):
         return None
     objects: dict[int, bytes] = {
@@ -134,6 +185,7 @@ def extract_text_pages(content: bytes) -> list[str] | None:
     }
     if not objects:
         return None
+    _expand_object_streams(objects)
 
     def stream_of(body: bytes) -> bytes | None:
         m = _STREAM_RE.search(body)
@@ -218,4 +270,111 @@ def make_pdf(pages: list[list[str]] | list[str]) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, xref_at)
     )
+    return bytes(out)
+
+
+def make_pdf_15(pages: list[list[str]] | list[str]) -> bytes:
+    """Write a real PDF in the 1.5+ layout modern writers emit: all
+    non-stream objects (catalog, page tree, font, page dicts) packed into
+    a Flate-compressed ``/Type /ObjStm``, indexed by a cross-reference
+    STREAM (``/Type /XRef``, binary ``/W [1 4 2]`` entries) instead of a
+    classic xref table.  Content streams stay top-level (the spec forbids
+    streams inside object streams).  Same page/content numbering scheme as
+    :func:`make_pdf`.
+    """
+    norm: list[list[str]] = [
+        p.split("\n") if isinstance(p, str) else list(p) for p in pages
+    ]
+    n_pages = len(norm)
+    kid_nums = [4 + 2 * i for i in range(n_pages)]
+    objstm_num = 4 + 2 * n_pages
+    xref_num = objstm_num + 1
+
+    packed: list[tuple[int, bytes]] = []  # (objnum, body) inside the ObjStm
+    packed.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    packed.append(
+        (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages)
+    )
+    packed.append(
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    contents: list[tuple[int, bytes]] = []  # top-level stream objects
+    for i, lines in enumerate(norm):
+        content_num = kid_nums[i] + 1
+        packed.append(
+            (
+                kid_nums[i],
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % content_num,
+            )
+        )
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                ops += b"0 -14 Td\n"
+            ops += b"(" + _escape_literal(line) + b") Tj\n"
+        ops += b"ET"
+        data = zlib.compress(bytes(ops))
+        contents.append(
+            (
+                content_num,
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+                + data
+                + b"\nendstream",
+            )
+        )
+
+    # Assemble the object stream: header of "objnum offset" pairs, then
+    # the bodies (offsets relative to /First).
+    bodies = b""
+    header_parts = []
+    for num, body in packed:
+        header_parts.append(b"%d %d" % (num, len(bodies)))
+        bodies += body + b"\n"
+    header = b" ".join(header_parts) + b"\n"
+    payload = zlib.compress(header + bodies)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(packed), len(header), len(payload))
+        + payload
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num, body in contents + [(objstm_num, objstm_body)]:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+    # Cross-reference stream: W = [1 4 2] -> (type, field2, field3).
+    size = xref_num + 1
+    entries = bytearray()
+
+    def entry(t: int, f2: int, f3: int) -> None:
+        entries.extend(
+            bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        )
+
+    xref_at = len(out)
+    for num in range(size):
+        if num == 0:
+            entry(0, 0, 65535)
+        elif num in offsets:
+            entry(1, offsets[num], 0)
+        elif num == xref_num:
+            entry(1, xref_at, 0)
+        else:
+            idx = next(i for i, (n, _) in enumerate(packed) if n == num)
+            entry(2, objstm_num, idx)
+    xdata = zlib.compress(bytes(entries))
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] "
+        b"/Index [0 %d] /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (xref_num, size, size, len(xdata))
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
