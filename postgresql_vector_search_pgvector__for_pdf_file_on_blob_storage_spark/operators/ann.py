@@ -29,7 +29,43 @@ from ..functions import vector as V
 from ..utils import spread
 from . import knn as K
 
-__all__ = ["IVFIndex", "lsh_similarity_join"]
+__all__ = ["IVFIndex", "lsh_similarity_join", "synthetic_clustered_vectors"]
+
+
+def synthetic_clustered_vectors(
+    spark,
+    n: int,
+    dim: int = 64,
+    n_centers: int = 32,
+    noise: float = 0.05,
+    parts: int = 32,
+) -> DataFrame:
+    """Deterministic CLUSTERED vector table, generated JVM-side (no files,
+    no Python): row i belongs to center ``i % n_centers``; element j =
+    center value + ``noise``-scaled jitter, both from integer hashes.
+
+    Exists because uniform-random vectors are the WORST case for IVF (no
+    cluster structure to exploit — recall@5 ~0.6 at 1M rows, BASELINE.md),
+    while real embedding corpora are heavily clustered; recall bounds and
+    the recall-vs-speedup curve must be measured on both (VERDICT r02 #6).
+    Used by tests and scripts/scale_probe.py.
+    """
+    cid = (F.col("id") % n_centers).alias("center")
+
+    def elem(j):
+        center = (
+            F.pmod(F.hash(F.col("id") % n_centers, j), F.lit(2001)) - F.lit(1000)
+        ) / F.lit(1000.0)
+        jitter = (
+            F.pmod(F.hash(F.col("id"), j, F.lit(1)), F.lit(2001)) - F.lit(1000)
+        ) / F.lit(1000.0)
+        return (center + F.lit(float(noise)) * jitter).cast("float")
+
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias("vec_id"),
+        cid,
+        F.transform(F.sequence(F.lit(1), F.lit(dim)), elem).alias("embedding"),
+    )
 
 
 class IVFIndex:

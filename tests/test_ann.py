@@ -241,3 +241,39 @@ def test_search_many_probe_cap_fires(spark, emb, ivf):
     )
     with pytest.raises(ValueError, match="max_rows"):
         ivf.search_many(probes, k=3, max_probe_rows=10)
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """VERDICT r02 #6: the >=0.8 recall bound must hold off the toy
+    fixture.  Uniform-random vectors are IVF's worst case; clustered data
+    (what embedding corpora actually look like) is the design target —
+    recall there must clear 0.8 with a small nprobe."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        knn as K,
+    )
+
+    vecs = A.synthetic_clustered_vectors(
+        spark, 20_000, dim=32, n_centers=16, noise=0.05
+    ).cache()
+    vecs.count()
+    idx = A.IVFIndex(vecs.drop("center"), k_clusters=16)
+    recalls = {}
+    for probe_row in vecs.filter(F.col("vec_id").isin(1, 7, 11)).collect():
+        probe = [float(x) for x in probe_row["embedding"]]
+        exact = {
+            r["vec_id"]
+            for r in K.knn(
+                vecs.drop("center"), probe, k=5, tie_cols=("vec_id",)
+            ).collect()
+        }
+        for nprobe in (1, 4):
+            approx = {
+                r["vec_id"]
+                for r in idx.search(probe, k=5, nprobe=nprobe).collect()
+            }
+            recalls.setdefault(nprobe, []).append(len(exact & approx) / 5.0)
+    vecs.unpersist()
+    # nprobe=4 must clear the documented bound on clustered data; nprobe=1
+    # is reported but unasserted (k-means may split a true center).
+    mean4 = sum(recalls[4]) / len(recalls[4])
+    assert mean4 >= 0.8, f"clustered recall@5 nprobe=4 = {recalls}"
