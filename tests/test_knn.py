@@ -126,6 +126,7 @@ def test_similarity_join_guard_fires_on_oversized_pairs(spark, emb):
             emb.withColumnRenamed("vec_id", "right_id"),
             threshold=1.0,
             max_pairs=1000,
+            impl="native",
         )
 
 
@@ -136,8 +137,85 @@ def test_similarity_join_guard_disabled_with_none(spark, emb):
         small.withColumnRenamed("vec_id", "right_id"),
         threshold=1e9,
         max_pairs=None,
+        impl="native",
     )
     assert out.count() == 100  # all pairs under an infinite threshold
+
+
+def _pairs(df):
+    return {
+        (r[0], r[1]): r[2] for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "metric,threshold", [("l2", 6.0), ("cosine", 0.6), ("dot", -0.25)]
+)
+def test_blas_similarity_join_matches_native(spark, emb, metric, threshold):
+    """The GEMM kernel must produce the native form's exact pair set with
+    distances equal far beyond the 4-decimal rounding consumers apply."""
+    left = emb.select(F.col("vec_id").alias("lid"), "embedding")
+    right = emb.select(F.col("vec_id").alias("rid"), "embedding")
+    kw = dict(metric=metric, left_id="lid", right_id="rid")
+    nat = _pairs(
+        K.similarity_join(
+            left, right, threshold, impl="native", max_pairs=None, **kw
+        )
+    )
+    gem = _pairs(K.similarity_join(left, right, threshold, impl="blas", **kw))
+    assert set(nat) == set(gem)
+    # l2 uses the |a|^2 - 2ab + |b|^2 expansion whose cancellation (then
+    # sqrt) costs ~1e-8 absolute vs the native elementwise-difference form;
+    # cosine/dot agree to ~1e-14.  Both are far inside the 4-decimal
+    # rounding every consumer applies.
+    assert max(abs(nat[p] - gem[p]) for p in nat) < 5e-7
+
+
+def test_blas_similarity_join_swaps_to_broadcast_smaller_side(spark, emb):
+    """Asymmetric sides: the kernel broadcasts whichever side is smaller
+    and must emit identical (left, right) orientation either way."""
+    big = emb.select(F.col("vec_id").alias("lid"), "embedding")
+    small = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("rid"), "embedding"
+    )
+    kw = dict(metric="l2", threshold=6.0, dist_col="dist")
+    fwd = _pairs(
+        K.blas_similarity_join(
+            big, small, left_id="lid", right_id="rid", **kw
+        )
+    )
+    # Same join with roles reversed: the smaller side is now `left`.
+    rev = _pairs(
+        K.blas_similarity_join(
+            small.withColumnRenamed("rid", "lid"),
+            big.withColumnRenamed("lid", "rid"),
+            left_id="lid",
+            right_id="rid",
+            **kw,
+        )
+    )
+    assert set(fwd) == {(b, a) for a, b in rev}
+
+
+def test_similarity_join_auto_dispatch(spark, emb):
+    left = emb.withColumnRenamed("vec_id", "left_id")
+    right = emb.withColumnRenamed("vec_id", "right_id")
+    # Small inputs: native codegen form — no Python workers in the plan.
+    small = K.similarity_join(
+        left.limit(10), right.limit(10), threshold=6.0
+    )
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    # Past max_native_pairs: the GEMM kernel takes over.
+    big = K.similarity_join(
+        left, right, threshold=6.0, max_native_pairs=1000
+    )
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+    # Neither side broadcastable: loud refusal pointing at the scale paths.
+    with pytest.raises(ValueError, match="lsh_similarity_join"):
+        K.similarity_join(
+            left, right, threshold=6.0, max_native_pairs=1000,
+            max_broadcast_rows=10,
+        )
 
 
 def test_knn_join_probe_cap_fires(spark, emb):
