@@ -65,10 +65,11 @@ def _extract_pages_py(content: bytes) -> list[str]:
     """Whole-document -> per-page text, best available parser.
 
     Order: pypdf if installed (full-fidelity), then the bundled pure-stdlib
-    simple-PDF parser (sources/minipdf — real ``%PDF-`` files with classic
-    layout and Flate/raw content streams), then the ``%FAKEPDF`` test
-    format.  Unknown/corrupt formats yield no pages (the reference logs &
-    skips unparseable pages, Function.java:121-125).
+    simple-PDF parser (sources/minipdf — real ``%PDF-`` files: classic and
+    1.5+ object-stream layouts, Flate/raw content streams, Type0/ToUnicode
+    CMap text), then the ``%FAKEPDF`` test format.  Unknown/corrupt
+    formats yield no pages (the reference logs & skips unparseable pages,
+    Function.java:121-125).
     """
     if content is None:
         return []

@@ -7,10 +7,15 @@ generator-produced documents: classic xref layout OR the PDF 1.5+ layout
 every post-2005 writer emits (``/Type /ObjStm`` compressed object streams
 + cross-reference streams), FlateDecode (zlib) or raw content streams,
 text via ``Tj`` / ``'`` / ``"`` / ``TJ`` operators in literal or hex
-strings, standard single-byte encoding.  It is NOT a general PDF library
-(no CMaps, no encryption, no predictors) — when ``pypdf`` is available the
-extractor (sources/binary.py) prefers it; this module is the
-guaranteed-present fallback so "feed a real PDF" works out of the box.
+strings, standard single-byte encoding, AND ``/ToUnicode`` CMaps
+(``bfchar`` + ``bfrange``, scalar and array forms) with per-``Tf`` font
+tracking — so CID-keyed ``/Type0`` ``Identity-H`` text (what Word, LaTeX,
+and every CJK-capable writer emits, including the Japanese PDFs the
+reference app targets) round-trips to the original Unicode.  It is NOT a
+general PDF library (no encryption, no stream predictors) — when
+``pypdf`` is available the extractor (sources/binary.py) prefers it; this
+module is the guaranteed-present fallback so "feed a real PDF" works out
+of the box.
 
 Object discovery is a raw scan for ``N 0 obj``/``endobj`` spans plus
 expansion of every object stream's contents — xref tables/streams are
@@ -21,7 +26,9 @@ brute-force fallback).
 
 ``make_pdf`` writes a genuinely valid classic-layout PDF;
 ``make_pdf_15`` writes the modern layout (object stream + cross-reference
-stream, binary W-packed entries) — both open in any PDF viewer, so tests
+stream, binary W-packed entries); ``make_pdf_cid`` writes a CID-keyed
+``/Type0`` ``Identity-H`` PDF with a ``/ToUnicode`` CMap (the shape every
+Unicode-capable writer emits) — all open in any PDF viewer, so tests
 exercise the real formats end-to-end rather than a private stand-in.
 """
 
@@ -30,7 +37,7 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["extract_text_pages", "make_pdf", "make_pdf_15"]
+__all__ = ["extract_text_pages", "make_pdf", "make_pdf_15", "make_pdf_cid"]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
@@ -71,15 +78,14 @@ def _decode_literal(raw: bytes) -> bytes:
 
 
 def _iter_strings(ops: bytes):
-    """Yield ``(string_bytes, following_operator)`` pairs from a content
-    stream: literal ``(...)`` (with nesting/escapes) and hex ``<...>``
-    strings, plus TJ arrays."""
+    """Yield ``(position, string_bytes, following_operator)`` triples from
+    a content stream: literal ``(...)`` (with nesting/escapes) and hex
+    ``<...>`` strings, plus TJ arrays."""
     i, n = 0, len(ops)
     while i < n:
         c = ops[i : i + 1]
         if c == b"(":
             depth, j = 1, i + 1
-            start = j
             buf = bytearray()
             while j < n and depth:
                 ch = ops[j : j + 1]
@@ -98,7 +104,7 @@ def _iter_strings(ops: bytes):
             # find the operator after the string
             m = re.match(rb"\s*(\[|\]|[A-Za-z'\"*]+)?", ops[j + 1 : j + 24])
             op = (m.group(1) or b"") if m else b""
-            yield _decode_literal(bytes(buf)), op
+            yield i, _decode_literal(bytes(buf)), op
             i = j + 1
         elif c == b"<" and ops[i : i + 2] != b"<<":
             j = ops.find(b">", i)
@@ -109,7 +115,7 @@ def _iter_strings(ops: bytes):
                 hexstr += b"0"
             m = re.match(rb"\s*(\[|\]|[A-Za-z'\"*]+)?", ops[j + 1 : j + 24])
             op = (m.group(1) or b"") if m else b""
-            yield bytes.fromhex(hexstr.decode("ascii", "ignore")), op
+            yield i, bytes.fromhex(hexstr.decode("ascii", "ignore")), op
             i = j + 1
         elif c == b"<":  # dict <<...>> — skip
             i += 2
@@ -120,13 +126,57 @@ def _iter_strings(ops: bytes):
 # operators that move to a new line / new text position
 _NEWLINE_OPS = re.compile(rb"(^|\s)(T\*|Td|TD)(\s|$)")
 
+# font selection: ``/F1 12 Tf``
+_FONTSEL_RE = re.compile(rb"/([A-Za-z0-9.+-]+)\s+[0-9.]+\s+Tf")
 
-def _stream_text(ops: bytes) -> str:
+
+class _Font:
+    """Decoding info for one page font: 2-byte codes iff /Type0
+    (Identity-H CID keying), plus the /ToUnicode code->str map."""
+
+    __slots__ = ("two_byte", "cmap")
+
+    def __init__(self, two_byte: bool, cmap: dict[int, str] | None):
+        self.two_byte = two_byte
+        self.cmap = cmap
+
+
+def _decode_shown(raw: bytes, font: "_Font | None") -> str:
+    """Decode one shown string through the active font: Type0 fonts carry
+    2-byte codes mapped via ToUnicode (Identity fallback per code); simple
+    fonts with a ToUnicode map translate byte codes; otherwise latin-1
+    (the pre-CMap behavior, bit-identical for classic fixtures)."""
+    if font is None or (not font.two_byte and not font.cmap):
+        return raw.decode("latin-1")
+    cmap = font.cmap or {}
+    if font.two_byte:
+        codes = [
+            int.from_bytes(raw[i : i + 2], "big")
+            for i in range(0, len(raw) - 1, 2)
+        ]
+    else:
+        codes = list(raw)
+    return "".join(cmap.get(c, chr(c)) for c in codes)
+
+
+def _stream_text(ops: bytes, fonts: dict[str, _Font] | None = None) -> str:
     """Assemble shown text from one content stream: collect the shown
-    strings in order; if the stream positions lines with Td/TD/T*, treat
+    strings in order, decoding each through the font selected by the most
+    recent ``Tf``; if the stream positions lines with Td/TD/T*, treat
     each show as one line (the layout simple PDF writers emit), otherwise
     concatenate (TJ kerning arrays)."""
-    out = [s.decode("latin-1") for s, _op in _iter_strings(ops)]
+    fonts = fonts or {}
+    sels = [
+        (m.start(), m.group(1).decode("latin-1"))
+        for m in _FONTSEL_RE.finditer(ops)
+    ]
+    out: list[str] = []
+    si, cur = 0, None
+    for pos, raw, _op in _iter_strings(ops):
+        while si < len(sels) and sels[si][0] < pos:
+            cur = fonts.get(sels[si][1], cur)
+            si += 1
+        out.append(_decode_shown(raw, cur))
     if not out:
         return ""
     if _NEWLINE_OPS.search(ops):
@@ -174,10 +224,141 @@ def _expand_object_streams(objects: dict[int, bytes]) -> None:
                 objects[num] = data[first + off : first + end]
 
 
+def _stream_of(body: bytes) -> bytes | None:
+    """The decoded stream payload of an object body, or None."""
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    d, data = m.group(1), m.group(2)
+    if b"/FlateDecode" in d:
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return None
+    return data
+
+
+def _balanced_dict(body: bytes, start: int) -> bytes:
+    """The ``<< ... >>`` span starting at ``start`` (balanced nesting)."""
+    depth, i, n = 0, start, len(body)
+    while i < n - 1:
+        pair = body[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start:i]
+        else:
+            i += 1
+    return body[start:]
+
+
+def _dict_value(
+    body: bytes, key: bytes, objects: dict[int, bytes]
+) -> bytes | None:
+    """The value of ``/key`` in ``body``: an indirect ``N 0 R`` reference
+    resolves through ``objects``; an inline ``<< ... >>`` dict is returned
+    as its balanced span."""
+    if not body:
+        return None
+    m = re.search(rb"/" + key + rb"\s*(?:(\d+)\s+\d+\s+R|(<<))", body)
+    if not m:
+        return None
+    if m.group(1):
+        return objects.get(int(m.group(1)))
+    return _balanced_dict(body, m.start(2))
+
+
+_BFHEX = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode(
+            "utf-16-be", "replace"
+        )
+    except ValueError:
+        return ""
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap stream (PDF 32000-1 §9.10.3): ``bfchar``
+    blocks of ``<src> <dstUTF16BE>`` pairs and ``bfrange`` blocks of
+    ``<lo> <hi> <dstBase>`` (destination increments with the code) or
+    ``<lo> <hi> [<dst> ...]`` (explicit per-code array)."""
+    cmap: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _BFHEX.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _utf16be(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = re.findall(rb"<[0-9A-Fa-f]+>|\[|\]", m.group(1))
+        i = 0
+        while i + 1 < len(toks):
+            if not (toks[i][:1] == b"<" and toks[i + 1][:1] == b"<"):
+                i += 1
+                continue
+            lo, hi = int(toks[i][1:-1], 16), int(toks[i + 1][1:-1], 16)
+            if i + 2 < len(toks) and toks[i + 2] == b"[":
+                j, code = i + 3, lo
+                while j < len(toks) and toks[j] != b"]":
+                    if toks[j][:1] == b"<":
+                        cmap[code] = _utf16be(toks[j][1:-1])
+                        code += 1
+                    j += 1
+                i = j + 1
+            elif i + 2 < len(toks) and toks[i + 2][:1] == b"<":
+                dsthex = toks[i + 2][1:-1]
+                width = len(dsthex)
+                base = int(dsthex, 16)
+                for k in range(hi - lo + 1):
+                    h = ("%0*X" % (width, base + k)).encode("ascii")
+                    cmap[lo + k] = _utf16be(h)
+                i += 3
+            else:
+                i += 2
+    return cmap
+
+
+def _page_fonts(
+    page_body: bytes, objects: dict[int, bytes]
+) -> dict[str, _Font]:
+    """Resolve the page's /Resources -> /Font map to per-name decoders:
+    Type0 subtype => 2-byte CID codes; a /ToUnicode stream (indirect)
+    parses to the code->Unicode map."""
+    resources = _dict_value(page_body, b"Resources", objects)
+    fontdict = _dict_value(resources or b"", b"Font", objects)
+    fonts: dict[str, _Font] = {}
+    if not fontdict:
+        return fonts
+    for m in re.finditer(
+        rb"/([A-Za-z0-9.+-]+)\s+(?:(\d+)\s+\d+\s+R|(<<))", fontdict
+    ):
+        name = m.group(1).decode("latin-1")
+        if m.group(2):
+            fbody = objects.get(int(m.group(2)), b"")
+        else:
+            fbody = _balanced_dict(fontdict, m.start(3))
+        if not re.search(rb"/Type\s*/Font", fbody):
+            continue
+        two_byte = bool(re.search(rb"/Subtype\s*/Type0", fbody))
+        cmap = None
+        tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+        if tu:
+            data = _stream_of(objects.get(int(tu.group(1)), b""))
+            if data:
+                cmap = _parse_tounicode(data)
+        fonts[name] = _Font(two_byte, cmap)
+    return fonts
+
+
 def extract_text_pages(content: bytes) -> list[str] | None:
     """Per-page text from a simple real PDF (classic or 1.5+ object-stream
-    layout), or ``None`` if ``content`` is not parseable as one (callers
-    fall through to other formats)."""
+    layout; simple or Type0/ToUnicode fonts), or ``None`` if ``content``
+    is not parseable as one (callers fall through to other formats)."""
     if content is None or not content.startswith(b"%PDF-"):
         return None
     objects: dict[int, bytes] = {
@@ -187,29 +368,18 @@ def extract_text_pages(content: bytes) -> list[str] | None:
         return None
     _expand_object_streams(objects)
 
-    def stream_of(body: bytes) -> bytes | None:
-        m = _STREAM_RE.search(body)
-        if not m:
-            return None
-        d, data = m.group(1), m.group(2)
-        if b"/FlateDecode" in d:
-            try:
-                return zlib.decompress(data)
-            except zlib.error:
-                return None
-        return data
-
     pages: list[str] = []
     for num in sorted(objects):
         body = objects[num]
         if not _PAGE_RE.search(body):
             continue
+        fonts = _page_fonts(body, objects)
         texts: list[str] = []
         for m in _CONTENTS_RE.finditer(body):
             ref = int(m.group(1))
-            data = stream_of(objects.get(ref, b""))
+            data = _stream_of(objects.get(ref, b""))
             if data:
-                texts.append(_stream_text(data))
+                texts.append(_stream_text(data, fonts))
         pages.append("\n".join(t for t in texts if t))
     return pages if pages else None
 
@@ -377,4 +547,109 @@ def make_pdf_15(pages: list[list[str]] | list[str]) -> bytes:
         + b"\nendstream\nendobj\n"
     )
     out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
+def make_pdf_cid(pages: list[list[str]] | list[str]) -> bytes:
+    """Write a real CID-keyed PDF the way Unicode-capable writers do
+    (PDF 32000-1 §9.7): a ``/Type0`` composite font with ``/Identity-H``
+    encoding, a ``CIDFontType2`` descendant, and a ``/ToUnicode`` CMap
+    stream (``bfchar`` entries chunked 100 per block per the spec); text
+    is shown as 2-byte-per-CID hex strings.  This is the layout PDFBox
+    handles in the reference (Function.java:90-132) for CJK documents —
+    CIDs here are assigned sequentially per distinct character, so the
+    mapping genuinely exercises the ToUnicode path (no identity shortcut).
+    """
+    norm: list[list[str]] = [
+        p.split("\n") if isinstance(p, str) else list(p) for p in pages
+    ]
+    # Sequential CID per distinct character across the document.
+    cid_of: dict[str, int] = {}
+    for lines in norm:
+        for line in lines:
+            for ch in line:
+                if ch not in cid_of:
+                    cid_of[ch] = len(cid_of) + 1
+
+    # ToUnicode CMap: bfchar blocks of at most 100 entries.
+    items = sorted((cid, ch) for ch, cid in cid_of.items())
+    blocks = []
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        lines_ = [b"%d beginbfchar" % len(chunk)]
+        for cid, ch in chunk:
+            dst = ch.encode("utf-16-be").hex().upper().encode("ascii")
+            lines_.append(b"<%04X> <" % cid + dst + b">")
+        lines_.append(b"endbfchar")
+        blocks.append(b"\n".join(lines_))
+    cmap_src = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def\n/CMapName /Adobe-Identity-UCS def\n"
+        b"/CMapType 2 def\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n" + b"\n".join(blocks) + b"\nendcmap\n"
+        b"CMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+    cmap_z = zlib.compress(cmap_src)
+
+    n_pages = len(norm)
+    # 1 catalog, 2 pages, 3 Type0 font, 4 descendant, 5 ToUnicode,
+    # 6.. page+content pairs.
+    kid_nums = [6 + 2 * i for i in range(n_pages)]
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /MiniSans "
+        b"/Encoding /Identity-H /DescendantFonts [4 0 R] "
+        b"/ToUnicode 5 0 R >>"
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /MiniSans "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 1000 /CIDToGIDMap /Identity >>"
+    )
+    objs.append(
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_z)
+        + cmap_z
+        + b"\nendstream"
+    )
+    for i, lines in enumerate(norm):
+        content_num = kid_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % content_num
+        )
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                ops += b"0 -14 Td\n"
+            hexcids = b"".join(b"%04X" % cid_of[ch] for ch in line)
+            ops += b"<" + hexcids + b"> Tj\n"
+        ops += b"ET"
+        data = zlib.compress(bytes(ops))
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
     return bytes(out)

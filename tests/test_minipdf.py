@@ -1,5 +1,6 @@
 """minipdf: real-PDF parsing fidelity — classic and 1.5+ object-stream
-layouts (the format every post-2005 writer emits), plus corrupt-input
+layouts (the format every post-2005 writer emits), CID-keyed Type0 fonts
+with /ToUnicode CMaps (the CJK/Unicode layout), plus corrupt-input
 behavior through the Spark extraction pipeline."""
 
 from __future__ import annotations
@@ -54,6 +55,73 @@ def test_objstm_pdf_through_spark_pipeline(spark, tmp_path):
     }
     assert rows[("modern.pdf", 1)] == "alpha line one\nalpha line two"
     assert rows[("modern.pdf", 2)] == "beta solo"
+
+
+JP_PAGES = [
+    ["ベクトル検索は楽しい", "PostgreSQL + pgvector 入門"],
+    ["2ページ目: English mixed 行"],
+]
+
+
+def test_cid_tounicode_roundtrip():
+    """Type0/Identity-H text (the CJK layout PDFBox handles for the
+    reference's Japanese PDFs, Function.java:90-132) round-trips through
+    the /ToUnicode CMap: CIDs are assigned sequentially, so a correct
+    extraction proves the bfchar mapping was actually consulted."""
+    pdf = MP.make_pdf_cid(JP_PAGES)
+    assert b"/Identity-H" in pdf and b"/ToUnicode" in pdf
+    got = MP.extract_text_pages(pdf)
+    assert got == ["\n".join(p) for p in JP_PAGES]
+
+
+def test_cid_ascii_not_identity():
+    """ASCII through the CID writer must still decode via the CMap — the
+    sequential CID assignment means code 1 is 'h', not chr(1)."""
+    pdf = MP.make_pdf_cid([["hello"]])
+    assert MP.extract_text_pages(pdf) == ["hello"]
+
+
+def test_bfchar_and_bfrange_forms():
+    cmap = MP._parse_tounicode(
+        b"2 beginbfrange\n"
+        b"<0041> <0043> <0061>\n"          # scalar base: A..C -> a..c
+        b"<0050> <0051> [<0058> <0059>]\n"  # array form: P,Q -> X,Y
+        b"endbfrange\n"
+        b"1 beginbfchar\n<0001> <30C6>\nendbfchar\n"
+    )
+    assert cmap[0x41] == "a" and cmap[0x42] == "b" and cmap[0x43] == "c"
+    assert cmap[0x50] == "X" and cmap[0x51] == "Y"
+    assert cmap[0x01] == "テ"
+
+
+def test_bfchar_surrogate_pair_destination():
+    """A destination outside the BMP is UTF-16BE with a surrogate pair."""
+    pdf = MP.make_pdf_cid([["math 𝕏 symbol"]])
+    assert MP.extract_text_pages(pdf) == ["math 𝕏 symbol"]
+
+
+def test_cid_pdf_through_spark_pipeline(spark, tmp_path):
+    """A CID-keyed Japanese PDF flows through the binary-ingest extraction
+    path end-to-end."""
+    d = tmp_path / "pdfs_cid"
+    d.mkdir()
+    (d / "jp.pdf").write_bytes(MP.make_pdf_cid(JP_PAGES))
+    pages = B.extract_pages(B.read_binary_dir(spark, str(d), glob="*.pdf"))
+    rows = {
+        (r["fileName"], r["pageNumber"]): r["text"] for r in pages.collect()
+    }
+    assert rows[("jp.pdf", 1)] == "\n".join(JP_PAGES[0])
+    assert rows[("jp.pdf", 2)] == "\n".join(JP_PAGES[1])
+
+
+def test_classic_fixture_unaffected_by_font_machinery():
+    """Simple-font classic files keep byte-identical latin-1 decoding (the
+    pre-CMap behavior) — the Type1 font has no ToUnicode stream."""
+    pdf = MP.make_pdf(PAGES)
+    assert MP.extract_text_pages(pdf) == [
+        "alpha line one\nalpha line two",
+        "beta solo",
+    ]
 
 
 def test_corrupt_objstm_falls_through():
