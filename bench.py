@@ -57,13 +57,18 @@ def main() -> None:
     # Warm the JVM/session so the first measured query doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Warm-up sweep at the smallest fixture: every headline query once at
-    # sf0.001 compiles its generated code and C2-JITs the interpreted
-    # higher-order-function kernels (the cosine range join's zip_with dot
-    # alone costs tens of seconds cold vs ~2.5 s warm).  This measures the
+    # Warm-up sweeps at the smaller fixtures: every headline query once at
+    # sf0.001 compiles its generated code, and once more at sf0.01 so the
+    # interpreted higher-order-function kernels run enough invocations for
+    # C2 to actually compile them (the cosine range join's zip_with dot
+    # alone costs tens of seconds cold vs ~2.5 s warm; a 60-row sf0.001
+    # pass does not cross the C2 invocation threshold).  This measures the
     # PLAN at the target sf, not the JVM's cold-start lottery.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir):
+    parent = os.path.dirname(sf_dir.rstrip("/"))
+    for warm_sf in ("sf0.001", "sf0.01"):
+        warm_dir = os.path.join(parent, warm_sf)
+        if not os.path.isdir(warm_dir) or warm_dir == sf_dir.rstrip("/"):
+            continue
         for name in HEADLINE:
             try:
                 Q.QUERIES[name](spark, warm_dir).write.format("noop").mode(
@@ -73,13 +78,16 @@ def main() -> None:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
         Q.clear_ingest_cache()
 
-    # Two passes, keep the per-query minimum: the host carries background
-    # load with observed run-to-run variance above 3x, and a single sample
-    # conflates that noise with plan quality.  The min is the steady-state
-    # cost of the plan, which is what the 2x-of-baseline gate is meant to
-    # measure.
+    # Three passes, keep the per-query minimum: the host carries background
+    # load from other tenants with observed run-to-run variance above 4x on
+    # the SAME commit (measured r03: suite 99.2 s vs 51.4 s back-to-back,
+    # flagship 45 s vs 4.4 s), and a single sample conflates that noise
+    # with plan quality.  The min is the steady-state cost of the plan,
+    # which is what the 2x-of-baseline gate is meant to measure; a third
+    # pass materially raises the odds that each query catches at least one
+    # uncontended window.
     timings: dict[str, float] = {}
-    for rnd in range(2):
+    for rnd in range(3):
         # Each pass pays the full pipeline cost (chunk+embed UDFs) —
         # otherwise pass 2's flagship would just read the ingest cache.
         Q.clear_ingest_cache()
