@@ -1,0 +1,423 @@
+"""Vector quantization for embedding columns (SURVEY.md §2B B3 scale
+path; pgvector parity: `halfvec`/scalar quantization landed in pgvector
+0.7, PQ is the standard beyond-RAM compression every vector store ships).
+
+The reference stores full fp32 vectors and scans them exactly
+(SSEOpenAIController.java:315-316) — fine at its scale, 4-32x too much
+memory and bandwidth at 100 TB.  These operators compress the stored
+vectors while keeping the QUERY exact-side float:
+
+- **SQ8 (scalar quantization)**: per-dimension min/max fitted with one
+  map-side-combine aggregate (no shuffle, no Python); encode/decode are
+  pure ``zip_with`` column expressions against literal parameter arrays,
+  so the hot path stays inside whole-stage codegen.  4x compression,
+  asymmetric distance (float query vs dequantized codes) costs one extra
+  arithmetic op per element.
+- **PQ (product quantization)**: split each vector into ``m`` subspaces,
+  k-means each subspace to 256 centroids (driver-side NumPy on a BOUNDED
+  sample — ``collect_bounded`` raises past the cap), store 1 byte per
+  subspace.  d*4 bytes -> m bytes (32x at d=64, m=8).  Search builds a
+  per-query lookup table (m x 256 subspace distances) and scans codes
+  with NumPy take+sum inside ``mapInPandas`` — partition-local top-k,
+  then a global k-bounded merge, the same exchange-bounded shape as
+  ``knn_join`` (O(parts x k) rows shuffled at any item count).
+
+Both are approximate on the ITEM side only and must never silently
+replace the exact oracle-checked path: recall vs ``operators.knn`` is
+asserted in tests and reported per-method by the ``ann_recall_report``
+driver query.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..utils import collect_bounded, spread
+
+__all__ = ["SQ8", "PQCodebook"]
+
+
+class SQ8:
+    """Per-dimension scalar quantization of an ``array<float>`` column to
+    signed-int8 codes (stored range -128..127, logical range 0..255).
+
+    Fit cost is ONE aggregate with 2*dim partial min/max expressions —
+    map-side combined, so the only exchange is the single-row final
+    combine; nothing is collected but the 2*dim parameters.
+    """
+
+    def __init__(
+        self,
+        items: DataFrame,
+        vec_col: str = "embedding",
+        dim: int | None = None,
+    ):
+        if dim is None:
+            first = items.select(vec_col).first()
+            if first is None or first[0] is None:
+                raise ValueError("SQ8: cannot infer dim from an empty table")
+            dim = len(first[0])
+        self.dim = dim
+        e = lambda i: F.element_at(F.col(vec_col), i + 1).cast("double")  # noqa: E731
+        aggs = [F.min(e(i)).alias(f"mn{i}") for i in range(dim)] + [
+            F.max(e(i)).alias(f"mx{i}") for i in range(dim)
+        ]
+        row = items.agg(*aggs).first()
+        self.mins = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+        maxs = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+        spread_ = maxs - self.mins
+        # Constant dimensions encode to 0 and decode to their min exactly.
+        self.steps = np.where(spread_ > 0, spread_ / 255.0, 1.0)
+
+    def _lit_arr(self, vals) -> "F.Column":
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    def encode(
+        self, df: DataFrame, vec_col: str = "embedding", code_col: str = "code"
+    ) -> DataFrame:
+        """Append ``code_col`` as ``array<tinyint>`` — pure codegen: two
+        ``zip_with`` passes against literal parameter arrays, no Python."""
+        mn, st = self._lit_arr(self.mins), self._lit_arr(self.steps)
+        centered = F.zip_with(
+            F.col(vec_col), mn, lambda x, m: x.cast("double") - m
+        )
+        code = F.zip_with(
+            centered,
+            st,
+            lambda y, s: F.least(
+                F.lit(127),
+                F.greatest(F.lit(-128), F.round(y / s).cast("int") - 128),
+            ).cast("tinyint"),
+        )
+        return df.withColumn(code_col, code)
+
+    def dequant_expr(self, code_col: str = "code") -> "F.Column":
+        """Approximate reconstruction as a codegen expression:
+        ``(code + 128) * step + min`` per element."""
+        mn, st = self._lit_arr(self.mins), self._lit_arr(self.steps)
+        scaled = F.zip_with(
+            F.col(code_col),
+            st,
+            lambda c, s: (c.cast("double") + F.lit(128.0)) * s,
+        )
+        return F.zip_with(scaled, mn, lambda y, m: y + m)
+
+    def knn(
+        self,
+        encoded: DataFrame,
+        query_vec,
+        k: int = 5,
+        metric: str = "l2",
+        id_col: str = "vec_id",
+        code_col: str = "code",
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """Asymmetric top-k: exact float query against dequantized codes,
+        ranked by the shared native distance expression -> the same
+        TakeOrderedAndProject plan as exact ``knn``."""
+        from . import knn as K
+
+        dec = encoded.withColumn("__deq", self.dequant_expr(code_col))
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        dist = K.distance_expr(metric, F.col("__deq"), q)
+        return (
+            dec.filter(F.col(code_col).isNotNull())
+            .select(id_col, dist.alias(dist_col))
+            .orderBy(dist_col)
+            .limit(k)
+        )
+
+
+def _kmeans(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Seeded Lloyd's k-means (NumPy, driver-side) for PQ sub-codebooks.
+    Deterministic for a fixed rng state; empty clusters are re-seeded from
+    the farthest points so all k codes stay usable."""
+    n = X.shape[0]
+    if n >= k:
+        centers = X[rng.choice(n, size=k, replace=False)].copy()
+    else:
+        centers = X[rng.choice(n, size=k, replace=True)].copy()
+    for _ in range(iters):
+        # (n, k) squared distances via the expansion trick.
+        d2 = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * X @ centers.T
+            + (centers * centers).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centers[j] = X[mask].mean(0)
+            else:
+                centers[j] = X[d2.min(1).argmax()]
+    return centers
+
+
+class PQCodebook:
+    """Product quantization: ``m`` subspaces x 256 centroids, 1 byte per
+    subspace per vector (d*4 -> m bytes).  L2 metric (cosine: normalize
+    first — on unit vectors cosine distance is squared-L2 / 2)."""
+
+    def __init__(
+        self,
+        items: DataFrame,
+        vec_col: str = "embedding",
+        m: int = 8,
+        codes: int = 256,
+        sample_rows: int = 100_000,
+        iters: int = 10,
+        seed: int = 42,
+    ):
+        rows = collect_bounded(
+            items,
+            [vec_col],
+            sample_rows,
+            "PQCodebook",
+            "Fit on a bounded sample (df.sample(...)) — the codebook only"
+            " needs a representative subset, never the full table.",
+        )
+        X = np.asarray(
+            [r[0] for r in rows if r[0] is not None], dtype=np.float64
+        )
+        if X.ndim != 2 or X.shape[0] == 0:
+            raise ValueError("PQCodebook: no usable vectors in the sample")
+        d = X.shape[1]
+        if d % m:
+            raise ValueError(f"PQCodebook: dim {d} not divisible by m={m}")
+        self.m, self.codes, self.dim = m, codes, d
+        self.dsub = d // m
+        rng = np.random.RandomState(seed)
+        self.books = np.empty((m, codes, self.dsub))
+        for j in range(m):
+            sub = X[:, j * self.dsub : (j + 1) * self.dsub]
+            self.books[j] = _kmeans(sub, codes, iters, rng)
+
+    def encode(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        code_col: str = "pq_code",
+    ) -> DataFrame:
+        """``(id, pq_code array<tinyint>)`` — one Arrow batch pass; per
+        batch, each subspace's nearest-centroid search is one GEMM."""
+        books = self.books
+        m, dsub, dim = self.m, self.dsub, self.dim
+        out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, {code_col} array<tinyint>"
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            b_sq = [(b * b).sum(1) for b in books]  # (m, codes)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ok = pdf[vec_col].map(
+                    lambda v: v is not None and len(v) == dim
+                )
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
+                X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                code = np.empty((X.shape[0], m), dtype=np.int16)
+                for j in range(m):
+                    sub = X[:, j * dsub : (j + 1) * dsub]
+                    d2 = b_sq[j][None, :] - 2.0 * sub @ books[j].T
+                    code[:, j] = d2.argmin(1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        code_col: list((code - 128).astype(np.int8)),
+                    }
+                )
+
+        return spread(df.select(id_col, vec_col)).mapInPandas(
+            gen, schema=out_schema
+        )
+
+    def search(
+        self,
+        encoded: DataFrame,
+        query_vec,
+        k: int = 5,
+        id_col: str = "vec_id",
+        code_col: str = "pq_code",
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """ADC top-k: one m x 256 lookup table per query (driver-built,
+        tiny), then a NumPy take+sum scan per Arrow batch emitting only the
+        partition-local top-k — the global ``orderBy().limit(k)`` sees
+        O(parts x k) rows regardless of item count."""
+        q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+        if q.shape[0] != self.dim:
+            raise ValueError(
+                f"query dim {q.shape[0]} != codebook dim {self.dim}"
+            )
+        m, dsub = self.m, self.dsub
+        lut = np.empty((m, self.codes))
+        for j in range(m):
+            diff = self.books[j] - q[j * dsub : (j + 1) * dsub][None, :]
+            lut[j] = (diff * diff).sum(1)
+        out_schema = (
+            f"{id_col} {dict(encoded.dtypes)[id_col]}, {dist_col} double"
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            best_ids: list = []
+            best_d = np.empty(0)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                C = (
+                    np.asarray(list(pdf[code_col]), dtype=np.int16) + 128
+                )  # (n, m) logical codes
+                # dist_i = sum_j lut[j, C[i, j]]
+                d = lut[np.arange(m)[None, :], C].sum(1)
+                take = min(k, d.shape[0])
+                idx = np.argpartition(d, take - 1)[:take]
+                best_ids.extend(pdf[id_col].values[idx])
+                best_d = np.concatenate([best_d, d[idx]])
+                if len(best_ids) > 4 * k:  # re-trim the running set
+                    top = np.argpartition(best_d, k - 1)[:k]
+                    best_ids = [best_ids[i] for i in top]
+                    best_d = best_d[top]
+            if best_ids:
+                top = np.argsort(best_d)[:k]
+                yield pd.DataFrame(
+                    {
+                        id_col: [best_ids[i] for i in top],
+                        dist_col: best_d[top],
+                    }
+                )
+
+        local = spread(encoded.select(id_col, code_col)).mapInPandas(
+            gen, schema=out_schema
+        )
+        return local.orderBy(dist_col).limit(k)
+
+    def search_many(
+        self,
+        encoded: DataFrame,
+        probes: DataFrame,
+        k: int = 5,
+        probe_id: str = "probe_id",
+        probe_vec: str = "embedding",
+        id_col: str = "vec_id",
+        code_col: str = "pq_code",
+        dist_col: str = "dist",
+        max_probe_rows: int = 100_000,
+    ) -> DataFrame:
+        """Batch ADC retrieval: all probes' lookup tables are built once
+        (driver-side, bounded — ``collect_bounded`` raises past the cap)
+        and the code table is scanned ONCE for every probe, emitting only
+        each partition's per-probe top-k; the global rank sees
+        O(parts x probes x k) rows regardless of item count — the same
+        exchange-bounded shape as ``knn_join`` / ``IVFIndex.search_many``.
+        """
+        from pyspark.sql.window import Window
+
+        rows = collect_bounded(
+            probes,
+            [probe_id, probe_vec],
+            max_probe_rows,
+            "PQCodebook.search_many",
+            "Batch the probes: the lookup tables for all probes are built"
+            " driver-side by design.",
+        )
+        rows = [r for r in rows if r[1] is not None and len(r[1]) == self.dim]
+        m, dsub, codes = self.m, self.dsub, self.codes
+        P = np.asarray([r[1] for r in rows], dtype=np.float64)  # (p, d)
+        pids = np.asarray([r[0] for r in rows])
+        n_p = P.shape[0]
+        # luts_t[j] : (p, codes) — subspace-j distances for every probe.
+        luts_t = np.empty((m, n_p, codes))
+        for j in range(m):
+            sub = P[:, j * dsub : (j + 1) * dsub]  # (p, dsub)
+            luts_t[j] = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ self.books[j].T
+                + (self.books[j] * self.books[j]).sum(1)[None, :]
+            )
+        ptype = dict(probes.dtypes)[probe_id]
+        itype = dict(encoded.dtypes)[id_col]
+        out_schema = f"{probe_id} {ptype}, {id_col} {itype}, {dist_col} double"
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            if n_p == 0:
+                return
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                C = np.asarray(list(pdf[code_col]), dtype=np.int16) + 128
+                n = C.shape[0]
+                # D[p, i] = sum_j luts_t[j][p, C[i, j]]
+                D = np.zeros((n_p, n))
+                for j in range(m):
+                    D += luts_t[j][:, C[:, j]]
+                take = min(k, n)
+                idx = np.argpartition(D, take - 1, axis=1)[:, :take]  # (p, take)
+                ids = pdf[id_col].values
+                yield pd.DataFrame(
+                    {
+                        probe_id: np.repeat(pids, take),
+                        id_col: ids[idx].ravel(),
+                        dist_col: np.take_along_axis(D, idx, axis=1).ravel(),
+                    }
+                )
+
+        local = spread(encoded.select(id_col, code_col)).mapInPandas(
+            gen, schema=out_schema
+        )
+        w = Window.partitionBy(probe_id).orderBy(dist_col, id_col)
+        return (
+            local.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+
+    @staticmethod
+    def refine(
+        candidates: DataFrame,
+        items: DataFrame,
+        probes: DataFrame,
+        k: int = 5,
+        metric: str = "l2",
+        probe_id: str = "probe_id",
+        id_col: str = "vec_id",
+        item_vec: str = "embedding",
+        probe_vec: str = "embedding",
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """Exact re-rank of an ADC shortlist (the standard IVFADC+R
+        pattern): PQ cannot rank items whose true distances differ by less
+        than its quantization error, so production search takes an ADC
+        shortlist of ~4-10x k and re-scores it with the ORIGINAL vectors.
+
+        Join shape is scale-correct: the shortlist (probes x shortlist
+        rows) and the probe table are both broadcast, so the only pass
+        over the big item table is one broadcast-hash join, and the final
+        per-probe rank windows O(probes x shortlist) rows.
+        """
+        from pyspark.sql.window import Window
+
+        from . import knn as K
+
+        cand = candidates.select(probe_id, id_col)
+        it = items.select(id_col, F.col(item_vec).alias("__ivec"))
+        pr = probes.select(probe_id, F.col(probe_vec).alias("__pvec"))
+        dist = K.distance_expr(metric, F.col("__ivec"), F.col("__pvec"))
+        scored = (
+            it.join(F.broadcast(cand), id_col)
+            .join(F.broadcast(pr), probe_id)
+            .select(probe_id, id_col, dist.alias(dist_col))
+        )
+        w = Window.partitionBy(probe_id).orderBy(dist_col, id_col)
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )

@@ -3344,14 +3344,18 @@ def approx_aggregates_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_recall_report")
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serving-quality measurement as a first-class operator: batch ANN
-    retrieval (IVF ``search_many`` — every probe scans only its nprobe
-    clusters) evaluated against the exact bounded kNN join over the same
-    32 probes.  Returns per-probe recall@5 plus the corpus mean in the
-    probe_id = -1 row.  k-means is seeded -> deterministic per
-    fixture, but sketch geometry is engine-specific -> rows-only; the
-    measure-don't-guess discipline (BASELINE.md) as a driver query."""
+    """Serving-quality measurement as a first-class operator: every
+    approximate retrieval path — IVF ``search_many`` (nprobe cluster
+    pruning), SQ8 scalar quantization (4x compression, asymmetric
+    distance over dequantized codes), and PQ product quantization (32x
+    compression, ADC lookup-table scan) — evaluated against the exact
+    bounded kNN join over the same 32 probes.  Returns per-(method,
+    probe) recall@5 plus each method's corpus mean in the probe_id = -1
+    row.  k-means is seeded -> deterministic per fixture, but sketch
+    geometry is engine-specific -> rows-only; the measure-don't-guess
+    discipline (BASELINE.md) as a driver query."""
     from .operators import ann as A
+    from .operators import quant as Qz
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 32).select(
@@ -3361,29 +3365,59 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = K.knn_join(probes, items, k=5).select(
         F.col("probe_id"), F.col("item_id")
     )
+
     idx = A.IVFIndex(emb, k_clusters=8)
-    approx = idx.search_many(probes, k=5, nprobe=2).select(
-        F.col("probe_id"), F.col("item_id")
+    sq8 = Qz.SQ8(emb)
+    dec_items = sq8.encode(emb).select(
+        F.col("vec_id").alias("item_id"),
+        sq8.dequant_expr("code").alias("embedding"),
     )
-    hits = exact.join(approx, ["probe_id", "item_id"], "left_semi")
-    per_probe = (
-        exact.groupBy("probe_id")
-        .agg(F.count("*").alias("n"))
-        .join(
-            hits.groupBy("probe_id").agg(F.count("*").alias("h")),
-            "probe_id",
-            "left",
+    pq = Qz.PQCodebook(emb, m=8, codes=64, iters=8)
+    pq_enc = pq.encode(emb)
+    pq_shortlist = pq.search_many(pq_enc, probes, k=50)
+    approx_by_method = {
+        "ivf": idx.search_many(probes, k=5, nprobe=2),
+        "sq8": K.knn_join(probes, dec_items, k=5),
+        "pq": pq.search_many(pq_enc, probes, k=5).withColumnRenamed(
+            "vec_id", "item_id"
+        ),
+        # The production PQ shape: ADC shortlist -> exact re-rank.
+        "pq_refine": Qz.PQCodebook.refine(
+            pq_shortlist, emb, probes, k=5
+        ).withColumnRenamed("vec_id", "item_id"),
+    }
+
+    reports = []
+    for method, approx in approx_by_method.items():
+        hits = exact.join(
+            approx.select("probe_id", "item_id"),
+            ["probe_id", "item_id"],
+            "left_semi",
         )
-        .select(
-            F.col("probe_id").cast("long").alias("probe_id"),
-            (F.coalesce("h", F.lit(0)) / F.col("n")).alias("recall_at_5"),
+        per_probe = (
+            exact.groupBy("probe_id")
+            .agg(F.count("*").alias("n"))
+            .join(
+                hits.groupBy("probe_id").agg(F.count("*").alias("h")),
+                "probe_id",
+                "left",
+            )
+            .select(
+                F.lit(method).alias("method"),
+                F.col("probe_id").cast("long").alias("probe_id"),
+                (F.coalesce("h", F.lit(0)) / F.col("n")).alias("recall_at_5"),
+            )
         )
-    )
-    mean = per_probe.agg(
-        F.lit(-1).cast("long").alias("probe_id"),
-        F.avg("recall_at_5").alias("recall_at_5"),
-    )
-    return per_probe.unionByName(mean).orderBy("probe_id")
+        mean = per_probe.agg(
+            F.lit(method).alias("method"),
+            F.lit(-1).cast("long").alias("probe_id"),
+            F.avg("recall_at_5").alias("recall_at_5"),
+        )
+        reports.append(per_probe.unionByName(mean))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method", "probe_id")
 
 
 # ---------------------------------------------------------------------------

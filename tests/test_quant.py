@@ -1,0 +1,156 @@
+"""Vector quantization (operators/quant.py): SQ8 + PQ correctness,
+recall vs the exact kNN, driver-side guards, and the no-Python-in-codegen
+contract for the SQ8 hot path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    ann as A,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    knn as K,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    quant as Qz,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans.explain import (
+    python_eval_nodes,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+    load_table,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def sq8(emb):
+    return Qz.SQ8(emb)
+
+
+def test_sq8_roundtrip_error_bounded(spark, emb, sq8):
+    """Dequantized values stay within half a quantization step of the
+    original (the defining property of rounding scalar quantization)."""
+    enc = sq8.encode(emb)
+    row = (
+        enc.withColumn("deq", sq8.dequant_expr())
+        .select("embedding", "deq")
+        .first()
+    )
+    orig = np.array(row["embedding"], dtype=np.float64)
+    deq = np.array(row["deq"], dtype=np.float64)
+    assert np.all(np.abs(orig - deq) <= sq8.steps / 2 + 1e-9)
+
+
+def test_sq8_encode_stays_in_codegen(emb, sq8):
+    """Encode must be pure column expressions — no Python boundary."""
+    assert python_eval_nodes(sq8.encode(emb)) == []
+
+
+def test_sq8_code_type_and_range(emb, sq8):
+    enc = sq8.encode(emb)
+    assert dict(enc.dtypes)["code"] == "array<tinyint>"
+    row = enc.selectExpr(
+        "max(array_max(code)) as hi", "min(array_min(code)) as lo"
+    ).first()
+    assert -128 <= row["lo"] and row["hi"] <= 127
+
+
+def test_sq8_knn_recall(spark, emb, sq8):
+    """recall@5 of SQ8 asymmetric search vs exact kNN on the fixture."""
+    enc = sq8.encode(emb).cache()
+    q = emb.select("embedding").first()[0]
+    exact = {
+        r["vec_id"]
+        for r in K.knn(emb, q, k=5, metric="l2").select("vec_id").collect()
+    }
+    approx = {
+        r["vec_id"] for r in sq8.knn(enc, q, k=5).select("vec_id").collect()
+    }
+    assert len(exact & approx) / 5 >= 0.8
+    enc.unpersist()
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    items = A.synthetic_clustered_vectors(spark, 2000, dim=32, n_centers=16)
+    pq = Qz.PQCodebook(items, m=4, codes=16, iters=5)
+    enc = pq.encode(items)
+    assert dict(enc.dtypes)["pq_code"] == "array<tinyint>"
+    first = enc.orderBy("vec_id").limit(5).collect()
+    again = pq.encode(items).orderBy("vec_id").limit(5).collect()
+    assert [list(r["pq_code"]) for r in first] == [
+        list(r["pq_code"]) for r in again
+    ]
+    assert all(len(r["pq_code"]) == 4 for r in first)
+
+
+def test_pq_adc_matches_numpy(spark):
+    """The ADC distance of a code must equal the NumPy-computed distance
+    between the query and the code's reconstructed centroids."""
+    items = A.synthetic_clustered_vectors(spark, 500, dim=16, n_centers=8)
+    pq = Qz.PQCodebook(items, m=4, codes=8, iters=5)
+    row = pq.encode(items).first()
+    code = np.array(row["pq_code"], dtype=np.int16) + 128
+    recon = np.concatenate(
+        [pq.books[j][code[j]] for j in range(pq.m)]
+    )
+    q = [0.1] * 16
+    got = (
+        pq.search(pq.encode(items), q, k=500)
+        .filter(f"vec_id = {row['vec_id']}")
+        .first()["dist"]
+    )
+    want = float(((np.array(q) - recon) ** 2).sum())
+    assert abs(got - want) < 1e-9
+
+
+def test_pq_shortlist_and_refined_recall_on_clustered(spark):
+    """On tightly-clustered data PQ's quantization error exceeds the
+    intra-cluster spacing, so pure ADC cannot rank WITHIN a blob — the
+    meaningful contracts are (a) the exact top-5 lands in the ADC top-50
+    shortlist, and (b) the refine step (exact re-rank of the shortlist,
+    the production IVFADC+R shape) recovers the exact top-5."""
+    items = A.synthetic_clustered_vectors(
+        spark, 5000, dim=32, n_centers=16
+    ).cache()
+    pq = Qz.PQCodebook(items, m=8, codes=64, iters=8)
+    enc = pq.encode(items).cache()
+    probes = items.filter("vec_id < 4").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = {
+        (r["probe_id"], r["item_id"])
+        for r in K.knn_join(probes, items, k=5, item_id="vec_id").collect()
+    }
+    shortlist = pq.search_many(enc, probes, k=50).cache()
+    sl_pairs = {
+        (r["probe_id"], r["vec_id"]) for r in shortlist.collect()
+    }
+    assert len(exact & sl_pairs) / len(exact) >= 0.8  # shortlist recall
+    refined = {
+        (r["probe_id"], r["vec_id"])
+        for r in Qz.PQCodebook.refine(shortlist, items, probes, k=5).collect()
+    }
+    assert len(exact & refined) / len(exact) >= 0.9  # refined recall
+    shortlist.unpersist()
+    items.unpersist()
+    enc.unpersist()
+
+
+def test_pq_fit_sample_guard_raises(spark):
+    items = A.synthetic_clustered_vectors(spark, 300, dim=16, n_centers=4)
+    with pytest.raises(ValueError, match="bounded sample"):
+        Qz.PQCodebook(items, m=4, codes=8, sample_rows=100)
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    items = A.synthetic_clustered_vectors(spark, 100, dim=30, n_centers=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        Qz.PQCodebook(items, m=4, codes=8)
