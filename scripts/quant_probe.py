@@ -1,0 +1,128 @@
+"""Quantization probe at 1M vectors: compression, scan speed, recall.
+
+Measures the SQ8 and PQ paths (operators/quant.py) against the exact
+float scan on a 1M x 64-d clustered table — the regime the compression
+tiers exist for: does the 4x (SQ8) / 32x (PQ) smaller representation
+actually buy scan speed, and what recall does each tier keep?  Run:
+``python scripts/quant_probe.py [n_vec]``.
+
+Output: one JSON line {n, fit/encode timings, bytes per vector, per-tier
+{sec, recall}} — recalls averaged over several probes, distances L2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (  # noqa: E402
+    get_spark,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402
+    ann as A,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402
+    knn as K,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402
+    quant as Qz,
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = 64
+    spark = get_spark(app_name="quant-probe")
+    results: dict = {"n": n, "dim": dim}
+
+    vecs = (
+        A.synthetic_clustered_vectors(spark, n, dim=dim, n_centers=64)
+        .drop("center")
+        .cache()
+    )
+    vecs.count()
+
+    probe_rows = vecs.filter(F.col("vec_id").isin(1, 7, 11, 23)).collect()
+    probes = [[float(x) for x in r["embedding"]] for r in probe_rows]
+    probes_df = (
+        vecs.filter(F.col("vec_id").isin(1, 7, 11, 23))
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+        .cache()
+    )
+    probes_df.count()
+
+    exact_sets = []
+    t0 = time.time()
+    for p in probes:
+        exact_sets.append(
+            {
+                r["vec_id"]
+                for r in K.knn(vecs, p, k=5, tie_cols=("vec_id",)).collect()
+            }
+        )
+    results["exact_scan_sec"] = round((time.time() - t0) / len(probes), 2)
+
+    # ---- SQ8 -------------------------------------------------------------
+    t0 = time.time()
+    sq8 = Qz.SQ8(vecs, dim=dim)
+    results["sq8_fit_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    enc8 = sq8.encode(vecs).select("vec_id", "code").cache()
+    enc8.count()
+    results["sq8_encode_sec"] = round(time.time() - t0, 2)
+    results["sq8_bytes_per_vec"] = dim  # tinyint per dim vs 4*dim fp32
+    recalls, t0 = [], time.time()
+    for p, exact in zip(probes, exact_sets):
+        got = {r["vec_id"] for r in sq8.knn(enc8, p, k=5).collect()}
+        recalls.append(len(got & exact) / 5.0)
+    results["sq8_scan_sec"] = round((time.time() - t0) / len(probes), 2)
+    results["sq8_recall_at_5"] = round(sum(recalls) / len(recalls), 2)
+
+    # ---- PQ --------------------------------------------------------------
+    t0 = time.time()
+    pq = Qz.PQCodebook(
+        vecs.filter(F.col("vec_id") % 97 == 0), m=8, codes=256, iters=10
+    )
+    results["pq_fit_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    encp = pq.encode(vecs).cache()
+    encp.count()
+    results["pq_encode_sec"] = round(time.time() - t0, 2)
+    results["pq_bytes_per_vec"] = pq.m
+
+    # Shortlist sweep: on heavily-clustered data every same-cluster point
+    # has a near-identical code, so the shortlist must grow with the
+    # cluster population for the refine step to see the true top-5 —
+    # record the recall-vs-shortlist curve rather than one operating point.
+    for shortlist_k in (50, 500, 2000):
+        t0 = time.time()
+        shortlist = pq.search_many(encp, probes_df, k=shortlist_k).cache()
+        shortlist.count()
+        adc_sec = round((time.time() - t0) / len(probes), 2)
+        refined = Qz.PQCodebook.refine(
+            shortlist, vecs, probes_df, k=5
+        ).collect()
+        shortlist.unpersist()
+        by_probe: dict = {}
+        for r in refined:
+            by_probe.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(by_probe.get(pr["vec_id"], set()) & exact) / 5.0
+            for pr, exact in zip(probe_rows, exact_sets)
+        ]
+        results[f"pq_shortlist{shortlist_k}"] = {
+            "adc_batch_sec": adc_sec,
+            "refined_recall_at_5": round(sum(recalls) / len(recalls), 2),
+        }
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
