@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..utils import collect_bounded, spread
 
-__all__ = ["SQ8", "PQCodebook"]
+__all__ = ["SQ8", "PQCodebook", "IVFPQIndex"]
 
 
 class SQ8:
@@ -204,12 +204,21 @@ class PQCodebook:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         code_col: str = "pq_code",
+        carry_cols: tuple = (),
     ) -> DataFrame:
-        """``(id, pq_code array<tinyint>)`` — one Arrow batch pass; per
-        batch, each subspace's nearest-centroid search is one GEMM."""
+        """``(id, *carry_cols, pq_code array<tinyint>)`` — one Arrow batch
+        pass; per batch, each subspace's nearest-centroid search is one
+        GEMM.  ``carry_cols`` ride through unchanged (e.g. ``cluster_id``
+        for the IVF+PQ layout)."""
         books = self.books
         m, dsub, dim = self.m, self.dsub, self.dim
-        out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, {code_col} array<tinyint>"
+        dtypes = dict(df.dtypes)
+        carried = ", ".join(f"{c} {dtypes[c]}" for c in carry_cols)
+        out_schema = (
+            f"{id_col} {dtypes[id_col]}, "
+            + (carried + ", " if carried else "")
+            + f"{code_col} array<tinyint>"
+        )
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             b_sq = [(b * b).sum(1) for b in books]  # (m, codes)
@@ -228,14 +237,13 @@ class PQCodebook:
                     sub = X[:, j * dsub : (j + 1) * dsub]
                     d2 = b_sq[j][None, :] - 2.0 * sub @ books[j].T
                     code[:, j] = d2.argmin(1)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].values,
-                        code_col: list((code - 128).astype(np.int8)),
-                    }
-                )
+                out = {id_col: pdf[id_col].values}
+                for c in carry_cols:
+                    out[c] = pdf[c].values
+                out[code_col] = list((code - 128).astype(np.int8))
+                yield pd.DataFrame(out)
 
-        return spread(df.select(id_col, vec_col)).mapInPandas(
+        return spread(df.select(id_col, *carry_cols, vec_col)).mapInPandas(
             gen, schema=out_schema
         )
 
@@ -420,4 +428,218 @@ class PQCodebook:
             scored.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .drop("__rk")
+        )
+
+
+class IVFPQIndex:
+    """IVF coarse quantizer + PQ on per-cluster RESIDUALS — the faiss
+    IVFADC layout, and the composition BASELINE.md names as the 100 TB
+    serving design: a probe prunes to ``nprobe`` cluster partitions, the
+    pruned candidates are scanned as m-byte codes (32x at d=64/m=8), and
+    an exact refine re-ranks the shortlist.
+
+    Quantizing residuals (vector minus its cluster centroid) is what
+    makes PQ work on clustered data: the sub-codebooks are fitted to the
+    RESIDUAL scale, so within-cluster ranking stays meaningful where
+    whole-vector PQ collapses (measured in scripts/quant_probe.py — plain
+    PQ refined recall 0.25 at a 50-shortlist on the 1M clustered table).
+
+    Index layout mirrors :class:`operators.ann.IVFIndex`: the "index" IS
+    the data layout — ``(id, cluster_id, pq_code)`` partitioned by
+    ``cluster_id``, so a saved index turns probes into partition pruning.
+    """
+
+    def __init__(
+        self,
+        items: DataFrame,
+        k_clusters: int = 16,
+        m: int = 8,
+        codes: int = 256,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+        sample_rows: int = 100_000,
+        iters: int = 10,
+    ):
+        from .ann import IVFIndex
+
+        self.id_col, self.vec_col = id_col, vec_col
+        self.base = IVFIndex(
+            items, k_clusters=k_clusters, id_col=id_col, vec_col=vec_col,
+            seed=seed,
+        )
+        self.centroids = np.asarray(self.base.centroids, dtype=np.float64)
+        spark = items.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cluster_id int, __cent array<double>",
+        )
+        resid = self.base.indexed.join(
+            F.broadcast(cent_df), "cluster_id"
+        ).withColumn(
+            "__resid",
+            F.zip_with(
+                F.col(vec_col), F.col("__cent"), lambda x, c: x.cast("double") - c
+            ),
+        )
+        # Codebooks are fitted on a bounded residual sample; the base
+        # index is cached, so the sizing count is cheap.
+        n = self.base.indexed.count()
+        sample = resid.select(F.col("__resid").alias("embedding"))
+        if n > sample_rows:
+            sample = sample.sample(False, sample_rows / n * 0.9, seed=seed)
+        self.pq = PQCodebook(
+            sample, m=m, codes=codes, sample_rows=sample_rows,
+            iters=iters, seed=seed,
+        )
+        self.indexed = (
+            self.pq.encode(
+                resid,
+                id_col=id_col,
+                vec_col="__resid",
+                carry_cols=("cluster_id",),
+            )
+            .repartition("cluster_id")
+            .cache()
+        )
+
+    def save(self, path: str) -> None:
+        """Persist as DATA LAYOUT: the code table parquet-partitioned by
+        ``cluster_id`` (probes prune to their clusters' directories) plus
+        tiny centroid and codebook tables."""
+        spark = self.indexed.sparkSession
+        self.indexed.write.partitionBy("cluster_id").mode(
+            "overwrite"
+        ).parquet(f"{path}/codes")
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cluster_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in self.pq.books[j, c]])
+                for j in range(self.pq.m)
+                for c in range(self.pq.codes)
+            ],
+            "subspace int, code int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "vec_id") -> "IVFPQIndex":
+        """Reopen a saved index without refitting; ``search`` on a loaded
+        index reads only the probed clusters' files."""
+        self = cls.__new__(cls)
+        self.id_col, self.vec_col = id_col, "embedding"
+        self.base = None
+        self.centroids = np.asarray(
+            [
+                r["centroid"]
+                for r in spark.read.parquet(f"{path}/centroids")
+                .orderBy("cluster_id")
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        book_rows = (
+            spark.read.parquet(f"{path}/codebooks")
+            .orderBy("subspace", "code")
+            .collect()
+        )
+        m = 1 + max(r["subspace"] for r in book_rows)
+        codes = 1 + max(r["code"] for r in book_rows)
+        dsub = len(book_rows[0]["centroid"])
+        pq = PQCodebook.__new__(PQCodebook)
+        pq.m, pq.codes, pq.dsub, pq.dim = m, codes, dsub, m * dsub
+        pq.books = np.asarray(
+            [r["centroid"] for r in book_rows], dtype=np.float64
+        ).reshape(m, codes, dsub)
+        self.pq = pq
+        self.indexed = spark.read.parquet(f"{path}/codes")
+        return self
+
+    def search(
+        self,
+        probe,
+        k: int = 5,
+        nprobe: int = 2,
+        shortlist: int = 50,
+        refine_items: DataFrame | None = None,
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """ADC top-k within the ``nprobe`` nearest clusters.  Each probed
+        cluster gets its own lookup table against the probe's RESIDUAL to
+        that cluster's centroid (that is what makes IVF+PQ distances
+        valid: ``||q - x||^2 = ||(q - c) - r||^2`` for ``x = c + r``).
+        With ``refine_items`` the ADC shortlist is exactly re-ranked from
+        the original vectors (IVFADC+R); otherwise the ADC top-k returns.
+        """
+        q = np.asarray(list(map(float, probe)), dtype=np.float64)
+        m, dsub, codes = self.pq.m, self.pq.dsub, self.pq.codes
+        d = np.linalg.norm(self.centroids - q[None, :], axis=1)
+        clusters = [int(c) for c in np.argsort(d)[:nprobe]]
+        luts = {}
+        for c in clusters:
+            rq = q - self.centroids[c]
+            lut = np.empty((m, codes))
+            for j in range(m):
+                diff = self.pq.books[j] - rq[j * dsub : (j + 1) * dsub][None, :]
+                lut[j] = (diff * diff).sum(1)
+            luts[c] = lut
+        id_col, code_col = self.id_col, "pq_code"
+        itype = dict(self.indexed.dtypes)[id_col]
+        out_schema = f"{id_col} {itype}, {dist_col} double"
+        want = max(k, shortlist if refine_items is not None else k)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            best_ids: list = []
+            best_d = np.empty(0)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for c, sub in pdf.groupby("cluster_id"):
+                    lut = luts.get(c)
+                    if lut is None:
+                        continue
+                    C = np.asarray(list(sub[code_col]), dtype=np.int16) + 128
+                    dv = lut[np.arange(m)[None, :], C].sum(1)
+                    take = min(want, dv.shape[0])
+                    idx = np.argpartition(dv, take - 1)[:take]
+                    best_ids.extend(sub[id_col].values[idx])
+                    best_d = np.concatenate([best_d, dv[idx]])
+                    if len(best_ids) > 4 * want:
+                        top = np.argpartition(best_d, want - 1)[:want]
+                        best_ids = [best_ids[i] for i in top]
+                        best_d = best_d[top]
+            if best_ids:
+                top = np.argsort(best_d)[: want]
+                yield pd.DataFrame(
+                    {
+                        id_col: [best_ids[i] for i in top],
+                        dist_col: best_d[top],
+                    }
+                )
+
+        cand = (
+            self.indexed.filter(F.col("cluster_id").isin(clusters))
+            .select(id_col, "cluster_id", code_col)
+            .mapInPandas(gen, schema=out_schema)
+            .orderBy(dist_col)
+            .limit(want)
+        )
+        if refine_items is None:
+            return cand.limit(k)
+        from . import knn as K
+
+        qlit = F.array(*[F.lit(float(v)) for v in q])
+        it = refine_items.select(
+            id_col, F.col(self.vec_col).alias("__ivec")
+        )
+        return (
+            it.join(F.broadcast(cand.select(id_col)), id_col)
+            .select(
+                id_col,
+                K.distance_expr("l2", F.col("__ivec"), qlit).alias(dist_col),
+            )
+            .orderBy(dist_col, id_col)
+            .limit(k)
         )

@@ -121,6 +121,26 @@ def main() -> None:
             "refined_recall_at_5": round(sum(recalls) / len(recalls), 2),
         }
 
+    # ---- IVF + PQ on residuals (the 100 TB composition) ------------------
+    t0 = time.time()
+    ivfpq = Qz.IVFPQIndex(vecs, k_clusters=64, m=8, codes=256, iters=10)
+    ivfpq.indexed.count()
+    results["ivfpq_build_sec"] = round(time.time() - t0, 2)
+    for shortlist_k in (50, 200, 800):
+        recalls, t0 = [], time.time()
+        for p, exact in zip(probes, exact_sets):
+            got = {
+                r["vec_id"]
+                for r in ivfpq.search(
+                    p, k=5, nprobe=4, shortlist=shortlist_k, refine_items=vecs
+                ).collect()
+            }
+            recalls.append(len(got & exact) / 5.0)
+        results[f"ivfpq_shortlist{shortlist_k}"] = {
+            "search_sec": round((time.time() - t0) / len(probes), 2),
+            "refined_recall_at_5": round(sum(recalls) / len(recalls), 2),
+        }
+
     print(json.dumps(results))
 
 

@@ -144,6 +144,73 @@ def test_pq_shortlist_and_refined_recall_on_clustered(spark):
     enc.unpersist()
 
 
+def test_ivfpq_residual_coding_beats_plain_pq(spark):
+    """On clustered data, PQ over per-cluster RESIDUALS must stay
+    rank-meaningful where whole-vector PQ collapses: with the same m and
+    shortlist, IVFPQ refined recall@5 is high on the fixture where plain
+    PQ measured ~0.25-0.5 (quant_probe).  This is the empirical claim
+    behind the BASELINE.md '100 TB composition' row."""
+    items = A.synthetic_clustered_vectors(
+        spark, 5000, dim=32, n_centers=16
+    ).cache()
+    idx = Qz.IVFPQIndex(items, k_clusters=16, m=8, codes=64, iters=8)
+    hits = 0
+    for r in items.filter("vec_id < 4").collect():
+        q = list(r["embedding"])
+        exact = {
+            x["vec_id"]
+            for x in K.knn(items, q, k=5, metric="l2", tie_cols=("vec_id",))
+            .select("vec_id")
+            .collect()
+        }
+        got = {
+            x["vec_id"]
+            for x in idx.search(
+                q, k=5, nprobe=2, shortlist=50, refine_items=items
+            ).collect()
+        }
+        hits += len(exact & got)
+    assert hits / 20 >= 0.9
+    items.unpersist()
+
+
+def test_ivfpq_save_load_roundtrip_and_pruning(spark, tmp_path):
+    """A saved IVFPQ index reloads to identical search results, and a
+    probe on the loaded layout reads only its clusters' partitions."""
+    import os
+
+    items = A.synthetic_clustered_vectors(spark, 1000, dim=16, n_centers=8)
+    idx = Qz.IVFPQIndex(items, k_clusters=8, m=4, codes=16, iters=5)
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    parts = [
+        d
+        for d in os.listdir(os.path.join(path, "codes"))
+        if d.startswith("cluster_id=")
+    ]
+    assert len(parts) >= 2
+
+    loaded = Qz.IVFPQIndex.load(spark, path)
+    q = [0.2] * 16
+    a = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in idx.search(q, k=5, nprobe=3).collect()
+    ]
+    b = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in loaded.search(q, k=5, nprobe=3).collect()
+    ]
+    assert a == b
+
+    plan = (
+        loaded.search(q, k=5, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
 def test_pq_fit_sample_guard_raises(spark):
     items = A.synthetic_clustered_vectors(spark, 300, dim=16, n_centers=4)
     with pytest.raises(ValueError, match="bounded sample"):
