@@ -643,3 +643,95 @@ class IVFPQIndex:
             .orderBy(dist_col, id_col)
             .limit(k)
         )
+
+    def search_many(
+        self,
+        probes: DataFrame,
+        shortlist: int = 50,
+        nprobe: int = 2,
+        probe_id: str = "probe_id",
+        probe_vec: str = "embedding",
+        dist_col: str = "dist",
+        max_probe_rows: int = 100_000,
+    ) -> DataFrame:
+        """Batch ADC retrieval: every probe's per-cluster residual lookup
+        tables are built once driver-side (bounded), the code table is
+        scanned ONCE for the union of probed clusters (each cluster's rows
+        scored only against the probes that probed it), and each partition
+        emits per-probe top-``shortlist`` rows — O(parts x probes x
+        shortlist) into the final rank.  Returns the ADC shortlist
+        ``(probe_id, id, dist)``; compose with
+        :meth:`PQCodebook.refine` for the exact re-rank (IVFADC+R), as
+        ``ann_recall_report``'s ``ivfpq`` method does.
+        """
+        from pyspark.sql.window import Window
+
+        rows = collect_bounded(
+            probes,
+            [probe_id, probe_vec],
+            max_probe_rows,
+            "IVFPQIndex.search_many",
+            "Batch the probes: per-probe lookup tables are built"
+            " driver-side by design.",
+        )
+        rows = [
+            r for r in rows if r[1] is not None and len(r[1]) == self.pq.dim
+        ]
+        m, dsub, codes = self.pq.m, self.pq.dsub, self.pq.codes
+        pids = [r[0] for r in rows]
+        # by_cluster: cluster -> list of (probe_index, (m, codes) LUT of
+        # the probe's RESIDUAL to that cluster's centroid).
+        by_cluster: dict[int, list] = {}
+        for pi, (_, vec) in enumerate(rows):
+            q = np.asarray(vec, dtype=np.float64)
+            d = np.linalg.norm(self.centroids - q[None, :], axis=1)
+            for c in (int(x) for x in np.argsort(d)[:nprobe]):
+                rq = q - self.centroids[c]
+                lut = np.empty((m, codes))
+                for j in range(m):
+                    diff = (
+                        self.pq.books[j]
+                        - rq[j * dsub : (j + 1) * dsub][None, :]
+                    )
+                    lut[j] = (diff * diff).sum(1)
+                by_cluster.setdefault(c, []).append((pi, lut))
+        clusters = sorted(by_cluster)
+        id_col, code_col = self.id_col, "pq_code"
+        ptype = dict(probes.dtypes)[probe_id]
+        itype = dict(self.indexed.dtypes)[id_col]
+        out_schema = f"{probe_id} {ptype}, {id_col} {itype}, {dist_col} double"
+        jix = np.arange(m)[None, :]
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for c, sub in pdf.groupby("cluster_id"):
+                    probers = by_cluster.get(c)
+                    if not probers:
+                        continue
+                    C = np.asarray(list(sub[code_col]), dtype=np.int16) + 128
+                    ids = sub[id_col].values
+                    take = min(shortlist, C.shape[0])
+                    for pi, lut in probers:
+                        dv = lut[jix, C].sum(1)
+                        idx = np.argpartition(dv, take - 1)[:take]
+                        yield pd.DataFrame(
+                            {
+                                probe_id: [pids[pi]] * take,
+                                id_col: ids[idx],
+                                dist_col: dv[idx],
+                            }
+                        )
+
+        local = (
+            self.indexed.filter(F.col("cluster_id").isin(clusters))
+            .select(id_col, "cluster_id", code_col)
+            .mapInPandas(gen, schema=out_schema)
+        )
+        w = Window.partitionBy(probe_id).orderBy(dist_col, id_col)
+        return (
+            local.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= shortlist)
+            .drop("__rk")
+        )

@@ -3385,6 +3385,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_refine": Qz.PQCodebook.refine(
             pq_shortlist, emb, probes, k=5
         ).withColumnRenamed("vec_id", "item_id"),
+        # The full 100 TB composition: cluster pruning + residual PQ +
+        # exact refine (IVFADC+R).
+        "ivfpq": Qz.PQCodebook.refine(
+            Qz.IVFPQIndex(emb, k_clusters=8, m=8, codes=64).search_many(
+                probes, shortlist=50, nprobe=2
+            ),
+            emb,
+            probes,
+            k=5,
+        ).withColumnRenamed("vec_id", "item_id"),
     }
 
     reports = []

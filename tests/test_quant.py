@@ -211,6 +211,34 @@ def test_ivfpq_save_load_roundtrip_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "cluster_id" in plan
 
 
+def test_ivfpq_search_many_matches_single_search(spark):
+    """Batch retrieval must agree with per-probe search: same ADC
+    distances for the same (probe, item) pairs after exact refine."""
+    items = A.synthetic_clustered_vectors(
+        spark, 2000, dim=32, n_centers=8
+    ).cache()
+    idx = Qz.IVFPQIndex(items, k_clusters=8, m=4, codes=16, iters=5)
+    probes = items.filter("vec_id < 3").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    batch = Qz.PQCodebook.refine(
+        idx.search_many(probes, shortlist=30, nprobe=2), items, probes, k=5
+    )
+    got_batch = {
+        (r["probe_id"], r["vec_id"], round(r["dist"], 6))
+        for r in batch.collect()
+    }
+    got_single = set()
+    for r in probes.collect():
+        for s in idx.search(
+            list(r["embedding"]), k=5, nprobe=2, shortlist=30,
+            refine_items=items,
+        ).collect():
+            got_single.add((r["probe_id"], s["vec_id"], round(s["dist"], 6)))
+    assert got_batch == got_single
+    items.unpersist()
+
+
 def test_pq_fit_sample_guard_raises(spark):
     items = A.synthetic_clustered_vectors(spark, 300, dim=16, n_centers=4)
     with pytest.raises(ValueError, match="bounded sample"):
