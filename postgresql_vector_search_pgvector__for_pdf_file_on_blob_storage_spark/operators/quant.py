@@ -125,10 +125,17 @@ class SQ8:
         dec = encoded.withColumn("__deq", self.dequant_expr(code_col))
         q = F.array(*[F.lit(float(v)) for v in query_vec])
         dist = K.distance_expr(metric, F.col("__deq"), q)
+        # Guard malformed rows the same way operators/knn.py does: a
+        # wrong-dimension code (zip_with null-pads short inputs, so its
+        # distance is NULL) must never occupy a top-k slot — size filter
+        # plus NULLS LAST, not Spark's default NULLS FIRST.
         return (
-            dec.filter(F.col(code_col).isNotNull())
+            dec.filter(
+                F.col(code_col).isNotNull()
+                & (F.size(F.col(code_col)) == self.dim)
+            )
             .select(id_col, dist.alias(dist_col))
-            .orderBy(dist_col)
+            .orderBy(F.col(dist_col).asc_nulls_last())
             .limit(k)
         )
 
@@ -136,7 +143,9 @@ class SQ8:
 def _kmeans(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
     """Seeded Lloyd's k-means (NumPy, driver-side) for PQ sub-codebooks.
     Deterministic for a fixed rng state; empty clusters are re-seeded from
-    the farthest points so all k codes stay usable."""
+    DISTINCT farthest points (farthest-first order) so all k codes stay
+    usable — re-seeding them all to the same point would leave permanent
+    duplicates that never attract members."""
     n = X.shape[0]
     if n >= k:
         centers = X[rng.choice(n, size=k, replace=False)].copy()
@@ -150,12 +159,15 @@ def _kmeans(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
             + (centers * centers).sum(1)[None, :]
         )
         assign = d2.argmin(1)
+        empties = [j for j in range(k) if not (assign == j).any()]
+        if empties:
+            far = np.argsort(d2.min(1))[::-1]
+            for i, j in enumerate(empties):
+                centers[j] = X[far[i % n]]
         for j in range(k):
             mask = assign == j
             if mask.any():
                 centers[j] = X[mask].mean(0)
-            else:
-                centers[j] = X[d2.min(1).argmax()]
     return centers
 
 
@@ -182,6 +194,11 @@ class PQCodebook:
             "Fit on a bounded sample (df.sample(...)) — the codebook only"
             " needs a representative subset, never the full table.",
         )
+        if not 2 <= codes <= 256:
+            raise ValueError(
+                f"PQCodebook: codes must be in [2, 256] (one stored byte"
+                f" per subspace), got {codes}"
+            )
         X = np.asarray(
             [r[0] for r in rows if r[0] is not None], dtype=np.float64
         )
@@ -197,6 +214,18 @@ class PQCodebook:
         for j in range(m):
             sub = X[:, j * self.dsub : (j + 1) * self.dsub]
             self.books[j] = _kmeans(sub, codes, iters, rng)
+
+    def _lut(self, q: np.ndarray) -> np.ndarray:
+        """The ``(m, codes)`` ADC lookup table for one query (or query
+        residual): squared L2 between each subvector of ``q`` and every
+        sub-codebook centroid.  Shared by every search path."""
+        m, dsub = self.m, self.dsub
+        lut = np.empty((m, self.codes))
+        for j in range(m):
+            sub = q[j * dsub : (j + 1) * dsub]
+            b = self.books[j]
+            lut[j] = (b * b).sum(1) - 2.0 * (b @ sub) + (sub * sub).sum()
+        return lut
 
     def encode(
         self,
@@ -265,11 +294,8 @@ class PQCodebook:
             raise ValueError(
                 f"query dim {q.shape[0]} != codebook dim {self.dim}"
             )
-        m, dsub = self.m, self.dsub
-        lut = np.empty((m, self.codes))
-        for j in range(m):
-            diff = self.books[j] - q[j * dsub : (j + 1) * dsub][None, :]
-            lut[j] = (diff * diff).sum(1)
+        m = self.m
+        lut = self._lut(q)
         out_schema = (
             f"{id_col} {dict(encoded.dtypes)[id_col]}, {dist_col} double"
         )
@@ -334,47 +360,77 @@ class PQCodebook:
             max_probe_rows,
             "PQCodebook.search_many",
             "Batch the probes: the lookup tables for all probes are built"
-            " driver-side by design.",
+            " driver-side by design (memory ~ probes x m x codes x 8 B).",
         )
         rows = [r for r in rows if r[1] is not None and len(r[1]) == self.dim]
-        m, dsub, codes = self.m, self.dsub, self.codes
-        P = np.asarray([r[1] for r in rows], dtype=np.float64)  # (p, d)
-        pids = np.asarray([r[0] for r in rows])
-        n_p = P.shape[0]
-        # luts_t[j] : (p, codes) — subspace-j distances for every probe.
-        luts_t = np.empty((m, n_p, codes))
-        for j in range(m):
-            sub = P[:, j * dsub : (j + 1) * dsub]  # (p, dsub)
-            luts_t[j] = (
-                (sub * sub).sum(1)[:, None]
-                - 2.0 * sub @ self.books[j].T
-                + (self.books[j] * self.books[j]).sum(1)[None, :]
-            )
+        m = self.m
         ptype = dict(probes.dtypes)[probe_id]
         itype = dict(encoded.dtypes)[id_col]
         out_schema = f"{probe_id} {ptype}, {id_col} {itype}, {dist_col} double"
+        spark = encoded.sparkSession
+        if not rows:
+            return spark.createDataFrame([], out_schema)
+        pids = [r[0] for r in rows]
+        n_p = len(pids)
+        # (p, m, codes) — every probe's lookup table, shipped as a
+        # broadcast (not a task closure) so it moves once per executor.
+        luts = np.stack(
+            [self._lut(np.asarray(r[1], dtype=np.float64)) for r in rows]
+        )
+        bc = spark.sparkContext.broadcast(luts)
+        CHUNK = 128  # probes scored per dense (chunk x batch) tile
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            if n_p == 0:
-                return
+            b_luts = bc.value
+            best_ids: list = [None] * n_p
+            best_d: list = [None] * n_p
+
+            def trim(pi: int, hard: bool = False) -> None:
+                if best_d[pi] is not None and (
+                    hard or len(best_d[pi]) > 4 * k
+                ):
+                    kk = min(k, len(best_d[pi]))
+                    sel = np.argpartition(best_d[pi], kk - 1)[:kk]
+                    best_ids[pi] = best_ids[pi][sel]
+                    best_d[pi] = best_d[pi][sel]
+
             for pdf in batches:
                 if pdf.empty:
                     continue
                 C = np.asarray(list(pdf[code_col]), dtype=np.int16) + 128
-                n = C.shape[0]
-                # D[p, i] = sum_j luts_t[j][p, C[i, j]]
-                D = np.zeros((n_p, n))
-                for j in range(m):
-                    D += luts_t[j][:, C[:, j]]
-                take = min(k, n)
-                idx = np.argpartition(D, take - 1, axis=1)[:, :take]  # (p, take)
                 ids = pdf[id_col].values
+                n = C.shape[0]
+                take = min(k, n)
+                for s in range(0, n_p, CHUNK):
+                    lch = b_luts[s : s + CHUNK]  # (c, m, codes)
+                    D = np.zeros((lch.shape[0], n))
+                    for j in range(m):
+                        D += lch[:, j, :][:, C[:, j]]
+                    idx = np.argpartition(D, take - 1, axis=1)[:, :take]
+                    dv = np.take_along_axis(D, idx, axis=1)
+                    for ci in range(lch.shape[0]):
+                        pi = s + ci
+                        if best_ids[pi] is None:
+                            best_ids[pi] = ids[idx[ci]].copy()
+                            best_d[pi] = dv[ci].copy()
+                        else:
+                            best_ids[pi] = np.concatenate(
+                                [best_ids[pi], ids[idx[ci]]]
+                            )
+                            best_d[pi] = np.concatenate([best_d[pi], dv[ci]])
+                            trim(pi)
+            # One output frame per task: O(probes x k) rows.
+            out_p, out_i, out_d = [], [], []
+            for pi in range(n_p):
+                if best_ids[pi] is None:
+                    continue
+                trim(pi, hard=True)
+                out_p.extend([pids[pi]] * len(best_d[pi]))
+                out_i.extend(best_ids[pi].tolist())
+                out_d.extend(best_d[pi].tolist())
+            if out_p:
                 yield pd.DataFrame(
-                    {
-                        probe_id: np.repeat(pids, take),
-                        id_col: ids[idx].ravel(),
-                        dist_col: np.take_along_axis(D, idx, axis=1).ravel(),
-                    }
+                    {probe_id: out_p, id_col: out_i, dist_col: out_d}
                 )
 
         local = spread(encoded.select(id_col, code_col)).mapInPandas(
@@ -525,11 +581,19 @@ class IVFPQIndex:
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
     @classmethod
-    def load(cls, spark, path: str, id_col: str = "vec_id") -> "IVFPQIndex":
+    def load(
+        cls,
+        spark,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFPQIndex":
         """Reopen a saved index without refitting; ``search`` on a loaded
-        index reads only the probed clusters' files."""
+        index reads only the probed clusters' files.  ``vec_col`` names
+        the vector column of any ``refine_items`` table passed to
+        :meth:`search` (the codes themselves carry no vectors)."""
         self = cls.__new__(cls)
-        self.id_col, self.vec_col = id_col, "embedding"
+        self.id_col, self.vec_col = id_col, vec_col
         self.base = None
         self.centroids = np.asarray(
             [
@@ -574,17 +638,10 @@ class IVFPQIndex:
         the original vectors (IVFADC+R); otherwise the ADC top-k returns.
         """
         q = np.asarray(list(map(float, probe)), dtype=np.float64)
-        m, dsub, codes = self.pq.m, self.pq.dsub, self.pq.codes
+        m = self.pq.m
         d = np.linalg.norm(self.centroids - q[None, :], axis=1)
         clusters = [int(c) for c in np.argsort(d)[:nprobe]]
-        luts = {}
-        for c in clusters:
-            rq = q - self.centroids[c]
-            lut = np.empty((m, codes))
-            for j in range(m):
-                diff = self.pq.books[j] - rq[j * dsub : (j + 1) * dsub][None, :]
-                lut[j] = (diff * diff).sum(1)
-            luts[c] = lut
+        luts = {c: self.pq._lut(q - self.centroids[c]) for c in clusters}
         id_col, code_col = self.id_col, "pq_code"
         itype = dict(self.indexed.dtypes)[id_col]
         out_schema = f"{id_col} {itype}, {dist_col} double"
@@ -672,42 +729,56 @@ class IVFPQIndex:
             max_probe_rows,
             "IVFPQIndex.search_many",
             "Batch the probes: per-probe lookup tables are built"
-            " driver-side by design.",
+            " driver-side by design (memory ~ probes x nprobe x m x codes"
+            " x 8 B).",
         )
         rows = [
             r for r in rows if r[1] is not None and len(r[1]) == self.pq.dim
         ]
-        m, dsub, codes = self.pq.m, self.pq.dsub, self.pq.codes
+        m = self.pq.m
+        id_col, code_col = self.id_col, "pq_code"
+        ptype = dict(probes.dtypes)[probe_id]
+        itype = dict(self.indexed.dtypes)[id_col]
+        out_schema = f"{probe_id} {ptype}, {id_col} {itype}, {dist_col} double"
+        spark = self.indexed.sparkSession
+        if not rows:
+            return spark.createDataFrame([], out_schema)
         pids = [r[0] for r in rows]
+        n_p = len(pids)
         # by_cluster: cluster -> list of (probe_index, (m, codes) LUT of
-        # the probe's RESIDUAL to that cluster's centroid).
+        # the probe's RESIDUAL to that cluster's centroid) — broadcast, so
+        # it ships once per executor, not once per task.
         by_cluster: dict[int, list] = {}
         for pi, (_, vec) in enumerate(rows):
             q = np.asarray(vec, dtype=np.float64)
             d = np.linalg.norm(self.centroids - q[None, :], axis=1)
             for c in (int(x) for x in np.argsort(d)[:nprobe]):
-                rq = q - self.centroids[c]
-                lut = np.empty((m, codes))
-                for j in range(m):
-                    diff = (
-                        self.pq.books[j]
-                        - rq[j * dsub : (j + 1) * dsub][None, :]
-                    )
-                    lut[j] = (diff * diff).sum(1)
-                by_cluster.setdefault(c, []).append((pi, lut))
+                by_cluster.setdefault(c, []).append(
+                    (pi, self.pq._lut(q - self.centroids[c]))
+                )
         clusters = sorted(by_cluster)
-        id_col, code_col = self.id_col, "pq_code"
-        ptype = dict(probes.dtypes)[probe_id]
-        itype = dict(self.indexed.dtypes)[id_col]
-        out_schema = f"{probe_id} {ptype}, {id_col} {itype}, {dist_col} double"
+        bc = spark.sparkContext.broadcast(by_cluster)
         jix = np.arange(m)[None, :]
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bcl = bc.value
+            best_ids: list = [None] * n_p
+            best_d: list = [None] * n_p
+
+            def trim(pi: int, hard: bool = False) -> None:
+                if best_d[pi] is not None and (
+                    hard or len(best_d[pi]) > 4 * shortlist
+                ):
+                    kk = min(shortlist, len(best_d[pi]))
+                    sel = np.argpartition(best_d[pi], kk - 1)[:kk]
+                    best_ids[pi] = best_ids[pi][sel]
+                    best_d[pi] = best_d[pi][sel]
+
             for pdf in batches:
                 if pdf.empty:
                     continue
                 for c, sub in pdf.groupby("cluster_id"):
-                    probers = by_cluster.get(c)
+                    probers = bcl.get(c)
                     if not probers:
                         continue
                     C = np.asarray(list(sub[code_col]), dtype=np.int16) + 128
@@ -716,13 +787,30 @@ class IVFPQIndex:
                     for pi, lut in probers:
                         dv = lut[jix, C].sum(1)
                         idx = np.argpartition(dv, take - 1)[:take]
-                        yield pd.DataFrame(
-                            {
-                                probe_id: [pids[pi]] * take,
-                                id_col: ids[idx],
-                                dist_col: dv[idx],
-                            }
-                        )
+                        if best_ids[pi] is None:
+                            best_ids[pi] = ids[idx].copy()
+                            best_d[pi] = dv[idx].copy()
+                        else:
+                            best_ids[pi] = np.concatenate(
+                                [best_ids[pi], ids[idx]]
+                            )
+                            best_d[pi] = np.concatenate(
+                                [best_d[pi], dv[idx]]
+                            )
+                            trim(pi)
+            # One output frame per task: O(probes x shortlist) rows.
+            out_p, out_i, out_d = [], [], []
+            for pi in range(n_p):
+                if best_ids[pi] is None:
+                    continue
+                trim(pi, hard=True)
+                out_p.extend([pids[pi]] * len(best_d[pi]))
+                out_i.extend(best_ids[pi].tolist())
+                out_d.extend(best_d[pi].tolist())
+            if out_p:
+                yield pd.DataFrame(
+                    {probe_id: out_p, id_col: out_i, dist_col: out_d}
+                )
 
         local = (
             self.indexed.filter(F.col("cluster_id").isin(clusters))

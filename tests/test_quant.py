@@ -249,3 +249,38 @@ def test_pq_dim_not_divisible_raises(spark):
     items = A.synthetic_clustered_vectors(spark, 100, dim=30, n_centers=4)
     with pytest.raises(ValueError, match="not divisible"):
         Qz.PQCodebook(items, m=4, codes=8)
+
+
+def test_pq_codes_beyond_one_byte_raises(spark):
+    """codes > 256 cannot be stored in one tinyint — int8 wrap would
+    silently corrupt the codes, so the constructor must refuse."""
+    items = A.synthetic_clustered_vectors(spark, 100, dim=16, n_centers=4)
+    with pytest.raises(ValueError, match=r"\[2, 256\]"):
+        Qz.PQCodebook(items, m=4, codes=512)
+
+
+def test_search_many_empty_probes_returns_empty(spark):
+    """An empty probe table must yield an empty result, not crash on a
+    zero-row NumPy reshape."""
+    items = A.synthetic_clustered_vectors(spark, 300, dim=16, n_centers=4)
+    pq = Qz.PQCodebook(items, m=4, codes=8, iters=3)
+    enc = pq.encode(items)
+    none = items.filter("vec_id < 0").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    assert pq.search_many(enc, none, k=3).count() == 0
+    idx = Qz.IVFPQIndex(items, k_clusters=4, m=4, codes=8, iters=3)
+    assert idx.search_many(none, shortlist=3).count() == 0
+
+
+def test_sq8_knn_ignores_malformed_vectors(spark, emb, sq8):
+    """A wrong-dimension embedding dequantizes to NULL distance; it must
+    never reach the top-k (NULLS LAST + size guard)."""
+    bad = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.slice("embedding", 1, 3).alias("embedding"),
+    )
+    enc = sq8.encode(emb.select("vec_id", "embedding").unionByName(bad))
+    q = emb.select("embedding").first()[0]
+    got = {r["vec_id"] for r in sq8.knn(enc, q, k=5).collect()}
+    assert all(v < 1_000_000 for v in got) and len(got) == 5
