@@ -11,11 +11,13 @@ strings, standard single-byte encoding, AND ``/ToUnicode`` CMaps
 (``bfchar`` + ``bfrange``, scalar and array forms) with per-``Tf`` font
 tracking — so CID-keyed ``/Type0`` ``Identity-H`` text (what Word, LaTeX,
 and every CJK-capable writer emits, including the Japanese PDFs the
-reference app targets) round-trips to the original Unicode.  It is NOT a
-general PDF library (no encryption, no stream predictors) — when
-``pypdf`` is available the extractor (sources/binary.py) prefers it; this
-module is the guaranteed-present fallback so "feed a real PDF" works out
-of the box.
+reference app targets) round-trips to the original Unicode.  RC4-encrypted
+files (Standard security handler, V<=2, empty user password — the common
+"restricted" shape) decrypt transparently.  It is NOT a general PDF
+library (no AES encryption, no stream predictors) — when ``pypdf`` is
+available the extractor (sources/binary.py) prefers it; this module is
+the guaranteed-present fallback so "feed a real PDF" works out of the
+box.
 
 Object discovery is a raw scan for ``N 0 obj``/``endobj`` spans plus
 expansion of every object stream's contents — xref tables/streams are
@@ -34,10 +36,17 @@ exercise the real formats end-to-end rather than a private stand-in.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
-__all__ = ["extract_text_pages", "make_pdf", "make_pdf_15", "make_pdf_cid"]
+__all__ = [
+    "extract_text_pages",
+    "make_pdf",
+    "make_pdf_15",
+    "make_pdf_cid",
+    "make_pdf_encrypted",
+]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
@@ -224,6 +233,146 @@ def _expand_object_streams(objects: dict[int, bytes]) -> None:
                 objects[num] = data[first + off : first + end]
 
 
+# ---------------------------------------------------------------------------
+# RC4 standard security handler (PDF 32000-1 §7.6.3, V<=2 R<=3) — the
+# "restricted" PDFs that carry an owner password but an EMPTY user
+# password, which viewers (and PDFBox in the reference, Function.java:
+# 90-132) open transparently.  AES (V>=4) needs a cipher the stdlib does
+# not ship and stays out of scope (documented in PARITY.md).
+# ---------------------------------------------------------------------------
+
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + _PW_PAD)[:32]
+
+
+def _file_key(
+    user_pw: bytes, o_entry: bytes, p: int, file_id: bytes, r: int, n: int
+) -> bytes:
+    """Algorithm 2: the file encryption key (n bytes)."""
+    h = hashlib.md5()
+    h.update(_pad_pw(user_pw))
+    h.update(o_entry[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(file_id)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _compute_o(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    key = hashlib.md5(_pad_pw(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    o = _rc4(key, _pad_pw(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _compute_u(file_key: bytes, file_id: bytes, r: int) -> bytes:
+    """Algorithm 4 (r=2) / 5 (r>=3): the /U entry."""
+    if r == 2:
+        return _rc4(file_key, _PW_PAD)
+    u = _rc4(file_key, hashlib.md5(_PW_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return (u + b"\x00" * 16)[:32]
+
+
+def _parse_encryption(content: bytes, objects: dict[int, bytes]):
+    """If the trailer names an /Encrypt dict this parser can handle
+    (Standard handler, RC4), derive the file key assuming an EMPTY user
+    password and return it; plain files return None; unsupported schemes
+    (AES, user-password-protected with a real password) raise ValueError
+    so the caller can fall through to "no pages"."""
+    m = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", content)
+    if not m:
+        return None
+    enc = objects.get(int(m.group(1)))
+    if enc is None:
+        raise ValueError("Encrypt dict not found")
+    if not re.search(rb"/Filter\s*/Standard", enc):
+        raise ValueError("unsupported security handler")
+    mv = re.search(rb"/V\s+(\d+)", enc)
+    v = int(mv.group(1)) if mv else 0
+    if v > 2:
+        raise ValueError("AES encryption not supported")
+    mr = re.search(rb"/R\s+(\d+)", enc)
+    r = int(mr.group(1)) if mr else 2
+    mlen = re.search(rb"/Length\s+(\d+)", enc)
+    n = (int(mlen.group(1)) // 8) if (mlen and v == 2) else 5
+    mp = re.search(rb"/P\s+(-?\d+)", enc)
+    p = int(mp.group(1)) if mp else -1
+    mo = re.search(rb"/O\s*[(<]", enc)
+    if not mo:
+        raise ValueError("missing /O entry")
+    if enc[mo.end() - 1 : mo.end()] == b"<":
+        he = enc.find(b">", mo.end())
+        o_entry = bytes.fromhex(enc[mo.end() : he].decode("ascii"))
+    else:
+        o_entry = _decode_literal(
+            re.match(
+                rb"(?s)((?:\\.|[^\\)])*)", enc[mo.end() :]
+            ).group(1)
+        )
+    mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", content)
+    file_id = bytes.fromhex(mid.group(1).decode("ascii")) if mid else b""
+    return _file_key(b"", o_entry, p, file_id, r, n)
+
+
+def _decrypt_streams(objects: dict[int, bytes], file_key: bytes) -> None:
+    """RC4-decrypt every top-level stream payload in place (generation 0 —
+    this parser's object scan keeps no generation numbers, and practically
+    all writers emit gen 0).  The XRef stream is never encrypted per spec,
+    but it is also never consumed here, so decrypting it is harmless."""
+    for num, body in list(objects.items()):
+        m = _STREAM_RE.search(body)
+        if not m:
+            continue
+        data = _rc4(_object_key(file_key, num, 0), m.group(2))
+        objects[num] = body[: m.start(2)] + data + body[m.end(2) :]
+
+
 def _stream_of(body: bytes) -> bytes | None:
     """The decoded stream payload of an object body, or None."""
     m = _STREAM_RE.search(body)
@@ -366,6 +515,14 @@ def extract_text_pages(content: bytes) -> list[str] | None:
     }
     if not objects:
         return None
+    try:
+        file_key = _parse_encryption(content, objects)
+    except ValueError:
+        # AES / non-standard handlers / real user passwords: not
+        # parseable here — same contract as any other unreadable file.
+        return None
+    if file_key is not None:
+        _decrypt_streams(objects, file_key)
     _expand_object_streams(objects)
 
     pages: list[str] = []
@@ -547,6 +704,67 @@ def make_pdf_15(pages: list[list[str]] | list[str]) -> bytes:
         + b"\nendstream\nendobj\n"
     )
     out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
+def make_pdf_encrypted(
+    pages: list[list[str]] | list[str],
+    owner_pw: bytes = b"owner-secret",
+) -> bytes:
+    """Write a genuinely RC4-encrypted PDF (Standard security handler,
+    V=2 R=3, 128-bit key, empty USER password) — the "restricted" shape
+    real-world PDFs use for edit/print permissions, which viewers and
+    PDFBox open without prompting.  /O and /U are computed per Algorithms
+    3 and 5, so the file validates in standards-conforming readers; every
+    stream payload is RC4-encrypted under its per-object key."""
+    plain = make_pdf(pages)
+    objs = [
+        (int(m.group(1)), m.group(2)) for m in _OBJ_RE.finditer(plain)
+    ]
+    r, n, p = 3, 16, -3904
+    file_id = hashlib.md5(plain).digest()
+    o_entry = _compute_o(owner_pw, b"", r, n)
+    fkey = _file_key(b"", o_entry, p, file_id, r, n)
+    u_entry = _compute_u(fkey, file_id, r)
+
+    out_objs: list[tuple[int, bytes]] = []
+    for num, body in objs:
+        m = _STREAM_RE.search(body)
+        if m:
+            data = _rc4(_object_key(fkey, num, 0), m.group(2))
+            body = body[: m.start(2)] + data + body[m.end(2) :]
+        out_objs.append((num, body))
+    enc_num = max(num for num, _ in out_objs) + 1
+    out_objs.append(
+        (
+            enc_num,
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d "
+            b"/O <%s> /U <%s> >>"
+            % (
+                p,
+                o_entry.hex().upper().encode("ascii"),
+                u_entry.hex().upper().encode("ascii"),
+            ),
+        )
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num, body in out_objs:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    size = enc_num + 1
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += b"%010d 00000 n \n" % offsets[num]
+    idhex = file_id.hex().upper().encode("ascii")
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R "
+        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, enc_num, idhex, idhex, xref_at)
+    )
     return bytes(out)
 
 

@@ -124,6 +124,52 @@ def test_classic_fixture_unaffected_by_font_machinery():
     ]
 
 
+def test_rc4_encrypted_roundtrip():
+    """An RC4-encrypted file (Standard handler, empty user password — the
+    real-world 'restricted' shape) decrypts transparently; the plaintext
+    never appears in the file bytes."""
+    import zlib
+
+    pdf = MP.make_pdf_encrypted(PAGES)
+    assert b"/Encrypt" in pdf and b"/Standard" in pdf
+    plain_stream = zlib.compress(
+        b"BT /F1 12 Tf 72 720 Td\n(alpha line one) Tj\n0 -14 Td\n"
+        b"(alpha line two) Tj\nET"
+    )
+    assert plain_stream not in pdf
+    assert MP.extract_text_pages(pdf) == [
+        "alpha line one\nalpha line two",
+        "beta solo",
+    ]
+
+
+def test_rc4_encrypted_through_spark_pipeline(spark, tmp_path):
+    d = tmp_path / "pdfs_enc"
+    d.mkdir()
+    (d / "locked.pdf").write_bytes(MP.make_pdf_encrypted(PAGES))
+    pages = B.extract_pages(B.read_binary_dir(spark, str(d), glob="*.pdf"))
+    rows = {
+        (r["fileName"], r["pageNumber"]): r["text"] for r in pages.collect()
+    }
+    assert rows[("locked.pdf", 1)] == "alpha line one\nalpha line two"
+
+
+def test_aes_encrypted_falls_through():
+    """V>=4 (AES) is out of scope — must yield no pages, not garbage."""
+    pdf = MP.make_pdf_encrypted(PAGES).replace(b"/V 2", b"/V 4")
+    assert MP.extract_text_pages(pdf) is None
+
+
+def test_wrong_key_does_not_crash():
+    """A tampered /O entry derives a wrong key; decryption produces
+    garbage that zlib rejects -> no pages, no exception."""
+    pdf = MP.make_pdf_encrypted(PAGES)
+    i = pdf.index(b"/O <") + len(b"/O <")
+    garbled = pdf[:i] + b"00000000" + pdf[i + 8 :]
+    out = MP.extract_text_pages(garbled)
+    assert out is None or all("alpha" not in p for p in out)
+
+
 def test_corrupt_objstm_falls_through():
     """A truncated/garbled object stream must not crash — the parser skips
     what it cannot decode (same contract as corrupt classic files)."""
