@@ -210,12 +210,10 @@ def _expand_object_streams(objects: dict[int, bytes]) -> None:
         m = _STREAM_RE.search(body)
         if not m:
             continue
-        d, data = m.group(1), m.group(2)
-        if b"/FlateDecode" in d:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue
+        d = m.group(1)
+        data = _stream_of(body)
+        if data is None:
+            continue
         mn = re.search(rb"/N\s+(\d+)", d)
         mf = re.search(rb"/First\s+(\d+)", d)
         if not mn or not mf:
@@ -373,6 +371,67 @@ def _decrypt_streams(objects: dict[int, bytes], file_key: bytes) -> None:
         objects[num] = body[: m.start(2)] + data + body[m.end(2) :]
 
 
+def _unpredict(data: bytes, d: bytes) -> bytes | None:
+    """Reverse a PNG predictor (``/DecodeParms << /Predictor >= 10
+    /Columns n >>``, PDF 32000-1 §7.4.4.4): each row is prefixed with a
+    per-row PNG filter byte (None/Sub/Up/Average/Paeth) applied over
+    ``Columns * Colors * BitsPerComponent/8`` bytes.  Predictor 2 (TIFF)
+    and 1 (none) are handled too; malformed geometry returns None."""
+    mp = re.search(rb"/Predictor\s+(\d+)", d)
+    pred = int(mp.group(1)) if mp else 1
+    if pred <= 1:
+        return data
+    mc = re.search(rb"/Columns\s+(\d+)", d)
+    cols = int(mc.group(1)) if mc else 1
+    mcl = re.search(rb"/Colors\s+(\d+)", d)
+    colors = int(mcl.group(1)) if mcl else 1
+    mb = re.search(rb"/BitsPerComponent\s+(\d+)", d)
+    bpc = int(mb.group(1)) if mb else 8
+    bpp = max(1, colors * bpc // 8)
+    rowlen = cols * bpp
+    if rowlen <= 0:
+        return None
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(bpp, rowlen):
+                out[r0 + i] = (out[r0 + i] + out[r0 + i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: rows of (filter_byte + rowlen payload)
+    stride = rowlen + 1
+    if len(data) % stride:
+        return None
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r0 in range(0, len(data), stride):
+        ft = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + stride])
+        for i in range(rowlen):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                row[i] = (row[i] + left) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + up) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                if pa <= pb and pa <= pc:
+                    row[i] = (row[i] + left) & 0xFF
+                elif pb <= pc:
+                    row[i] = (row[i] + up) & 0xFF
+                else:
+                    row[i] = (row[i] + ul) & 0xFF
+            elif ft != 0:
+                return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _stream_of(body: bytes) -> bytes | None:
     """The decoded stream payload of an object body, or None."""
     m = _STREAM_RE.search(body)
@@ -381,9 +440,11 @@ def _stream_of(body: bytes) -> bytes | None:
     d, data = m.group(1), m.group(2)
     if b"/FlateDecode" in d:
         try:
-            return zlib.decompress(data)
+            data = zlib.decompress(data)
         except zlib.error:
             return None
+        if b"/Predictor" in d:
+            return _unpredict(data, d)
     return data
 
 

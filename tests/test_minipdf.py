@@ -170,6 +170,87 @@ def test_wrong_key_does_not_crash():
     assert out is None or all("alpha" not in p for p in out)
 
 
+def _predicted_pdf(parms: bytes, payload: bytes) -> bytes:
+    """A minimal classic PDF whose content stream carries /DecodeParms."""
+    head = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    )
+    obj4 = (
+        b"4 0 obj\n<< /Length " + str(len(payload)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << " + parms
+        + b" >> >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+    )
+    return head + obj4 + b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+
+
+def test_flate_predictors_decode():
+    """PNG (Up/Sub/Average/Paeth per-row filters) and TIFF predictors on
+    Flate streams decode to the original content (PDF 32000-1 §7.4.4.4)."""
+    import zlib
+
+    ops = b"BT /F1 12 Tf 72 720 Td\n(predicted text) Tj\nET"
+    cols = 16
+    padded = ops + b"\x00" * ((-len(ops)) % cols)
+    rows = [padded[i : i + cols] for i in range(0, len(padded), cols)]
+
+    # PNG, one filter type per row cycling Sub/Average/Paeth/None.
+    enc = bytearray()
+    prev = bytes(cols)
+    for ri, row in enumerate(rows):
+        ft = (1, 3, 4, 0)[ri % 4]
+        enc.append(ft)
+        for i in range(cols):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - left
+            elif ft == 3:
+                v = row[i] - (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                )
+                v = row[i] - pred
+            enc.append(v & 0xFF)
+        prev = row
+    pdf = _predicted_pdf(
+        b"/Predictor 15 /Columns 16", zlib.compress(bytes(enc))
+    )
+    assert MP.extract_text_pages(pdf) == ["predicted text"]
+
+    # TIFF horizontal differencing (Predictor 2).
+    enc2 = bytearray(padded)
+    for r0 in range(0, len(enc2), cols):
+        row = bytes(enc2[r0 : r0 + cols])
+        for i in range(cols - 1, 0, -1):
+            enc2[r0 + i] = (row[i] - row[i - 1]) & 0xFF
+    pdf2 = _predicted_pdf(
+        b"/Predictor 2 /Columns 16", zlib.compress(bytes(enc2))
+    )
+    assert MP.extract_text_pages(pdf2) == ["predicted text"]
+
+
+def test_predictor_bad_geometry_falls_through():
+    """A payload whose length does not divide into (Columns+1) rows must
+    yield no pages, not garbage."""
+    import zlib
+
+    pdf = _predicted_pdf(
+        b"/Predictor 12 /Columns 1000", zlib.compress(b"\x02short")
+    )
+    # The page object parses; its content stream is unreadable -> empty
+    # text, never garbage.
+    assert MP.extract_text_pages(pdf) in (None, [""])
+
+
 def test_corrupt_objstm_falls_through():
     """A truncated/garbled object stream must not crash — the parser skips
     what it cannot decode (same contract as corrupt classic files)."""
