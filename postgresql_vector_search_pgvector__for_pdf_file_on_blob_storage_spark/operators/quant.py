@@ -525,19 +525,7 @@ class IVFPQIndex:
             seed=seed,
         )
         self.centroids = np.asarray(self.base.centroids, dtype=np.float64)
-        spark = items.sparkSession
-        cent_df = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
-            "cluster_id int, __cent array<double>",
-        )
-        resid = self.base.indexed.join(
-            F.broadcast(cent_df), "cluster_id"
-        ).withColumn(
-            "__resid",
-            F.zip_with(
-                F.col(vec_col), F.col("__cent"), lambda x, c: x.cast("double") - c
-            ),
-        )
+        resid = self._residuals(self.base.indexed)
         # Codebooks are fitted on a bounded residual sample; the base
         # index is cached, so the sizing count is cheap.
         n = self.base.indexed.count()
@@ -549,14 +537,78 @@ class IVFPQIndex:
             iters=iters, seed=seed,
         )
         self.indexed = (
-            self.pq.encode(
-                resid,
-                id_col=id_col,
-                vec_col="__resid",
-                carry_cols=("cluster_id",),
-            )
-            .repartition("cluster_id")
-            .cache()
+            self._residual_codes(resid).repartition("cluster_id").cache()
+        )
+
+    def _residuals(self, assigned: DataFrame) -> DataFrame:
+        """Append ``__resid`` (vector minus its cluster centroid) to a
+        table that already carries ``cluster_id`` — broadcast join with
+        the tiny centroid table + one zip_with, no Python."""
+        spark = assigned.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cluster_id int, __cent array<double>",
+        )
+        return assigned.join(F.broadcast(cent_df), "cluster_id").withColumn(
+            "__resid",
+            F.zip_with(
+                F.col(self.vec_col),
+                F.col("__cent"),
+                lambda x, c: x.cast("double") - c,
+            ),
+        )
+
+    def _residual_codes(self, resid: DataFrame) -> DataFrame:
+        return self.pq.encode(
+            resid,
+            id_col=self.id_col,
+            vec_col="__resid",
+            carry_cols=("cluster_id",),
+        )
+
+    def _assign(self, items: DataFrame) -> DataFrame:
+        """Nearest-centroid ``cluster_id`` via native expressions (works
+        on loaded indexes too — no k-means model needed)."""
+        if self.base is not None:
+            return self.base.assign(items)
+        from ..functions import vector as V
+
+        dists = F.array(
+            *[
+                V.squared_l2_distance(
+                    F.col(self.vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                )
+                for c in self.centroids
+            ]
+        )
+        cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return items.withColumn("cluster_id", cid)
+
+    def add(self, new_items: DataFrame) -> None:
+        """Incrementally insert vectors against the FROZEN coarse
+        centroids and codebooks (pgvector-ivfflat insert semantics, same
+        contract as :meth:`IVFIndex.add`): new rows are assigned, residual-
+        encoded, and merged into the cached layout.  Under distribution
+        drift both the assignment and the codebooks degrade gradually —
+        the remedy is an offline rebuild, not an in-place refit."""
+        codes = self._residual_codes(
+            self._residuals(self._assign(spread(new_items)))
+        )
+        old = self.indexed
+        self.indexed = (
+            old.unionByName(codes).repartition("cluster_id").cache()
+        )
+        old.unpersist()
+
+    def append_to(self, path: str, new_items: DataFrame) -> None:
+        """Insert into a SAVED index: new codes append as files inside
+        their clusters' existing partition directories — partition pruning
+        on probes is unchanged, no rewrite of prior data."""
+        self._residual_codes(
+            self._residuals(self._assign(spread(new_items)))
+        ).write.partitionBy("cluster_id").mode("append").parquet(
+            f"{path}/codes"
         )
 
     def save(self, path: str) -> None:

@@ -239,6 +239,52 @@ def test_ivfpq_search_many_matches_single_search(spark):
     items.unpersist()
 
 
+def test_ivfpq_incremental_add(spark):
+    """add() against frozen centroids/codebooks (pgvector insert
+    semantics): a newly inserted vector is findable and is its own
+    nearest neighbor."""
+    items = A.synthetic_clustered_vectors(spark, 1000, dim=16, n_centers=8)
+    idx = Qz.IVFPQIndex(items, k_clusters=8, m=4, codes=16, iters=5)
+    n0 = idx.indexed.count()
+    new = items.filter("vec_id < 5").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    idx.add(new)
+    assert idx.indexed.count() == n0 + 5
+    probe = list(items.filter("vec_id = 2").first()["embedding"])
+    all_items = items.unionByName(
+        new.select("vec_id", F.lit(None).cast("int").alias("center"), "embedding"),
+        allowMissingColumns=True,
+    )
+    got = {
+        r["vec_id"]
+        for r in idx.search(
+            probe, k=2, nprobe=2, shortlist=20, refine_items=all_items
+        ).collect()
+    }
+    assert {2, 10_002} == got  # the original and its inserted twin
+
+
+def test_ivfpq_append_to_saved_layout(spark, tmp_path):
+    """append_to writes new codes inside existing cluster partitions; a
+    reloaded index sees them without rewriting prior data."""
+    items = A.synthetic_clustered_vectors(spark, 500, dim=16, n_centers=4)
+    idx = Qz.IVFPQIndex(items, k_clusters=4, m=4, codes=16, iters=5)
+    path = str(tmp_path / "ivfpq_inc")
+    idx.save(path)
+    new = items.filter("vec_id < 3").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    idx.append_to(path, new)
+    loaded = Qz.IVFPQIndex.load(spark, path)
+    assert loaded.indexed.count() == 503
+    probe = list(items.filter("vec_id = 1").first()["embedding"])
+    got = {
+        r["vec_id"] for r in loaded.search(probe, k=2, nprobe=2).collect()
+    }
+    assert 10_001 in got  # the appended twin of vec 1 is retrievable
+
+
 def test_pq_fit_sample_guard_raises(spark):
     items = A.synthetic_clustered_vectors(spark, 300, dim=16, n_centers=4)
     with pytest.raises(ValueError, match="bounded sample"):
