@@ -11,13 +11,15 @@ strings, standard single-byte encoding, AND ``/ToUnicode`` CMaps
 (``bfchar`` + ``bfrange``, scalar and array forms) with per-``Tf`` font
 tracking — so CID-keyed ``/Type0`` ``Identity-H`` text (what Word, LaTeX,
 and every CJK-capable writer emits, including the Japanese PDFs the
-reference app targets) round-trips to the original Unicode.  RC4-encrypted
-files (Standard security handler, V<=2, empty user password — the common
-"restricted" shape) decrypt transparently.  It is NOT a general PDF
-library (no AES encryption, no stream predictors) — when ``pypdf`` is
-available the extractor (sources/binary.py) prefers it; this module is
-the guaranteed-present fallback so "feed a real PDF" works out of the
-box.
+reference app targets) round-trips to the original Unicode.  Encrypted
+files under the Standard security handler — RC4 (V<=2), AES-128
+(``/AESV2``) and AES-256 (``/AESV3``), empty user password, the common
+"restricted" shape — decrypt transparently (AES via the bundled
+FIPS-197 ``tinyaes``).  PNG/TIFF Flate predictors decode.  It is still
+NOT a general PDF library (no JBIG2/CCITT/DCT image codecs, no font
+programs) — when ``pypdf`` is available the extractor
+(sources/binary.py) prefers it; this module is the guaranteed-present
+fallback so "feed a real PDF" works out of the box.
 
 Object discovery is a raw scan for ``N 0 obj``/``endobj`` spans plus
 expansion of every object stream's contents — xref tables/streams are
@@ -232,11 +234,12 @@ def _expand_object_streams(objects: dict[int, bytes]) -> None:
 
 
 # ---------------------------------------------------------------------------
-# RC4 standard security handler (PDF 32000-1 §7.6.3, V<=2 R<=3) — the
-# "restricted" PDFs that carry an owner password but an EMPTY user
-# password, which viewers (and PDFBox in the reference, Function.java:
-# 90-132) open transparently.  AES (V>=4) needs a cipher the stdlib does
-# not ship and stays out of scope (documented in PARITY.md).
+# Standard security handler (PDF 32000-1 §7.6): RC4 (V<=2), AES-128
+# (/AESV2, V=4) and AES-256 (/AESV3, V=5 R=6) — the "restricted" PDFs
+# that carry an owner password but an EMPTY user password, which viewers
+# (and PDFBox in the reference, Function.java:90-132) open transparently.
+# AES comes from the bundled pure-stdlib FIPS-197 implementation
+# (sources/tinyaes.py, spec test vectors pinned).
 # ---------------------------------------------------------------------------
 
 _PW_PAD = bytes(
@@ -317,12 +320,44 @@ def _compute_u(file_key: bytes, file_id: bytes, r: int) -> bytes:
     return (u + b"\x00" * 16)[:32]
 
 
+def _enc_string(enc: bytes, name: bytes) -> bytes | None:
+    """A string entry (``/O``, ``/U``, ``/UE``...) from the Encrypt dict,
+    hex or literal form."""
+    m = re.search(rb"/" + name + rb"\s*([(<])", enc)
+    if not m:
+        return None
+    if m.group(1) == b"<":
+        he = enc.find(b">", m.end())
+        return bytes.fromhex(enc[m.end() : he].decode("ascii", "ignore"))
+    return _decode_literal(
+        re.match(rb"(?s)((?:\\.|[^\\)])*)", enc[m.end() :]).group(1)
+    )
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B (R=6 hardened hash, PDF 32000-2): the iterated
+    SHA-256/384/512 + AES-128-CBC loop."""
+    from . import tinyaes
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = tinyaes.cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        mod = int.from_bytes(e[:16], "big") % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        if i >= 63 and e[-1] <= i - 32:
+            return k[:32]
+        i += 1
+
+
 def _parse_encryption(content: bytes, objects: dict[int, bytes]):
     """If the trailer names an /Encrypt dict this parser can handle
-    (Standard handler, RC4), derive the file key assuming an EMPTY user
-    password and return it; plain files return None; unsupported schemes
-    (AES, user-password-protected with a real password) raise ValueError
-    so the caller can fall through to "no pages"."""
+    (Standard handler: RC4, /AESV2, /AESV3), derive the file key assuming
+    an EMPTY user password and return ``(mode, key)``; plain files return
+    None; unsupported schemes (non-Standard handlers, real user
+    passwords) raise ValueError so the caller falls through to "no
+    pages"."""
     m = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", content)
     if not m:
         return None
@@ -333,33 +368,70 @@ def _parse_encryption(content: bytes, objects: dict[int, bytes]):
         raise ValueError("unsupported security handler")
     mv = re.search(rb"/V\s+(\d+)", enc)
     v = int(mv.group(1)) if mv else 0
-    if v > 2:
-        raise ValueError("AES encryption not supported")
     mr = re.search(rb"/R\s+(\d+)", enc)
     r = int(mr.group(1)) if mr else 2
-    mlen = re.search(rb"/Length\s+(\d+)", enc)
-    n = (int(mlen.group(1)) // 8) if (mlen and v == 2) else 5
+
+    if v == 5:  # AES-256, R=6 (PDF 2.0 / Acrobat X+)
+        from . import tinyaes
+
+        u = _enc_string(enc, b"U")
+        ue = _enc_string(enc, b"UE")
+        if not u or len(u) < 48 or not ue:
+            raise ValueError("malformed AESV3 entries")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if _hash_2b(b"", vsalt) != u[:32]:
+            raise ValueError("non-empty user password")
+        interm = _hash_2b(b"", ksalt)
+        fkey = tinyaes.cbc_decrypt(interm, b"\x00" * 16, ue, unpad=False)
+        if len(fkey) != 32:
+            raise ValueError("malformed /UE")
+        return ("aesv3", fkey)
+
+    if v == 4:  # AES-128 (/AESV2) or RC4 via crypt filters
+        if not re.search(rb"/CFM\s*/AESV2", enc):
+            raise ValueError("unsupported V4 crypt filter")
+        mode, n = "aesv2", 16
+    elif v <= 2:
+        mode = "rc4"
+        mlen = re.search(rb"/Length\s+(\d+)", enc)
+        n = (int(mlen.group(1)) // 8) if (mlen and v == 2) else 5
+    else:
+        raise ValueError(f"unsupported encryption V={v}")
+
     mp = re.search(rb"/P\s+(-?\d+)", enc)
     p = int(mp.group(1)) if mp else -1
-    mo = re.search(rb"/O\s*[(<]", enc)
-    if not mo:
+    o_entry = _enc_string(enc, b"O")
+    if o_entry is None:
         raise ValueError("missing /O entry")
-    if enc[mo.end() - 1 : mo.end()] == b"<":
-        he = enc.find(b">", mo.end())
-        o_entry = bytes.fromhex(enc[mo.end() : he].decode("ascii"))
-    else:
-        o_entry = _decode_literal(
-            re.match(
-                rb"(?s)((?:\\.|[^\\)])*)", enc[mo.end() :]
-            ).group(1)
-        )
     mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", content)
     file_id = bytes.fromhex(mid.group(1).decode("ascii")) if mid else b""
-    return _file_key(b"", o_entry, p, file_id, r, n)
+    return (mode, _file_key(b"", o_entry, p, file_id, r, n))
 
 
-def _decrypt_streams(objects: dict[int, bytes], file_key: bytes) -> None:
-    """RC4-decrypt every top-level stream payload in place (generation 0 —
+def _decrypt_payload(mode: str, file_key: bytes, num: int, data: bytes) -> bytes:
+    if mode == "rc4":
+        return _rc4(_object_key(file_key, num, 0), data)
+    from . import tinyaes
+
+    if mode == "aesv2":
+        h = hashlib.md5(
+            file_key
+            + num.to_bytes(3, "little")
+            + (0).to_bytes(2, "little")
+            + b"sAlT"
+        ).digest()
+        key = h[: min(len(file_key) + 5, 16)]
+    else:  # aesv3: the file key is used directly for every object
+        key = file_key
+    if len(data) < 16:
+        return b""
+    return tinyaes.cbc_decrypt(key, data[:16], data[16:])
+
+
+def _decrypt_streams(
+    objects: dict[int, bytes], mode: str, file_key: bytes
+) -> None:
+    """Decrypt every top-level stream payload in place (generation 0 —
     this parser's object scan keeps no generation numbers, and practically
     all writers emit gen 0).  The XRef stream is never encrypted per spec,
     but it is also never consumed here, so decrypting it is harmless."""
@@ -367,7 +439,7 @@ def _decrypt_streams(objects: dict[int, bytes], file_key: bytes) -> None:
         m = _STREAM_RE.search(body)
         if not m:
             continue
-        data = _rc4(_object_key(file_key, num, 0), m.group(2))
+        data = _decrypt_payload(mode, file_key, num, m.group(2))
         objects[num] = body[: m.start(2)] + data + body[m.end(2) :]
 
 
@@ -577,13 +649,14 @@ def extract_text_pages(content: bytes) -> list[str] | None:
     if not objects:
         return None
     try:
-        file_key = _parse_encryption(content, objects)
+        enc_info = _parse_encryption(content, objects)
     except ValueError:
-        # AES / non-standard handlers / real user passwords: not
-        # parseable here — same contract as any other unreadable file.
+        # Non-standard handlers / real user passwords / malformed
+        # entries: not parseable here — same contract as any other
+        # unreadable file.
         return None
-    if file_key is not None:
-        _decrypt_streams(objects, file_key)
+    if enc_info is not None:
+        _decrypt_streams(objects, *enc_info)
     _expand_object_streams(objects)
 
     pages: list[str] = []
@@ -771,43 +844,131 @@ def make_pdf_15(pages: list[list[str]] | list[str]) -> bytes:
 def make_pdf_encrypted(
     pages: list[list[str]] | list[str],
     owner_pw: bytes = b"owner-secret",
+    scheme: str = "rc4",
 ) -> bytes:
-    """Write a genuinely RC4-encrypted PDF (Standard security handler,
-    V=2 R=3, 128-bit key, empty USER password) — the "restricted" shape
-    real-world PDFs use for edit/print permissions, which viewers and
-    PDFBox open without prompting.  /O and /U are computed per Algorithms
-    3 and 5, so the file validates in standards-conforming readers; every
-    stream payload is RC4-encrypted under its per-object key."""
+    """Write a genuinely encrypted PDF (Standard security handler, empty
+    USER password) in any of the three real-world shapes: ``"rc4"``
+    (V=2 R=3, 128-bit), ``"aesv2"`` (V=4 R=4, AES-128-CBC — the Acrobat
+    7+ default), or ``"aesv3"`` (V=5 R=6, AES-256 — PDF 2.0 / Acrobat
+    X+).  /O and /U (and for AES-256 /OE /UE /Perms) are computed per the
+    spec's algorithms, so the files validate in standards-conforming
+    readers; every stream payload is encrypted under its proper key.
+    Deterministic (salts/IVs derive from the content hash) so fixtures
+    are reproducible."""
+    from . import tinyaes
+
     plain = make_pdf(pages)
     objs = [
         (int(m.group(1)), m.group(2)) for m in _OBJ_RE.finditer(plain)
     ]
-    r, n, p = 3, 16, -3904
+    p = -3904
     file_id = hashlib.md5(plain).digest()
-    o_entry = _compute_o(owner_pw, b"", r, n)
-    fkey = _file_key(b"", o_entry, p, file_id, r, n)
-    u_entry = _compute_u(fkey, file_id, r)
 
-    out_objs: list[tuple[int, bytes]] = []
-    for num, body in objs:
-        m = _STREAM_RE.search(body)
-        if m:
-            data = _rc4(_object_key(fkey, num, 0), m.group(2))
-            body = body[: m.start(2)] + data + body[m.end(2) :]
-        out_objs.append((num, body))
-    enc_num = max(num for num, _ in out_objs) + 1
-    out_objs.append(
-        (
-            enc_num,
+    if scheme == "rc4":
+        r, n = 3, 16
+        o_entry = _compute_o(owner_pw, b"", r, n)
+        fkey = _file_key(b"", o_entry, p, file_id, r, n)
+        u_entry = _compute_u(fkey, file_id, r)
+        enc_dict = (
             b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d "
             b"/O <%s> /U <%s> >>"
             % (
                 p,
                 o_entry.hex().upper().encode("ascii"),
                 u_entry.hex().upper().encode("ascii"),
-            ),
+            )
         )
-    )
+
+        def enc_payload(num: int, data: bytes) -> bytes:
+            return _rc4(_object_key(fkey, num, 0), data)
+
+    elif scheme == "aesv2":
+        r, n = 4, 16
+        o_entry = _compute_o(owner_pw, b"", r, n)
+        fkey = _file_key(b"", o_entry, p, file_id, r, n)
+        u_entry = _compute_u(fkey, file_id, r)
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> >>"
+            % (
+                p,
+                o_entry.hex().upper().encode("ascii"),
+                u_entry.hex().upper().encode("ascii"),
+            )
+        )
+
+        def enc_payload(num: int, data: bytes) -> bytes:
+            h = hashlib.md5(
+                fkey
+                + num.to_bytes(3, "little")
+                + (0).to_bytes(2, "little")
+                + b"sAlT"
+            ).digest()
+            iv = hashlib.md5(file_id + num.to_bytes(4, "big")).digest()
+            return iv + tinyaes.cbc_encrypt(h[:16], iv, data)
+
+    elif scheme == "aesv3":
+        fkey = hashlib.sha256(plain).digest()  # 32-byte file key
+        uvs, uks = file_id[:8], file_id[8:16]
+        u_entry = _hash_2b(b"", uvs) + uvs + uks
+        ue = tinyaes.cbc_encrypt(
+            _hash_2b(b"", uks), b"\x00" * 16, fkey, pad=False
+        )
+        ovs = hashlib.md5(b"o" + plain).digest()[:8]
+        oks = hashlib.md5(b"k" + plain).digest()[:8]
+        o_entry = _hash_2b(owner_pw, ovs, u_entry) + ovs + oks
+        oe = tinyaes.cbc_encrypt(
+            _hash_2b(owner_pw, oks, u_entry), b"\x00" * 16, fkey, pad=False
+        )
+        perms_blk = (
+            (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff"
+            + b"Tadb"
+            + file_id[:4]
+        )
+        perms = tinyaes.cbc_encrypt(fkey, b"\x00" * 16, perms_blk, pad=False)
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+            % (
+                p,
+                o_entry.hex().upper().encode("ascii"),
+                u_entry.hex().upper().encode("ascii"),
+                oe.hex().upper().encode("ascii"),
+                ue.hex().upper().encode("ascii"),
+                perms.hex().upper().encode("ascii"),
+            )
+        )
+
+        def enc_payload(num: int, data: bytes) -> bytes:
+            iv = hashlib.md5(file_id + num.to_bytes(4, "big")).digest()
+            return iv + tinyaes.cbc_encrypt(fkey, iv, data)
+
+    else:
+        raise ValueError(f"scheme must be rc4|aesv2|aesv3, got {scheme!r}")
+
+    out_objs: list[tuple[int, bytes]] = []
+    for num, body in objs:
+        m = _STREAM_RE.search(body)
+        if m:
+            data = enc_payload(num, m.group(2))
+            body = (
+                body[: m.start(2)] + data + body[m.end(2) :]
+            )
+            # AES payloads grow (IV + padding): keep /Length honest.
+            body = re.sub(
+                rb"/Length\s+\d+",
+                b"/Length %d" % len(data),
+                body,
+                count=1,
+            )
+        out_objs.append((num, body))
+    enc_num = max(num for num, _ in out_objs) + 1
+    out_objs.append((enc_num, enc_dict))
 
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}

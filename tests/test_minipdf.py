@@ -154,10 +154,67 @@ def test_rc4_encrypted_through_spark_pipeline(spark, tmp_path):
     assert rows[("locked.pdf", 1)] == "alpha line one\nalpha line two"
 
 
-def test_aes_encrypted_falls_through():
-    """V>=4 (AES) is out of scope — must yield no pages, not garbage."""
+def test_aesv2_encrypted_roundtrip():
+    """AES-128 (/AESV2, the Acrobat 7+ default) decrypts transparently:
+    per-object sAlT-derived keys, IV-prefixed CBC payloads."""
+    pdf = MP.make_pdf_encrypted(PAGES, scheme="aesv2")
+    assert b"/AESV2" in pdf
+    assert MP.extract_text_pages(pdf) == [
+        "alpha line one\nalpha line two",
+        "beta solo",
+    ]
+
+
+def test_aesv3_encrypted_roundtrip():
+    """AES-256 (/AESV3, PDF 2.0): the file key unwraps from /UE via the
+    Algorithm 2.B hardened hash with the empty user password."""
+    pdf = MP.make_pdf_encrypted(PAGES, scheme="aesv3")
+    assert b"/AESV3" in pdf and b"/UE" in pdf
+    assert MP.extract_text_pages(pdf) == [
+        "alpha line one\nalpha line two",
+        "beta solo",
+    ]
+
+
+def test_aes_fips_vectors():
+    """The bundled AES pins the FIPS-197 Appendix C vectors."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.sources import (
+        tinyaes,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    assert (
+        tinyaes._encrypt_block(pt, tinyaes._expand_key(k128)).hex()
+        == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+    assert (
+        tinyaes._encrypt_block(pt, tinyaes._expand_key(k256)).hex()
+        == "8ea2b7ca516745bfeafc49904b496089"
+    )
+    iv = bytes(range(16))
+    for msg in (b"", b"x", b"0123456789abcdef" * 3 + b"tail"):
+        ct = tinyaes.cbc_encrypt(k256, iv, msg)
+        assert tinyaes.cbc_decrypt(k256, iv, ct) == msg
+
+
+def test_malformed_v4_falls_through():
+    """A V=4 dict with no recognizable crypt filter yields no pages."""
     pdf = MP.make_pdf_encrypted(PAGES).replace(b"/V 2", b"/V 4")
     assert MP.extract_text_pages(pdf) is None
+
+
+def test_aesv3_real_user_password_falls_through():
+    """A tampered /U validation hash means the empty user password does
+    not validate — the parser must refuse, not emit garbage."""
+    pdf = MP.make_pdf_encrypted(PAGES, scheme="aesv3")
+    i = pdf.index(b"/U <") + len(b"/U <")
+    bad = pdf[:i] + b"00000000" + pdf[i + 8 :]
+    assert MP.extract_text_pages(bad) is None
 
 
 def test_wrong_key_does_not_crash():
