@@ -192,6 +192,7 @@ ROWS_ONLY: list[str] = [
     "streaming_neardup_matches",
     "approx_aggregates_gallery",
     "ann_recall_report",
+    "bpe_vocab_train",
 ]
 
 

@@ -3960,3 +3960,28 @@ def dataset_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         shuffle_key.alias("shuffle_key"),
     ).orderBy("split", "shuffle_key", "doc_id")
+
+
+@query("bpe_vocab_train")
+def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training over the documents corpus
+    (operators/bpe.py): Spark reduces the corpus to its pre-token
+    frequency table (the one 100 TB pass — scan + partial-agg shuffle on
+    Heaps'-law-small keys), the sequential merge loop runs on the capped
+    sufficient statistics driver-side (how GPT-2 / HuggingFace trainers
+    split the work), and the learned ranks are then applied distributed
+    by ``bpe_encode``'s broadcast-ranks Arrow UDF.  Returns the merge
+    table — rank, pair, merged symbol — plus the honest ``dropped_words``
+    cap count (0 on the fixture corpus: no silent caps).  The iterative
+    merge selection is not SQL-expressible -> rows-only; determinism is
+    pinned by tests/test_bpe.py (tie-break = lexicographic, partition-
+    order invariant)."""
+    from .operators import bpe as BP
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, dropped = BP.train_bpe(docs, num_merges=48, max_words=100_000)
+    return (
+        BP.bpe_merges_df(spark, merges)
+        .withColumn("dropped_words", F.lit(int(dropped)).cast("long"))
+        .orderBy("rank")
+    )

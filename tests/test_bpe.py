@@ -1,0 +1,94 @@
+"""BPE vocabulary training + distributed encoding (operators/bpe.py)."""
+
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.functions.text import (
+    bpe_token_count,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    bpe as B,
+)
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # The classic BPE teaching corpus: "low"-family words with skewed
+    # frequencies so the merge order is known a priori.
+    rows = (
+        [("low",)] * 5
+        + [("lower",)] * 2
+        + [("newest",)] * 6
+        + [("widest",)] * 3
+    )
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_word_frequencies_counts(corpus):
+    wf = {r["word"]: r["freq"] for r in B.word_frequencies(corpus).collect()}
+    assert wf == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_train_bpe_learns_expected_merges(corpus):
+    merges, dropped = B.train_bpe(corpus, num_merges=4)
+    assert dropped == 0
+    # Pair counts on the raw corpus: ("e","s") and ("s","t") both appear in
+    # newest+widest (6+3=9); the lexicographic tie-break picks ("e","s")
+    # first, then ("es","t") at 9, then ("est" merges exhausted) the
+    # l-family pairs ("l","o") at 7.
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert ("l", "o") in merges[2:]
+
+
+def test_train_bpe_deterministic(corpus):
+    m1, _ = B.train_bpe(corpus, num_merges=6)
+    m2, _ = B.train_bpe(corpus.repartition(7), num_merges=6)
+    assert m1 == m2
+
+
+def test_train_bpe_cap_reports_drops(corpus):
+    merges, dropped = B.train_bpe(corpus, num_merges=2, max_words=2)
+    assert dropped == 2  # 4 distinct words, top-2 kept
+    # Trained only on newest(6)+low(5): first merge is still ("e","s").
+    assert merges[0] == ("e", "s")
+
+
+def test_train_bpe_hard_cap_raises(corpus):
+    with pytest.raises(ValueError, match="hard cap"):
+        B.train_bpe(corpus, max_words=B.MAX_WORDS_HARD_CAP + 1)
+
+
+def test_merges_df_shape(spark, corpus):
+    merges, _ = B.train_bpe(corpus, num_merges=3)
+    mdf = B.bpe_merges_df(spark, merges)
+    assert mdf.columns == ["rank", "left", "right", "merged"]
+    rows = mdf.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [0, 1, 2]
+    assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_encode_compresses_vs_char_level(spark, corpus):
+    merges, _ = B.train_bpe(corpus, num_merges=8)
+    enc = B.bpe_encode(corpus, merges)
+    out = enc.select(
+        "text",
+        "bpe_tokens",
+        F.length("text").alias("chars"),
+        bpe_token_count("text").alias("pretokens"),
+    ).collect()
+    for r in out:
+        # Learned tokens: never more than character count, never fewer
+        # than the pre-token count, and strictly compressed for the
+        # high-frequency words the merges were trained on.
+        assert r["pretokens"] <= r["bpe_tokens"] <= r["chars"]
+    full = {r["text"]: r["bpe_tokens"] for r in out}
+    # "newest" (freq 6): est+new fully merged within 8 merges -> <=2 tokens.
+    assert full["newest"] <= 2
+    assert full["low"] <= 2
+
+
+def test_encode_no_merges_is_char_count(corpus):
+    out = B.bpe_encode(corpus, []).select("text", "bpe_tokens").collect()
+    for r in out:
+        assert r["bpe_tokens"] == len(r["text"])
