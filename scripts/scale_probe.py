@@ -337,6 +337,31 @@ def main() -> None:
     ).collect()
     results["mixture_1m_sec"] = round(time.time() - t0, 2)
 
+    # 6. BPE vocabulary training on the same 1M-doc corpus: the corpus-wide
+    #    cost is ONE pre-token frequency reduction (explode + partial-agg;
+    #    ~31M token occurrences -> Heaps'-law-small distinct table), after
+    #    which the merge loop runs on driver-side sufficient statistics.
+    #    Encode applies the broadcast ranks distributed over a 100k sample.
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402,PLC0415
+        bpe as BP,
+    )
+
+    t0 = time.time()
+    n_words = BP.word_frequencies(docs).count()
+    results["bpe_wordfreq_1m_sec"] = round(time.time() - t0, 2)
+    results["bpe_distinct_words"] = int(n_words)
+
+    t0 = time.time()
+    merges, dropped = BP.train_bpe(docs, num_merges=32, max_words=100_000)
+    results["bpe_train_1m_sec"] = round(time.time() - t0, 2)
+    results["bpe_merges_learned"] = len(merges)
+    results["bpe_dropped_words"] = int(dropped)
+
+    sample = docs.filter(F.col("doc_id") < 100_000)
+    t0 = time.time()
+    BP.bpe_encode(sample, merges).agg(F.sum("bpe_tokens")).collect()
+    results["bpe_encode_100k_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps(results))
 
 
