@@ -92,3 +92,21 @@ def test_encode_no_merges_is_char_count(corpus):
     out = B.bpe_encode(corpus, []).select("text", "bpe_tokens").collect()
     for r in out:
         assert r["bpe_tokens"] == len(r["text"])
+
+
+def test_word_frequencies_plan_is_scan_shaped(spark, sf_dir):
+    """The corpus-wide pass must be the 100 TB shape: column-pruned scan
+    (only `text` read), native explode, map-side partial_count BEFORE the
+    single word-keyed exchange, no Python anywhere in the counting path."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans import (
+        explain as E,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    wf = B.word_frequencies(load_table(spark, sf_dir, "documents"))
+    assert E.read_schema_columns(wf) == [["text"]]
+    assert E.python_eval_nodes(wf) == []
+    assert E.num_exchanges(wf) == 1
+    assert "partial_count" in E.plan_string(wf, "simple")
