@@ -121,6 +121,7 @@ SUITES: dict[str, list[str]] = {
         "pii_redaction",
         "repetition_signals",
         "sequence_packing",
+        "ngram_dup_stats",
     ],
     "corpus_stats_suite": [
         "lang_distribution",

@@ -35,6 +35,7 @@ __all__ = [
     "exact_dedup",
     "word_shingles",
     "jaccard_pairs",
+    "ngram_dup_stats",
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash64",
@@ -259,6 +260,83 @@ def _jaccard_from_buckets(
         joined.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_dup_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for each document, how
+    much of it is made of word n-gram windows that also appear in other
+    documents.  Doc-level dedup (exact/MinHash) misses boilerplate spans
+    pasted into otherwise-distinct pages; this is the per-span signal.
+
+    Returns one row per input doc:
+    ``(doc_id, n_windows, n_grams, n_dup_grams, dup_gram_ppm)`` —
+    total window positions, distinct n-grams, distinct n-grams found in
+    >= ``min_docs`` documents, and the duplicated fraction as exact
+    integer parts-per-million (``(n_dup_grams * 1e6) div n_grams`` —
+    BIGINT, not a formatted double, per the dyadic-half-boundary rule in
+    driver_registry.py).
+
+    100 TB shape: the paper builds a corpus-wide suffix array; the
+    Spark-first equivalent is two hash shuffles over 8-byte keys.  The
+    sliding windows are native expressions (tokenize -> ``transform`` over
+    ``sequence`` -> ``concat_ws`` slice) deduped per doc BEFORE the
+    exchange, so the shuffle carries one ``(xxhash64(gram), doc_id)`` row
+    per distinct gram occurrence — the same cost class as the suffix-array
+    sort, with map-side combine on the document-frequency aggregate.  The
+    gram string itself never shuffles.  A 64-bit collision would merge two
+    unrelated grams (~p = G^2/2^65 for G distinct grams — negligible below
+    ~1e8 grams, and only ever over-counts duplication); the per-doc
+    distinct-gram count is string-exact (``array_distinct`` before the
+    size), so the oracle comparison is collision-free on the fixtures.
+    """
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("grams"),
+        F.greatest(
+            F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
+        ).cast("long").alias("n_windows"),
+    )
+    # One row per distinct (doc, gram); only the 64-bit key shuffles.
+    g = base.select(
+        F.col("id"), F.explode("grams").alias("__g")
+    ).select("id", F.xxhash64("__g").alias("gk"))
+    # Document frequency per gram key: g is distinct per doc, so count(*)
+    # IS the doc frequency.  Partial aggregation applies map-side.
+    dup_keys = (
+        g.groupBy("gk")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= F.lit(min_docs))
+        .select("gk")
+    )
+    per_doc = (
+        g.join(dup_keys, "gk")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    out = base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("n_windows"),
+        F.size("grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias(
+            "n_dup_grams"
+        ),
+    )
+    return out.withColumn(
+        "dup_gram_ppm",
+        F.when(
+            F.col("n_grams") > 0,
+            F.expr("(n_dup_grams * CAST(1000000 AS BIGINT)) div n_grams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
     )
 
 

@@ -1087,6 +1087,46 @@ def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_dup_stats",
+    r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, CAST(greatest(len(t) - 7, 0) AS BIGINT) AS n_windows,
+         list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                       i -> array_to_string(t[i:i+7], ' '))) AS grams
+  FROM toks),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM w),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+per AS (SELECT g.doc_id, count(*) AS n_dup FROM g JOIN dup USING (gram)
+        GROUP BY g.doc_id)
+SELECT w.doc_id AS doc_id,
+       w.n_windows,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CAST(CASE WHEN len(grams) > 0
+            THEN (coalesce(p.n_dup, 0) * 1000000) // len(grams)
+            ELSE 0 END AS BIGINT) AS dup_gram_ppm
+FROM w LEFT JOIN per p ON w.doc_id = p.doc_id
+ORDER BY w.doc_id
+""",
+)
+def ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (operators.dedup.ngram_dup_stats
+    — Lee et al. 2022 exact-substring dedup, re-expressed as two hash
+    shuffles over 64-bit gram keys instead of a corpus suffix array).
+    Catches boilerplate spans shared across otherwise-distinct documents,
+    which doc-level exact/MinHash dedup misses.  The duplicated fraction is
+    exact BIGINT ppm (never a formatted double — dyadic rule,
+    driver_registry.py).  Oracle groups the gram *strings*; Spark shuffles
+    xxhash64 keys — identical absent 64-bit collisions (fixture G ~ 2e4
+    grams -> p < 1e-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_dup_stats(docs, n=8).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Relational closure, batch 2: joins (semi/anti/outer/asof), grouping sets,
 # pivot, exact moments, sessionization, sliding windows, function galleries

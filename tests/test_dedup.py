@@ -466,3 +466,65 @@ def test_jaccard_observation_path_matches_default_path(spark):
     }
     assert got == base
     assert obs.get["dropped_hot_shingles"] >= 0
+
+
+def test_ngram_dup_stats_planted_spans(spark):
+    """A shared 8-word span must be flagged in BOTH carriers (distinct-gram
+    counting, >=2 docs), unique text must score zero, and short docs
+    (<8 tokens) must report zero windows.  Counts cross-checked against a
+    Python brute force."""
+    span = "one two three four five six seven eight"
+    docs = [
+        (0, f"{span} unique-a tail-a"),       # carries the span + 2 extras
+        (1, f"prefix-b {span} tail-b"),       # same span elsewhere in doc
+        (2, "totally different words with no duplication at all here now"),
+        (3, "short doc"),                     # < 8 tokens -> no windows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in D.ngram_dup_stats(df, n=8).collect()
+    }
+
+    # brute force: distinct 8-gram sets per doc, dup = in >= 2 docs
+    def grams(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+        }
+
+    sets = {i: grams(t) for i, t in docs}
+    from collections import Counter
+
+    dfreq = Counter(g for s in sets.values() for g in s)
+    for i, t in docs:
+        n_tok = len(t.split())
+        assert got[i]["n_windows"] == max(n_tok - 7, 0)
+        assert got[i]["n_grams"] == len(sets[i])
+        expect_dup = sum(1 for g in sets[i] if dfreq[g] >= 2)
+        assert got[i]["n_dup_grams"] == expect_dup
+        if len(sets[i]):
+            assert (
+                got[i]["dup_gram_ppm"]
+                == expect_dup * 1000000 // len(sets[i])
+            )
+        else:
+            assert got[i]["dup_gram_ppm"] == 0
+    # the planted span is one shared gram in each carrier
+    assert got[0]["n_dup_grams"] == 1 and got[1]["n_dup_grams"] == 1
+    assert got[2]["n_dup_grams"] == 0 and got[3]["n_windows"] == 0
+
+
+def test_ngram_dup_stats_plan_is_native(spark):
+    """Hot path stays JVM-side: no Python eval nodes, and the gram string
+    never reaches an exchange (only the 64-bit xxhash64 key shuffles)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans import (
+        explain as E,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    out = D.ngram_dup_stats(df, n=8)
+    assert E.python_eval_nodes(out) == []
+    sig = E.plan_signature(out)
+    assert "ArrowEvalPython" not in sig and "BatchEvalPython" not in sig
