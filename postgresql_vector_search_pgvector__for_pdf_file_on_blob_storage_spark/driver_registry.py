@@ -178,11 +178,19 @@ INDIVIDUAL: list[str] = [
     "corpus_curation_pipeline",
 ]
 
+# Rows-only SUITES: members share one driver entry via the same
+# (q, row) canonical union as the oracle-backed suites, but with no
+# DuckDB twin — the driver records the combined row count.  Members keep
+# their individual pytest/cross-check coverage (e.g. udtf_chunk_lateral's
+# count is asserted equal to chunk_explode's in tests).
+ROWS_ONLY_SUITES: dict[str, list[str]] = {
+    "chunking_gallery": ["chunk_explode", "udtf_chunk_lateral"],
+}
+
 # Rows-only queries (no SQL oracle) that keep their own driver entry.
 ROWS_ONLY: list[str] = [
     "flagship_rag_search",
-    "chunk_explode",
-    "udtf_chunk_lateral",
+    "semantic_dedup",
     "multimodal_image_pipeline",
     "summarize_hits",
     "sse_event_projection",
@@ -281,8 +289,16 @@ def build() -> tuple[dict[str, Callable], dict[str, str]]:
     # Coverage invariant: every registered query is either driver-visible
     # on its own or a member of exactly one suite.
     suite_members = [m for ms in SUITES.values() for m in ms]
-    assert len(suite_members) == len(set(suite_members)), "duplicate member"
-    covered = set(INDIVIDUAL) | set(ROWS_ONLY) | set(suite_members)
+    ro_suite_members = [m for ms in ROWS_ONLY_SUITES.values() for m in ms]
+    assert len(suite_members + ro_suite_members) == len(
+        set(suite_members) | set(ro_suite_members)
+    ), "duplicate member"
+    covered = (
+        set(INDIVIDUAL)
+        | set(ROWS_ONLY)
+        | set(suite_members)
+        | set(ro_suite_members)
+    )
     missing = set(Q.QUERIES) - covered
     assert not missing, f"queries missing from driver registry: {missing}"
     for m in suite_members:
@@ -296,6 +312,8 @@ def build() -> tuple[dict[str, Callable], dict[str, str]]:
     for suite, members in SUITES.items():
         queries[suite] = _suite_fn(members)
         oracles[suite] = _suite_sql(members)
+    for suite, members in ROWS_ONLY_SUITES.items():
+        queries[suite] = _suite_fn(members)
     for name in ROWS_ONLY:
         queries[name] = Q.QUERIES[name]
     # The driver records at most DRIVER_ENTRY_CAP entries and silently

@@ -4025,3 +4025,25 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dropped_words", F.lit(int(dropped)).cast("long"))
         .orderBy("rank")
     )
+
+
+@query("semantic_dedup")
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py — Abbas et al. 2023) over the
+    embeddings table: k-means clusters, within-cluster cosine-duplicate
+    edges via one normalized GEMM per cluster (``applyInPandas``), star-
+    contraction components, one kept representative (min id) per
+    semantic-duplicate group.  Quadratic work is confined inside clusters
+    — O(sum c_i^2), the paper's cost model — with a loud
+    ``max_cluster_size`` refusal on degenerate clusters.  k-means cluster
+    geometry is engine-specific -> rows-only; recall vs the exact
+    ``similarity_join`` twin is asserted in tests/test_semdedup.py."""
+    from .operators import semdedup as SD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # eps matches embedding_near_dup's 0.6 threshold (fixture cosine
+    # distances: min ~0.49) so the planted near-dup structure becomes
+    # semantic-duplicate groups on this corpus.
+    return SD.semantic_dedup(
+        emb, eps=0.6, k_clusters=8, id_col="vec_id"
+    ).orderBy("vec_id")

@@ -1,0 +1,154 @@
+"""Scale probes for the round-3 dedup additions (BASELINE.md evidence):
+
+1. **SemDeDup at 1M vectors** (operators/semdedup.py): 100k planted
+   exact-duplicate pairs hidden in 1M 64-d vectors.  Measures the k-means
+   fit, the within-cluster blocked-GEMM edge scan (the O(sum c_i^2) cost
+   the paper trades against O(n^2)), and the component/keeper pass —
+   and checks the planted pairs are all recovered (identical vectors
+   always co-cluster, so exact-dup recall is 1.0 by construction; the
+   near-dup recall trade-off is measured separately in
+   tests/test_semdedup.py on separable clusters).
+
+2. **ngram_dup_stats at 1M docs** (operators/dedup.py): 10% of docs carry
+   a shared 10-word boilerplate prefix; every such doc must be flagged
+   with >= 3 duplicated 8-gram windows.  Measures the two-hash-shuffle
+   substring-dedup pass (~23M gram occurrences).
+
+Run: ``python scripts/semdedup_probe.py [n_vec] [n_docs]``.
+Output: one JSON line per probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (  # noqa: E402
+    get_spark,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402
+    dedup as D,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (  # noqa: E402
+    semdedup as S,
+)
+
+
+def dup_vectors(spark, n: int, dim: int = 64, parts: int = 64):
+    """1M vectors where ids >= 0.9n repeat the vector of id - 0.9n:
+    n/10 planted exact-duplicate pairs, everything else hash-unique."""
+    content = F.pmod(F.col("id"), F.lit(int(n * 0.9)))
+
+    def elem(j):
+        return (
+            (F.pmod(F.hash(content, F.lit(j)), F.lit(2001)) - F.lit(1000))
+            / F.lit(1000.0)
+        ).cast("float")
+
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)), elem).alias("embedding"),
+    )
+
+
+def boilerplate_docs(spark, n: int, parts: int = 64):
+    """~30-word docs; every 10th doc starts with the same 10-word
+    boilerplate prefix (the substring-dedup target)."""
+    prefix = " ".join(f"boiler{j}" for j in range(10))
+    body = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("w"), F.hash(F.col("id"), F.lit(j)))
+            for j in range(20)
+        ],
+    )
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0, F.concat(F.lit(prefix + " "), body)
+        )
+        .otherwise(body)
+        .alias("text"),
+    )
+
+
+def main() -> None:
+    n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    spark = get_spark(app_name="semdedup-probe")
+
+    # --- probe 1: SemDeDup ------------------------------------------------
+    vecs = dup_vectors(spark, n_vec).cache()
+    vecs.count()
+    planted_pairs = n_vec // 10
+
+    t0 = time.time()
+    assigned = S.cluster_assign(
+        vecs, k_clusters=64, max_iter=5
+    ).localCheckpoint()
+    fit_sec = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    edges = S.semantic_dup_edges(
+        assigned, eps=0.05, max_cluster_size=n_vec
+    )
+    n_edges = edges.count()
+    edges_sec = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out = S.semantic_dedup(vecs, eps=0.05, k_clusters=64, max_cluster_size=n_vec)
+    n_dropped = out.filter(~F.col("is_keeper")).count()
+    full_sec = round(time.time() - t0, 2)
+    vecs.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "probe": "semdedup",
+                "n_vec": n_vec,
+                "planted_pairs": planted_pairs,
+                "kmeans_fit_sec": fit_sec,
+                "edge_scan_sec": edges_sec,
+                "n_edges": n_edges,
+                "full_pipeline_sec": full_sec,
+                "n_dropped": n_dropped,
+                "planted_recovered": n_dropped == planted_pairs,
+            }
+        )
+    )
+
+    # --- probe 2: substring-level dup stats -------------------------------
+    docs = boilerplate_docs(spark, n_docs).cache()
+    docs.count()
+    t0 = time.time()
+    stats = D.ngram_dup_stats(docs, n=8)
+    agg = stats.agg(
+        F.count("*").alias("docs"),
+        F.sum((F.col("n_dup_grams") >= 3).cast("long")).alias("flagged"),
+        F.sum("n_dup_grams").alias("total_dup_grams"),
+    ).collect()[0]
+    sec = round(time.time() - t0, 2)
+    docs.unpersist()
+    print(
+        json.dumps(
+            {
+                "probe": "ngram_dup_stats",
+                "n_docs": n_docs,
+                "sec": sec,
+                "mdocs_per_sec": round(n_docs / sec / 1e6, 2),
+                "docs_flagged": agg["flagged"],
+                "expected_flagged": n_docs // 10,
+                "total_dup_grams": agg["total_dup_grams"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,11 +46,20 @@ def test_driver_registry_covers_every_query():
     )
 
     members = [m for ms in R.SUITES.values() for m in ms]
-    covered = set(R.INDIVIDUAL) | set(R.ROWS_ONLY) | set(members)
+    ro_members = [m for ms in R.ROWS_ONLY_SUITES.values() for m in ms]
+    covered = (
+        set(R.INDIVIDUAL) | set(R.ROWS_ONLY) | set(members) | set(ro_members)
+    )
     assert covered == set(Q.QUERIES)
-    assert len(members) == len(set(members))
+    assert len(members + ro_members) == len(set(members) | set(ro_members))
     # Cap headroom: the round-1 driver recorded only 50 entries.
-    assert len(R.INDIVIDUAL) + len(R.ROWS_ONLY) + len(R.SUITES) <= 50
+    assert (
+        len(R.INDIVIDUAL)
+        + len(R.ROWS_ONLY)
+        + len(R.SUITES)
+        + len(R.ROWS_ONLY_SUITES)
+        <= 50
+    )
 
 
 def test_driver_registry_respects_entry_cap():

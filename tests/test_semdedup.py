@@ -1,0 +1,141 @@
+"""Semantic dedup (SemDeDup): planted duplicate groups must be found and
+collapsed to min-id keepers; the cluster approximation's recall vs the
+exact similarity join is measured, not assumed; the quadratic-cluster
+guard must refuse loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    ann as A,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    knn as K,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+    semdedup as S,
+)
+
+
+def _planted(spark):
+    """3 duplicate groups of 4 near-identical vectors + 8 unique vectors,
+    well-separated in 8-d."""
+    rows = []
+    base = {
+        0: [1.0, 0, 0, 0, 0, 0, 0, 0],
+        1: [0, 1.0, 0, 0, 0, 0, 0, 0],
+        2: [0, 0, 1.0, 0, 0, 0, 0, 0],
+    }
+    vid = 0
+    for g, v in base.items():
+        for j in range(4):
+            jit = [x + 0.001 * ((vid * 7 + i) % 3) for i, x in enumerate(v)]
+            rows.append((vid, jit, g))
+            vid += 1
+    for u in range(8):
+        v = [0.0] * 8
+        v[3 + (u % 5)] = 1.0
+        v[(u * 3) % 3] = 0.5 if u % 2 else -0.5
+        rows.append((vid, v, 100 + u))
+        vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+
+
+def test_semantic_dedup_collapses_planted_groups(spark):
+    df = _planted(spark)
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup(
+            df, eps=0.05, k_clusters=6, id_col="vec_id"
+        ).collect()
+    }
+    assert len(out) == df.count()
+    # each planted group of 4 collapses to one keeper = min id
+    for g in range(3):
+        ids = [g * 4 + j for j in range(4)]
+        groups = {out[i]["group_id"] for i in ids}
+        assert groups == {min(ids)}, groups
+        assert [out[i]["is_keeper"] for i in ids] == [
+            i == min(ids) for i in ids
+        ]
+    # uniques keep themselves
+    for i in range(12, 20):
+        assert out[i]["group_id"] == i and out[i]["is_keeper"]
+
+
+def test_semantic_dup_edges_recall_vs_exact(spark):
+    """On clustered data the within-cluster scan must recover nearly all
+    exact cosine-duplicate pairs (the paper's approximation, measured).
+    k-means(k=16) on 16 true centers separates them, so recall is 1.0."""
+    items = A.synthetic_clustered_vectors(
+        spark, 400, dim=16, n_centers=16, noise=0.02
+    )
+    eps = 0.05
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in K.similarity_join(
+            items.select(F.col("vec_id").alias("left_id"), "embedding"),
+            items.select(F.col("vec_id").alias("right_id"), "embedding"),
+            threshold=eps,
+            metric="cosine",
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+        .collect()
+    }
+    assigned = S.cluster_assign(items, k_clusters=16)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.semantic_dup_edges(assigned, eps=eps).collect()
+    }
+    assert exact, "fixture produced no exact duplicate pairs"
+    assert got <= exact  # within-cluster pairs are a subset of exact
+    recall = len(got & exact) / len(exact)
+    assert recall == 1.0, f"recall {recall} on separable clusters"
+
+
+def test_semantic_dup_edges_cluster_cap_raises(spark):
+    items = A.synthetic_clustered_vectors(
+        spark, 100, dim=8, n_centers=2, noise=0.01
+    )
+    assigned = S.cluster_assign(items, k_clusters=2)
+    with pytest.raises(Exception, match="max_cluster_size"):
+        S.semantic_dup_edges(
+            assigned, eps=0.05, max_cluster_size=10
+        ).collect()
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """One corpus-wide exchange to co-locate clusters feeding the pandas
+    GEMM — the edge scan must not add extra shuffles of the vectors."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans import (
+        explain as E,
+    )
+
+    items = A.synthetic_clustered_vectors(
+        spark, 200, dim=8, n_centers=4, noise=0.01
+    )
+    assigned = S.cluster_assign(items, k_clusters=4)
+    sig = E.plan_signature(S.semantic_dup_edges(assigned, eps=0.05))
+    assert sig.get("FlatMapGroupsInPandas", 0) == 1
+    assert sig.get("Exchange", 0) <= 1
+
+
+def test_semantic_dup_edges_blocked_equals_single_block(spark):
+    """The memory-bounding row-blocked GEMM must emit exactly the pairs
+    the single-block form does (forced tiny blocks -> many blocks)."""
+    items = A.synthetic_clustered_vectors(
+        spark, 300, dim=8, n_centers=12, noise=0.02
+    )
+    assigned = S.cluster_assign(items, k_clusters=12)
+
+    def pairs(block_elems):
+        return {
+            (r["id_a"], r["id_b"], round(r["cos_dist"], 9))
+            for r in S.semantic_dup_edges(
+                assigned, eps=0.05, block_elems=block_elems
+            ).collect()
+        }
+
+    assert pairs(block_elems=64) == pairs(block_elems=1 << 22)
