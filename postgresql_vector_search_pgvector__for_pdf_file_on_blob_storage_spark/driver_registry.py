@@ -122,6 +122,7 @@ SUITES: dict[str, list[str]] = {
         "repetition_signals",
         "sequence_packing",
         "ngram_dup_stats",
+        "strip_dup_ngrams",
     ],
     "corpus_stats_suite": [
         "lang_distribution",

@@ -36,6 +36,7 @@ __all__ = [
     "word_shingles",
     "jaccard_pairs",
     "ngram_dup_stats",
+    "strip_dup_ngrams",
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash64",
@@ -337,6 +338,91 @@ def ngram_dup_stats(
         )
         .otherwise(F.lit(0))
         .cast("long"),
+    )
+
+
+def strip_dup_ngrams(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove corpus-duplicated spans from documents (the second half of
+    Lee et al. 2022: don't just *measure* duplicated substrings —
+    :func:`ngram_dup_stats` — cut them out).  A token is removed iff it is
+    covered by at least one word n-gram window whose gram appears in
+    >= ``min_docs`` documents; the survivors are re-joined with single
+    spaces.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed_tokens)``.
+
+    Same 100 TB shape as the stats operator — the corpus-wide work is the
+    distinct-(doc, gram-hash) exchange and one doc-frequency aggregate;
+    the span arithmetic (window starts -> covered token indexes -> token
+    filter) is per-document native array expressions, so nothing
+    quadratic and no Python anywhere.
+    """
+    toks = X.word_tokens(text_col)
+    n_toks = F.size(toks)
+    count = F.greatest(n_toks - F.lit(n - 1), F.lit(0))
+    # (start, gram) per window position, 1-based.
+    wins = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+        ),
+    )
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.when(count > 0, wins)
+        .otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        .alias("wins"),
+    )
+    occ = base.select(
+        "id", F.explode("wins").alias("w")
+    ).select("id", F.col("w.pos").alias("pos"), F.xxhash64("w.gram").alias("gk"))
+    dup_keys = (
+        occ.select("id", "gk")
+        .distinct()
+        .groupBy("gk")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= F.lit(min_docs))
+        .select("gk")
+    )
+    starts = (
+        occ.join(dup_keys, "gk")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = base.join(starts, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    covered = lambda j: F.exists(  # noqa: E731
+        F.col("starts"),
+        lambda s: (j >= s) & (j <= s + F.lit(n - 1)),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda j: ~covered(j),
+    )
+    kept = F.when(F.size("toks") > 0, kept).otherwise(
+        F.array().cast("array<int>")
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(
+            " ",
+            F.transform(kept, lambda j: F.element_at("toks", j)),
+        ).alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias(
+            "n_removed_tokens"
+        ),
     )
 
 

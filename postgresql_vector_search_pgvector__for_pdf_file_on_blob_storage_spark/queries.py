@@ -1127,6 +1127,54 @@ def ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_dup_stats(docs, n=8).orderBy("doc_id")
 
 
+@query(
+    "strip_dup_ngrams",
+    r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, t,
+         list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                        i -> struct_pack(pos := i, gram := array_to_string(t[i:i+7], ' '))) AS wins
+  FROM toks),
+occ AS (
+  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram
+  FROM (SELECT doc_id, unnest(wins) AS u FROM w)),
+dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM occ)
+  GROUP BY gram HAVING count(*) >= 2),
+starts AS (
+  SELECT o.doc_id, list_sort(list(o.pos)) AS starts
+  FROM occ o JOIN dup d ON o.gram = d.gram GROUP BY o.doc_id),
+kept AS (
+  SELECT w.doc_id AS doc_id, t,
+         list_filter(range(1, len(t) + 1),
+           j -> len(list_filter(coalesce(s.starts, []),
+                                st -> j >= st AND j <= st + 7)) = 0) AS keep
+  FROM w LEFT JOIN starts s ON w.doc_id = s.doc_id)
+SELECT doc_id,
+       -- array_to_string([]) is NULL in DuckDB; Spark concat_ws gives ''
+       coalesce(array_to_string(list_transform(keep, j -> t[j]), ' '), '')
+         AS clean_text,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(keep) AS BIGINT) AS n_removed_tokens
+FROM kept ORDER BY doc_id
+""",
+)
+def strip_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL half of exact-substring dedup (operators.dedup.
+    strip_dup_ngrams): every token covered by a corpus-duplicated word
+    8-gram window is cut, survivors re-joined with single spaces.  The
+    corpus-wide work is the same two hash shuffles as ``ngram_dup_stats``;
+    the span arithmetic is per-doc native array lambdas (positions ->
+    coverage -> filter), Python-free.  The oracle restates the identical
+    window/coverage algebra over DuckDB list lambdas — clean_text strings
+    compare bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.strip_dup_ngrams(docs, n=8).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Relational closure, batch 2: joins (semi/anti/outer/asof), grouping sets,
 # pivot, exact moments, sessionization, sliding windows, function galleries

@@ -528,3 +528,48 @@ def test_ngram_dup_stats_plan_is_native(spark):
     assert E.python_eval_nodes(out) == []
     sig = E.plan_signature(out)
     assert "ArrowEvalPython" not in sig and "BatchEvalPython" not in sig
+
+
+def test_strip_dup_ngrams_removes_planted_span(spark):
+    """Tokens covered by a corpus-duplicated 8-gram window are removed;
+    everything else survives in order; fully-duplicated docs become ''."""
+    span = "one two three four five six seven eight"
+    docs = [
+        (0, f"{span} keep-a keep-b"),
+        (1, f"pre-b {span} post-b"),
+        (2, span),  # the whole doc is the duplicated span
+        (3, "totally unique text with no duplication present here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in D.strip_dup_ngrams(df, n=8).collect()
+    }
+    assert got[0]["clean_text"] == "keep-a keep-b"
+    assert got[1]["clean_text"] == "pre-b post-b"
+    assert got[2]["clean_text"] == "" and got[2]["n_removed_tokens"] == 8
+    assert got[3]["n_removed_tokens"] == 0
+    assert got[3]["clean_text"] == docs[3][1]
+    for i in (0, 1):
+        assert got[i]["n_tokens"] == 10 and got[i]["n_removed_tokens"] == 8
+
+
+def test_strip_dup_ngrams_consistent_with_stats(spark, sf_dir):
+    """A doc has removed tokens iff ngram_dup_stats flags duplicated
+    grams in it (same window universe, same df threshold)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stripped = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in D.strip_dup_ngrams(docs, n=8).collect()
+    }
+    flagged = {
+        r["doc_id"]: r["n_dup_grams"]
+        for r in D.ngram_dup_stats(docs, n=8).collect()
+    }
+    assert set(stripped) == set(flagged)
+    for d, removed in stripped.items():
+        assert (removed > 0) == (flagged[d] > 0), d
