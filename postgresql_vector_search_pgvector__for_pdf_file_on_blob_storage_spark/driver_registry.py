@@ -131,6 +131,7 @@ SUITES: dict[str, list[str]] = {
         "weighted_sample_topk",
         "domain_mixture_sample",
         "dataset_split_shuffle",
+        "unigram_surprisal",
     ],
     "tpch_suite_a": ["tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
                      "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",

@@ -22,6 +22,7 @@ __all__ = [
     "repetition_signals",
     "pack_token_bins",
     "mixture_sample",
+    "unigram_surprisal",
 ]
 
 
@@ -263,6 +264,76 @@ def pack_token_bins(
 # ---------------------------------------------------------------------------
 # Domain-mixture sampling (training-data ops: mixture reweighting)
 # ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM quality filter (the CCNet / Wenzek et al. 2020
+    perplexity-filtering shape), made INTEGER-EXACT so it is
+    deterministic across engines: per-token surprisal is
+    ``floor(log2(total_tokens / corpus_freq(token)))`` — whole bits,
+    computed as ``length(bin(total div freq)) - 1`` on BIGINTs (both
+    Spark and DuckDB render identical binary strings), never a
+    transcendental double (libm ``log`` is not correctly rounded and can
+    differ in the last ulp between JVM and C, which would break the
+    bit-for-bit oracle hash; see driver_registry.py's formatting rules).
+
+    Returns ``(id_col, n_tokens, surprisal_bits, bits_per_token_ppm)``:
+    total whole-bit surprisal (sum over token occurrences) and its
+    per-token mean as exact-BIGINT ppm.  Low bits/token = the doc is made
+    of corpus-common tokens (boilerplate, lists); high = rare-token noise
+    (mojibake, code dumps) — the two tails a quality gate trims.
+
+    100 TB shape: one explode -> (doc, token) partial-agg, one
+    Heaps'-law-small token-frequency aggregate, one equi-join back, one
+    per-doc integer sum — all map-side-combinable, no Python, and the
+    integer sum is exactly associative so no ordering discipline is
+    needed (unlike double sums)."""
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(X.word_tokens(text_col)).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("token").agg(F.sum("tf").alias("freq"))
+    total = freq.agg(F.sum("freq").alias("total"))
+    scored = (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "bits",
+            F.col("tf")
+            * (
+                F.length(
+                    F.bin(F.expr("total div freq").cast("long"))
+                )
+                - F.lit(1)
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum("bits").alias("surprisal_bits"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    out = base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("surprisal_bits", F.lit(0)).cast("long").alias(
+            "surprisal_bits"
+        ),
+    )
+    return out.withColumn(
+        "bits_per_token_ppm",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                "(surprisal_bits * CAST(1000000 AS BIGINT)) div n_tokens"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
 
 
 def hash_bucket(key: str, modulus: int = 4294967296):

@@ -1128,6 +1128,43 @@ def ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_surprisal",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+freq AS (SELECT token, sum(tf) AS freq FROM tf GROUP BY token),
+tot AS (SELECT sum(freq) AS total FROM freq),
+per AS (
+  SELECT tf.doc_id,
+         sum(tf.tf) AS n_tokens,
+         sum(tf.tf * (length(bin(CAST(t.total // f.freq AS BIGINT))) - 1))
+           AS bits
+  FROM tf JOIN freq f USING (token) CROSS JOIN tot t
+  GROUP BY tf.doc_id)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.bits, 0) AS BIGINT) AS surprisal_bits,
+       CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN (p.bits * 1000000) // p.n_tokens ELSE 0 END AS BIGINT)
+         AS bits_per_token_ppm
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+""",
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (operators.textstats.unigram_surprisal —
+    the CCNet perplexity-filter shape, integer-exact): per-token surprisal
+    is whole bits, ``length(bin(total div freq)) - 1`` on BIGINTs, so the
+    oracle compares bit-for-bit with no transcendental-libm or
+    double-ordering hazards.  Low bits/token = boilerplate-common text;
+    high = rare-token noise — the two tails a corpus quality gate trims."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_surprisal(docs).orderBy("doc_id")
+
+
+@query(
     "strip_dup_ngrams",
     r"""
 WITH toks AS (

@@ -211,3 +211,63 @@ class TestDatasetSplitShuffle:
         for r in counts:
             # each decile within 10% of expected 2000
             assert r["count"] == pytest.approx(2000, rel=0.1)
+
+
+class TestUnigramSurprisal:
+    def test_handcrafted_bits(self, spark):
+        """Whole-bit surprisal against hand arithmetic: corpus = 8 tokens
+        total; 'common' appears 4x -> total/freq = 2 -> 1 bit;
+        'rare' 1x -> 8 -> 3 bits; 'mid' 2x (as doc text) -> 4 -> 2 bits."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            textstats as TS,
+        )
+
+        docs = [
+            (0, "common common common common"),  # 4 * 1 bit = 4
+            (1, "mid mid rare"),                 # 2*2 + 1*3 = 7
+            (2, "rare2"),                        # 1 * 3 bits = 3
+            (3, ""),                             # empty
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in TS.unigram_surprisal(df).collect()
+        }
+        assert got[0]["surprisal_bits"] == 4 and got[0]["n_tokens"] == 4
+        assert got[1]["surprisal_bits"] == 7 and got[1]["n_tokens"] == 3
+        assert got[2]["surprisal_bits"] == 3
+        assert got[3]["n_tokens"] == 0 and got[3]["bits_per_token_ppm"] == 0
+        assert got[0]["bits_per_token_ppm"] == 1_000_000
+        assert got[1]["bits_per_token_ppm"] == 7 * 1_000_000 // 3
+
+    def test_common_vs_rare_tails(self, spark):
+        """Boilerplate-only docs score low bits/token; rare-token docs
+        score high — the two gate tails order correctly."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            textstats as TS,
+        )
+
+        boiler = " ".join(["the"] * 20)
+        rare = " ".join(f"zq{i}" for i in range(20))
+        filler = [(10 + i, boiler) for i in range(5)]
+        df = spark.createDataFrame(
+            [(0, boiler), (1, rare)] + filler, "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["bits_per_token_ppm"]
+            for r in TS.unigram_surprisal(df).collect()
+        }
+        assert got[1] > got[0]
+
+    def test_plan_is_native(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            textstats as TS,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans import (
+            explain as E,
+        )
+
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        out = TS.unigram_surprisal(df)
+        assert E.python_eval_nodes(out) == []
+        assert E.has_broadcast_join(out)  # the total-tokens scalar
