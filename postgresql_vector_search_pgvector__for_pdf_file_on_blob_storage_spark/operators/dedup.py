@@ -298,15 +298,21 @@ def ngram_dup_stats(
     distinct-gram count is string-exact (``array_distinct`` before the
     size), so the oracle comparison is collision-free on the fixtures.
     """
-    base = spread(df).select(
+    stats = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("grams"),
         F.greatest(
             F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
         ).cast("long").alias("n_windows"),
     )
+    # Per-doc counts projected BEFORE any exchange: the final join must
+    # shuffle three longs per doc, never the gram-string arrays (~8x the
+    # corpus text).  The shingle expression is evaluated once per consumer
+    # branch off the scan — the same recompute-beats-materialize call
+    # jaccard_pairs documents.
+    base = stats.select("id", "n_windows", F.size("grams").cast("long").alias("n_grams"))
     # One row per distinct (doc, gram); only the 64-bit key shuffles.
-    g = base.select(
+    g = stats.select(
         F.col("id"), F.explode("grams").alias("__g")
     ).select("id", F.xxhash64("__g").alias("gk"))
     # Document frequency per gram key: g is distinct per doc, so count(*)
@@ -325,7 +331,7 @@ def ngram_dup_stats(
     out = base.join(per_doc, "id", "left").select(
         F.col("id").alias(id_col),
         F.col("n_windows"),
-        F.size("grams").cast("long").alias("n_grams"),
+        F.col("n_grams"),
         F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias(
             "n_dup_grams"
         ),
@@ -402,17 +408,22 @@ def strip_dup_ngrams(
         "toks",
         F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
     )
-    covered = lambda j: F.exists(  # noqa: E731
-        F.col("starts"),
-        lambda s: (j >= s) & (j <= s + F.lit(n - 1)),
+    # Covered-index SET, then one hash-based array_except — O(T + S*n)
+    # per doc.  (A per-token `exists(starts, ...)` scan would be
+    # O(T * S): ~2.5e9 comparisons in ONE row for a 50k-token doc that is
+    # mostly duplicated — a straggler at corpus scale.)
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("starts"),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
     )
-    kept = F.filter(
-        F.sequence(F.lit(1), F.size("toks")),
-        lambda j: ~covered(j),
-    )
-    kept = F.when(F.size("toks") > 0, kept).otherwise(
-        F.array().cast("array<int>")
-    )
+    kept = F.when(
+        F.size("toks") > 0,
+        F.array_except(F.sequence(F.lit(1), F.size("toks")), covered),
+    ).otherwise(F.array().cast("array<int>"))
     return joined.select(
         F.col("id").alias(id_col),
         F.concat_ws(

@@ -13,8 +13,11 @@ clusters.
 
 100 TB shape (why this is the Spark-natural design):
 
-- one k-means fit (``pyspark.ml``, fixed seed — sampled, cheap relative
-  to the corpus) + one shuffle partitioning the corpus by ``cluster_id``;
+- one k-means fit (``pyspark.ml``, fixed seed; ``fit_fraction`` fits the
+  centroids on a seeded sample so the fit reads a corpus *sample* while
+  only the single assignment pass reads everything — the 100 TB path;
+  default 1.0 = fit on all rows, right for fixtures) + one shuffle
+  partitioning the corpus by ``cluster_id``;
 - the quadratic cosine scan runs per cluster inside ``applyInPandas`` as
   a single normalized GEMM — O(sum c_i^2) instead of O(n^2), a ~k-fold
   saving, and embarrassingly parallel across clusters;
@@ -54,6 +57,7 @@ def cluster_assign(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """Append a k-means ``cluster_id`` column (``pyspark.ml``, fixed seed).
 
@@ -61,7 +65,14 @@ def cluster_assign(
     reuse one assignment across semantic dedup + IVF layout writes.
     ``max_iter`` trades centroid quality for fit time — SemDeDup only
     needs clusters tight enough that near-identical vectors co-locate, so
-    a handful of iterations is enough at probe scale."""
+    a handful of iterations is enough at probe scale.
+
+    ``fit_fraction < 1`` fits the centroids on a seeded Bernoulli sample:
+    each k-means iteration then scans only the sample, and the single
+    full-corpus pass is the final ``transform`` assignment — the cost
+    shape corpus-scale deployments need (a full fit is ``max_iter``
+    complete corpus scans).  Default 1.0 (fit on everything) is right for
+    fixture-sized tables where centroid quality is the point."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -71,7 +82,10 @@ def cluster_assign(
     km = KMeans(
         k=k_clusters, seed=seed, featuresCol="__features", maxIter=max_iter
     )
-    model = km.fit(feat)
+    fit_on = (
+        feat if fit_fraction >= 1.0 else feat.sample(fit_fraction, seed=seed)
+    )
+    model = km.fit(fit_on)
     return (
         model.transform(feat)
         .withColumnRenamed("prediction", "cluster_id")

@@ -528,6 +528,17 @@ def test_ngram_dup_stats_plan_is_native(spark):
     assert E.python_eval_nodes(out) == []
     sig = E.plan_signature(out)
     assert "ArrowEvalPython" not in sig and "BatchEvalPython" not in sig
+    # The gram-string ARRAY must never ride an exchange (it is ~8x the
+    # corpus text; the final per-doc join must shuffle three longs).  It
+    # may exist scan-side (under the Generate feeding the hash explode),
+    # so assert on each Exchange's immediate child instead of globally.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning" in line and i + 1 < len(lines):
+            assert "AS grams#" not in lines[i + 1], (
+                "gram array shuffled:\n" + lines[i + 1][:200]
+            )
 
 
 def test_strip_dup_ngrams_removes_planted_span(spark):

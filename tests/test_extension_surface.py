@@ -88,3 +88,28 @@ def test_url_encode_spark_side(spark):
     df = spark.createDataFrame([("a b/c?d=e&f",)], ["s"])
     got = df.select(F.url_encode("s").alias("e")).first()["e"]
     assert got == "a+b%2Fc%3Fd%3De%26f"
+
+
+def test_udtf_lateral_row_count_matches_chunk_explode(spark, sf_dir):
+    """The UDTF lateral-join chunker and the explode-based chunker must
+    produce identical (doc_id, chunk_idx) universes on the fixture corpus
+    — the cross-check that backs folding both into the driver's combined
+    chunking_gallery rows-only entry (driver_registry.ROWS_ONLY_SUITES)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        queries as Q,
+    )
+
+    explode_keys = {
+        (r["doc_id"], r["chunk_idx"])
+        for r in Q.QUERIES["chunk_explode"](spark, sf_dir)
+        .select("doc_id", "chunk_idx")
+        .collect()
+    }
+    udtf_keys = {
+        (r["doc_id"], r["chunk_idx"])
+        for r in Q.QUERIES["udtf_chunk_lateral"](spark, sf_dir)
+        .select("doc_id", "chunk_idx")
+        .collect()
+    }
+    assert explode_keys == udtf_keys
+    assert len(explode_keys) > 0

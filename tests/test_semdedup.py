@@ -139,3 +139,19 @@ def test_semantic_dup_edges_blocked_equals_single_block(spark):
         }
 
     assert pairs(block_elems=64) == pairs(block_elems=1 << 22)
+
+
+def test_cluster_assign_sampled_fit_still_separates(spark):
+    """fit_fraction < 1 fits centroids on a seeded sample; identical
+    vectors must still co-cluster (assignment is a full-corpus pass)."""
+    items = A.synthetic_clustered_vectors(
+        spark, 1000, dim=8, n_centers=8, noise=0.01
+    )
+    assigned = S.cluster_assign(items, k_clusters=8, fit_fraction=0.3)
+    # every true center maps to exactly one k-means cluster
+    spread_counts = (
+        assigned.groupBy("center")
+        .agg(F.countDistinct("cluster_id").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in spread_counts)
