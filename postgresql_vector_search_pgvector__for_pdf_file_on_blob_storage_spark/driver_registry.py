@@ -187,6 +187,13 @@ INDIVIDUAL: list[str] = [
 # count is asserted equal to chunk_explode's in tests).
 ROWS_ONLY_SUITES: dict[str, list[str]] = {
     "chunking_gallery": ["chunk_explode", "udtf_chunk_lateral"],
+    # Both incremental-ingest dedup paths (MinHash band store / semantic
+    # vector store) in one entry; stream==batch equivalence for each is
+    # pinned in pytest (test_streaming.py / test_semdedup.py).
+    "streaming_dedup_gallery": [
+        "streaming_neardup_matches",
+        "streaming_semdedup_matches",
+    ],
 }
 
 # Rows-only queries (no SQL oracle) that keep their own driver entry.
@@ -200,7 +207,6 @@ ROWS_ONLY: list[str] = [
     "minhash_lsh_pairs",
     "embedding_near_dup_lsh",
     "embed_retry_pipeline",
-    "streaming_neardup_matches",
     "approx_aggregates_gallery",
     "ann_recall_report",
     "bpe_vocab_train",

@@ -4132,3 +4132,49 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SD.semantic_dedup(
         emb, eps=0.6, k_clusters=8, id_col="vec_id"
     ).orderBy("vec_id")
+
+
+@query("streaming_semdedup_matches")
+def streaming_semdedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup (streaming/semdedup.py) driven over the
+    embeddings fixture as two arrival batches: frozen k-means centroids,
+    first half registered into the cluster-partitioned vector store, then
+    the second half arrives and each new vector is scored against ONLY
+    its cluster's store partitions (plus within-batch).  Returns verified
+    matches ``(new_id, matched_id, cos_dist)`` at the fixture's 0.6
+    cosine threshold (matching ``embedding_near_dup`` / the batch
+    ``semantic_dedup`` query).  foreachBatch state-table pattern ->
+    rows-only; stream==batch equivalence is pinned in
+    tests/test_semdedup.py."""
+    import shutil
+    import tempfile
+
+    from .streaming import semdedup as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SS.fit_frozen_centroids(emb, k_clusters=8)
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    tmp = tempfile.mkdtemp(prefix="semdedup_q_")
+    try:
+        store_d, m_d = f"{tmp}/store", f"{tmp}/matches"
+        SS.detect_and_register(
+            emb.filter(F.col("vec_id") <= mid), cents, store_d, m_d, eps=0.6
+        )
+        SS.detect_and_register(
+            emb.filter(F.col("vec_id") > mid), cents, store_d, m_d, eps=0.6
+        )
+        out = (
+            spark.read.parquet(m_d)
+            .select(
+                "new_id",
+                "matched_id",
+                F.round("cos_dist", 4).alias("cos_dist"),
+            )
+            .orderBy("new_id", "matched_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema) if rows else (
+            spark.createDataFrame([], out.schema)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -39,6 +39,9 @@ EXTRA = [
     "repetition_signals",
     "sequence_packing",
     "domain_mixture_sample",
+    "ngram_dup_stats",
+    "strip_dup_ngrams",
+    "unigram_surprisal",
 ]
 
 

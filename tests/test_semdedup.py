@@ -155,3 +155,86 @@ def test_cluster_assign_sampled_fit_still_separates(spark):
         .collect()
     )
     assert all(r["k"] == 1 for r in spread_counts)
+
+
+class TestStreamingSemdedup:
+    def _dirs(self, tmp_path):
+        return (
+            str(tmp_path / "store"),
+            str(tmp_path / "matches"),
+        )
+
+    def test_incremental_matches_planted_dups(self, spark, tmp_path):
+        """Batch 2's duplicates of batch-1 vectors must match against the
+        STORE (not a corpus recompute); within-batch dups match once with
+        the smaller id as matched_id."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            semdedup as SS,
+        )
+
+        items = _planted(spark)  # ids 0-11 in 3 dup groups, 12-19 unique
+        cents = SS.fit_frozen_centroids(items, k_clusters=6)
+        store, matches = self._dirs(tmp_path)
+
+        b1 = items.filter(F.col("vec_id") % 2 == 0)  # even ids first
+        b2 = items.filter(F.col("vec_id") % 2 == 1)
+        SS.detect_and_register(b1, cents, store, matches, eps=0.05)
+        got1 = {
+            (r["new_id"], r["matched_id"])
+            for r in spark.read.parquet(matches).collect()
+        }
+        # within batch 1: even members of each group pair up
+        assert (2, 0) in got1 and (6, 4) in got1 and (10, 8) in got1
+        SS.detect_and_register(b2, cents, store, matches, eps=0.05)
+        got = {
+            (r["new_id"], r["matched_id"])
+            for r in spark.read.parquet(matches).collect()
+        }
+        # batch-2 odd ids match their even store siblings and each other
+        for g in range(3):
+            ids = [g * 4 + j for j in range(4)]
+            odd = [i for i in ids if i % 2]
+            for i in odd:
+                assert any(
+                    (i, m) in got for m in ids if m != i
+                ), (i, got)
+        # uniques never match
+        assert not any(n >= 12 or m >= 12 for n, m in got)
+
+    def test_stream_wrapper_availablenow(self, spark, tmp_path):
+        """End-to-end through readStream/foreachBatch: same matches as
+        the direct batch-twin call on the same data."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            semdedup as SS,
+        )
+
+        items = _planted(spark)
+        cents = SS.fit_frozen_centroids(items, k_clusters=6)
+        indir = str(tmp_path / "in")
+        items.write.parquet(indir)
+        store, matches = self._dirs(tmp_path)
+        q = SS.semdedup_stream(
+            spark,
+            indir,
+            "vec_id long, embedding array<float>, label long",
+            cents,
+            store,
+            matches,
+            str(tmp_path / "ckpt"),
+            eps=0.05,
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["new_id"], r["matched_id"])
+            for r in spark.read.parquet(matches).collect()
+        }
+        store2, matches2 = (
+            str(tmp_path / "store2"),
+            str(tmp_path / "matches2"),
+        )
+        SS.detect_and_register(items, cents, store2, matches2, eps=0.05)
+        want = {
+            (r["new_id"], r["matched_id"])
+            for r in spark.read.parquet(matches2).collect()
+        }
+        assert got == want and len(got) > 0
