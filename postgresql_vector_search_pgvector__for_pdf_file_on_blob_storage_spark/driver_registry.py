@@ -186,7 +186,12 @@ INDIVIDUAL: list[str] = [
 # their individual pytest/cross-check coverage (e.g. udtf_chunk_lateral's
 # count is asserted equal to chunk_explode's in tests).
 ROWS_ONLY_SUITES: dict[str, list[str]] = {
-    "chunking_gallery": ["chunk_explode", "udtf_chunk_lateral"],
+    # chunking + the end-to-end text->BPE-tokens->packed-windows layout
+    "chunking_gallery": [
+        "chunk_explode",
+        "udtf_chunk_lateral",
+        "tokenize_pack_pipeline",
+    ],
     # Both incremental-ingest dedup paths (MinHash band store / semantic
     # vector store) in one entry; stream==batch equivalence for each is
     # pinned in pytest (test_streaming.py / test_semdedup.py).

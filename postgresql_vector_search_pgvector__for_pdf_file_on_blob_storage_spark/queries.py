@@ -4178,3 +4178,30 @@ def streaming_semdedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("tokenize_pack_pipeline")
+def tokenize_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining data layout: train a BPE vocabulary on the
+    corpus (operators/bpe.train_bpe — one distributed pre-token frequency
+    reduction, driver-side merge loop over capped statistics), encode
+    every document with the learned merges (broadcast-ranks Arrow UDF),
+    then pack documents into 500-token training context windows by their
+    REAL tokenizer counts (operators/textstats.pack_token_bins —
+    per-shard running sums, no global sort).  This is the composition a
+    training-data pipeline actually ships: raw text in, packed sequence
+    manifest out.  BPE merge selection is not SQL-expressible ->
+    rows-only; each stage's own determinism/oracle coverage stands in
+    (bpe_vocab_train, sequence_packing)."""
+    from .operators import bpe as BP
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, dropped = BP.train_bpe(docs, num_merges=48, max_words=100_000)
+    enc = BP.bpe_encode(docs, merges, out_col="n_bpe")
+    with_counts = enc.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.col("n_bpe").cast("long").alias("n_tok"),
+    )
+    packed = T.pack_token_bins(with_counts, "n_tok", "shard", "doc_id", 500)
+    return packed.withColumn("dropped_words", F.lit(int(dropped)).cast("long"))

@@ -110,3 +110,36 @@ def test_word_frequencies_plan_is_scan_shaped(spark, sf_dir):
     assert E.python_eval_nodes(wf) == []
     assert E.num_exchanges(wf) == 1
     assert "partial_count" in E.plan_string(wf, "simple")
+
+
+def test_tokenize_pack_pipeline_conserves_tokens(spark):
+    """The composed text->BPE->packed-windows query: per-shard packed
+    token totals must equal the sum of the per-doc BPE counts (nothing
+    dropped or double-counted between the stages)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        queries as Q,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        bpe as BP,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    packed = Q.QUERIES["tokenize_pack_pipeline"](spark, sf_dir)
+    per_shard = {
+        r["shard"]: r["t"]
+        for r in packed.groupBy("shard").agg(F.sum("tokens").alias("t")).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = BP.train_bpe(docs, num_merges=48, max_words=100_000)
+    want = {
+        r["shard"]: r["t"]
+        for r in BP.bpe_encode(docs, merges, out_col="n_bpe")
+        .groupBy((F.col("doc_id") % 8).alias("shard"))
+        .agg(F.sum("n_bpe").alias("t"))
+        .collect()
+    }
+    assert per_shard == want and sum(per_shard.values()) > 0
