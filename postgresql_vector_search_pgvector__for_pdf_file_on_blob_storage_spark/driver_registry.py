@@ -56,11 +56,12 @@ _NULL = "∅"  # ∅
 # either in INDIVIDUAL or in exactly one SUITES entry (asserted below).
 #
 # !!! DRIVER ENTRY CEILING: the driver records AT MOST 50 top-level entries
-# (INDIVIDUAL + SUITES + ROWS_ONLY) and SILENTLY TRUNCATES the rest.  The
-# registry currently sits at 49.  Any NEW oracle-backed query must join an
-# EXISTING suite (then rerun scripts/gen_driver_schemas.py); do not add a
-# top-level entry without retiring another.  ``build()`` asserts the cap so
-# a 51st entry fails tests here, not silently in the driver sweep.
+# (INDIVIDUAL + SUITES + ROWS_ONLY + ROWS_ONLY_SUITES) and SILENTLY
+# TRUNCATES the rest.  The registry sits AT the cap.  Any NEW
+# oracle-backed query must join an EXISTING suite (then rerun
+# scripts/gen_driver_schemas.py); a new rows-only query must join a
+# ROWS_ONLY_SUITES gallery.  ``build()`` asserts the cap so a 51st entry
+# fails tests here, not silently in the driver sweep.
 # ---------------------------------------------------------------------------
 
 # The driver harness records at most this many entries per sweep.
