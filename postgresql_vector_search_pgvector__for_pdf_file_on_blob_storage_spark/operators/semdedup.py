@@ -178,7 +178,12 @@ def semantic_dup_edges(
         return pd.concat(outs, ignore_index=True)
 
     return (
-        assigned.select(
+        assigned
+        # NULL embeddings can't be scored (and would crash the NumPy
+        # stack); they are simply never duplicate candidates — same
+        # not-null guard as the exact kNN operators.
+        .filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(cluster_col).alias("__c"),
             F.col(id_col).cast("long").alias("__id"),
             F.col(vec_col).alias("__vec"),
@@ -206,8 +211,19 @@ def semantic_dedup(
     unique) and ``is_keeper`` marks the kept representative.  Dropping
     ``is_keeper = false`` rows IS the paper's dedup.
     """
+    valid = items.filter(F.col(vec_col).isNotNull())
+    null_rows = (
+        items.filter(F.col(vec_col).isNull())
+        .select(F.col(id_col).cast("long").alias(id_col))
+        .select(
+            id_col,
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.col(id_col).alias("group_id"),
+            F.lit(True).alias("is_keeper"),
+        )
+    )
     assigned = cluster_assign(
-        items, k_clusters=k_clusters, vec_col=vec_col, seed=seed
+        valid, k_clusters=k_clusters, vec_col=vec_col, seed=seed
     )
     edges = semantic_dup_edges(
         assigned,
@@ -225,9 +241,12 @@ def semantic_dedup(
         comps.withColumnRenamed("node", id_col), id_col, "left"
     )
     group = F.coalesce(F.col("cluster"), F.col(id_col))
-    return out.select(
+    scored = out.select(
         id_col,
         "cluster_id",
         group.alias("group_id"),
         (group == F.col(id_col)).alias("is_keeper"),
     )
+    # Rows with NULL embeddings can't be compared; they pass through as
+    # their own keepers (cluster_id NULL) rather than crashing the fit.
+    return scored.unionByName(null_rows)

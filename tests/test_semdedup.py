@@ -238,3 +238,22 @@ class TestStreamingSemdedup:
             for r in spark.read.parquet(matches2).collect()
         }
         assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_null_embeddings_pass_through(spark):
+    """NULL-embedding rows can't be scored: they survive as their own
+    keepers (cluster_id NULL) instead of crashing the k-means fit or the
+    NumPy kernel."""
+    rows = [(i, [float(i % 4 == 0), 1.0, 0.0, 0.0], 0) for i in range(8)]
+    rows += [(100, None, 9), (101, None, 9)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup(df, eps=0.05, k_clusters=2).collect()
+    }
+    assert len(out) == 10
+    for i in (100, 101):
+        assert out[i]["is_keeper"] and out[i]["group_id"] == i
+        assert out[i]["cluster_id"] is None
