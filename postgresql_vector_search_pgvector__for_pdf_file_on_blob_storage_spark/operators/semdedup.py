@@ -48,7 +48,40 @@ from pyspark.sql import types as T
 from ..utils import spread
 from .dedup import connected_components_star
 
-__all__ = ["cluster_assign", "semantic_dedup", "semantic_dup_edges"]
+__all__ = [
+    "cluster_assign",
+    "kmeans_centroids",
+    "assign_to_centroids",
+    "semantic_dedup",
+    "semantic_dup_edges",
+]
+
+
+def _fit_kmeans(
+    items: DataFrame,
+    k_clusters: int,
+    vec_col: str,
+    seed: int,
+    max_iter: int,
+    fit_fraction: float,
+):
+    """Shared k-means fit seam (one copy — cluster_assign,
+    kmeans_centroids, and streaming/semdedup all route through here, so
+    guards and cost fixes apply everywhere at once).  Returns the fitted
+    model and the full featurized frame for a subsequent transform."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = spread(items.filter(F.col(vec_col).isNotNull())).withColumn(
+        "__features", array_to_vector(F.col(vec_col))
+    )
+    km = KMeans(
+        k=k_clusters, seed=seed, featuresCol="__features", maxIter=max_iter
+    )
+    fit_on = (
+        feat if fit_fraction >= 1.0 else feat.sample(fit_fraction, seed=seed)
+    )
+    return km.fit(fit_on), feat
 
 
 def cluster_assign(
@@ -72,24 +105,57 @@ def cluster_assign(
     full-corpus pass is the final ``transform`` assignment — the cost
     shape corpus-scale deployments need (a full fit is ``max_iter``
     complete corpus scans).  Default 1.0 (fit on everything) is right for
-    fixture-sized tables where centroid quality is the point."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    fixture-sized tables where centroid quality is the point.
 
-    feat = spread(items).withColumn(
-        "__features", array_to_vector(F.col(vec_col))
+    NULL-embedding rows are excluded (they cannot be featurized); callers
+    that must preserve them route them around, as semantic_dedup does."""
+    model, feat = _fit_kmeans(
+        items, k_clusters, vec_col, seed, max_iter, fit_fraction
     )
-    km = KMeans(
-        k=k_clusters, seed=seed, featuresCol="__features", maxIter=max_iter
-    )
-    fit_on = (
-        feat if fit_fraction >= 1.0 else feat.sample(fit_fraction, seed=seed)
-    )
-    model = km.fit(fit_on)
     return (
         model.transform(feat)
         .withColumnRenamed("prediction", "cluster_id")
         .drop("__features")
+    )
+
+
+def kmeans_centroids(
+    items: DataFrame,
+    k_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    fit_fraction: float = 1.0,
+) -> list[list[float]]:
+    """The fitted centroids as plain lists — the frozen coarse quantizer
+    handed to :func:`assign_to_centroids` / streaming ingest."""
+    model, _ = _fit_kmeans(
+        items, k_clusters, vec_col, seed, max_iter, fit_fraction
+    )
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def assign_to_centroids(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid ``cluster_id`` against FROZEN centroids, native
+    expressions only (centroids inlined as literals, no Python workers,
+    ties to the lowest cluster id — the same convention as
+    ann.IVFIndex.assign, which keeps its own copy for the saved-index
+    load path).  NULL vectors are excluded — they have no cluster."""
+    from ..functions import vector as V
+
+    dists = F.array(
+        *[
+            V.squared_l2_distance(
+                F.col(vec_col), F.array(*[F.lit(x) for x in c])
+            )
+            for c in centroids
+        ]
+    )
+    cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.filter(F.col(vec_col).isNotNull()).withColumn(
+        "cluster_id", cid
     )
 
 
@@ -222,6 +288,10 @@ def semantic_dedup(
             F.lit(True).alias("is_keeper"),
         )
     )
+    if valid.limit(1).count() == 0:
+        # Nothing featurizable: an empty k-means fit would raise, so the
+        # promised pass-through IS the whole output.
+        return null_rows
     assigned = cluster_assign(
         valid, k_clusters=k_clusters, vec_col=vec_col, seed=seed
     )

@@ -6,79 +6,64 @@ accepted?*
 Mirrors streaming/neardup.py's store design, with the cluster layout
 doing the candidate pruning that MinHash bands do for text:
 
-- Coarse centroids are FROZEN up front (:func:`fit_frozen_centroids`, or
-  any saved ann.IVFIndex's centroids) — pgvector-ivfflat semantics: the
-  quantizer does not drift per batch, so assignment is a pure function
-  and the store layout stays stable.  Remedy for drift is an offline
-  rebuild, same as the batch IVF operator documents.
-- A **vector store** (parquet, partitioned by ``cluster_id``) holds one
-  ``(id, cluster_id, embedding)`` row per accepted vector, embeddings
+- Coarse centroids are FROZEN up front
+  (operators.semdedup.kmeans_centroids, or any saved ann.IVFIndex's
+  centroids) — pgvector-ivfflat semantics: the quantizer does not drift
+  per batch, so assignment is a pure function and the store layout stays
+  stable.  Remedy for drift is an offline rebuild, same as the batch IVF
+  operator documents.
+- A **vector store** (parquet, partitioned by ``cluster_id``; under
+  streaming, by ``epoch``/``cluster_id``) holds one
+  ``(id, cluster_id, vec)`` row per accepted vector, embeddings
   L2-NORMALIZED ON WRITE so every later comparison is a plain dot.
 - Per micro-batch: assign new vectors to their nearest frozen centroid
-  (native expressions — centroids inlined as literals, no Python), read
+  (operators.semdedup.assign_to_centroids — native expressions), read
   ONLY the store partitions for clusters present in the batch (partition
   pruning on the parquet layout), score new-vs-store and new-vs-new
   (smaller id wins) within matching clusters, append matches, then
   register the batch into the store.
-- State is a relation, not executor memory: restart from the checkpoint
-  reuses the store, exactly like the band store.
-
-``foreachBatch`` again, not ``applyInPandasWithState``: the state is a
-growing *table* joined per batch, the documented stream-static pattern.
+- **Replay-safe**: under ``foreachBatch`` (at-least-once), both writes
+  are keyed by ``epoch_id`` and use overwrite — a replayed micro-batch
+  rewrites its own ``epoch=N`` directories instead of appending
+  duplicates, so restart from the checkpoint is effectively
+  exactly-once.  (Direct batch-twin calls without an epoch append, for
+  simple scripted ingest.)
+- **Hot-cluster refusal**: candidate volume per batch is
+  |batch ∩ cluster| x |store ∩ cluster|; a store cluster past
+  ``max_store_cluster`` raises loudly (the streaming form of
+  semantic_dup_edges' ``max_cluster_size`` discipline) instead of
+  silently becoming a per-batch straggler.  Remedy: rebuild with more
+  clusters.
+- State is a relation, not executor memory — and store existence is
+  probed by *reading* it (portable to object stores), never by
+  ``os.path`` checks that only see the local filesystem.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..functions import vector as V
+from ..operators.semdedup import assign_to_centroids, kmeans_centroids
 from ..utils import spread
 
 __all__ = ["fit_frozen_centroids", "detect_and_register", "semdedup_stream"]
 
-
-def fit_frozen_centroids(
-    items: DataFrame,
-    k_clusters: int = 16,
-    vec_col: str = "embedding",
-    seed: int = 42,
-    max_iter: int = 20,
-    fit_fraction: float = 1.0,
-) -> list[list[float]]:
-    """k-means centroids as plain lists (the frozen coarse quantizer).
-    Same fit seam as operators.semdedup.cluster_assign, returned in the
-    inline-literal form :func:`detect_and_register` assigns against."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = spread(items).withColumn(
-        "__features", array_to_vector(F.col(vec_col))
-    )
-    km = KMeans(
-        k=k_clusters, seed=seed, featuresCol="__features", maxIter=max_iter
-    )
-    fit_on = (
-        feat if fit_fraction >= 1.0 else feat.sample(fit_fraction, seed=seed)
-    )
-    return [list(map(float, c)) for c in km.fit(fit_on).clusterCenters()]
+# The frozen quantizer fit, re-exported under the streaming module's
+# historical name (one fit seam — operators.semdedup._fit_kmeans).
+fit_frozen_centroids = kmeans_centroids
 
 
-def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str):
-    """Nearest-centroid cluster_id, native expressions only (ties to the
-    lowest id — same convention as ann.IVFIndex.assign)."""
-    dists = F.array(
-        *[
-            V.squared_l2_distance(
-                F.col(vec_col), F.array(*[F.lit(x) for x in c])
-            )
-            for c in centroids
-        ]
-    )
-    cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn("cluster_id", cid)
+def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Open the vector store, or None if it does not exist yet.  A read
+    attempt (not os.path.exists) so s3://, hdfs://, abfss:// and local
+    paths all behave identically."""
+    try:
+        return spark.read.parquet(store_dir)
+    except AnalysisException:
+        return None
 
 
 def detect_and_register(
@@ -89,20 +74,26 @@ def detect_and_register(
     eps: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    epoch_id: int | None = None,
+    max_store_cluster: int = 200_000,
 ) -> None:
     """Process one (micro-)batch of new vectors: append semantic-dup
     matches ``(new_id, matched_id, cos_dist)`` to ``matches_dir`` —
     ``matched_id`` is an earlier-accepted vector from the store or a
     smaller-id vector in the same batch — then register the batch.
-    Callable directly on a static DataFrame (the batch twin the tests
-    pin) or from ``foreachBatch``."""
+
+    With ``epoch_id`` (the ``foreachBatch`` path) both writes land in
+    ``epoch=<id>`` subdirectories with overwrite, so a replayed batch is
+    idempotent; without it (direct scripted calls) they append.
+    NULL-embedding rows are dropped up front — they cannot be duplicate
+    candidates (same guard as the batch operator)."""
     spark = batch.sparkSession
     nrm = V.l2_norm(vec_col)
     new = (
-        _assign(
-            spread(batch).select(
-                F.col(id_col).cast("long").alias("id"), F.col(vec_col)
-            ),
+        assign_to_centroids(
+            spread(batch)
+            .filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("id"), F.col(vec_col)),
             centroids,
             vec_col,
         )
@@ -131,16 +122,37 @@ def detect_and_register(
         )
     )
     cand = cand_new
-    if os.path.exists(store_dir):
+    store = _read_store(spark, store_dir)
+    if store is not None and epoch_id is not None and "epoch" in store.columns:
+        # A REPLAYED batch finds its own earlier registration in the
+        # store; its epoch's rows must not be candidates (they are this
+        # very batch — the within-batch join covers those pairs).
+        store = store.filter(F.col("epoch") != int(epoch_id))
+    if store is not None:
         # Partition-pruned store read: only clusters present in this
         # batch are ever opened (cluster count is small by construction,
         # so the IN-list is a literal pruning predicate).
         batch_clusters = [
-            r["cluster_id"] for r in new.select("cluster_id").distinct().collect()
+            r["cluster_id"]
+            for r in new.select("cluster_id").distinct().collect()
         ]
-        store = spark.read.parquet(store_dir).filter(
-            F.col("cluster_id").isin(batch_clusters)
+        store = store.filter(F.col("cluster_id").isin(batch_clusters))
+        hot = (
+            store.groupBy("cluster_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_store_cluster)
+            .collect()
         )
+        if hot:
+            worst = max(hot, key=lambda r: r["n"])
+            raise ValueError(
+                f"streaming semantic dedup: store cluster"
+                f" {worst['cluster_id']} holds {worst['n']} rows >"
+                f" max_store_cluster={max_store_cluster}; per-batch"
+                " candidate volume against it grows without bound."
+                " Rebuild the store with more clusters (finer frozen"
+                " centroids) or raise the cap explicitly."
+            )
         cand_old = (
             new.alias("a")
             .join(
@@ -155,10 +167,20 @@ def detect_and_register(
         )
         cand = cand_new.unionByName(cand_old)
     matches = cand.filter(F.col("cos_dist") < F.lit(float(eps)))
-    matches.write.mode("append").parquet(matches_dir)
-    # Register AFTER matching (a batch never matches its own store rows;
-    # the within-batch join covers those pairs exactly once).
-    new.write.partitionBy("cluster_id").mode("append").parquet(store_dir)
+    if epoch_id is None:
+        matches.write.mode("append").parquet(matches_dir)
+        # Register AFTER matching (a batch never matches its own store
+        # rows; the within-batch join covers those pairs exactly once).
+        new.write.partitionBy("cluster_id").mode("append").parquet(store_dir)
+    else:
+        # Epoch-keyed overwrite: replaying this batch rewrites exactly its
+        # own output, never duplicating matches or store rows.
+        matches.write.mode("overwrite").parquet(
+            f"{matches_dir}/epoch={int(epoch_id)}"
+        )
+        new.write.partitionBy("cluster_id").mode("overwrite").parquet(
+            f"{store_dir}/epoch={int(epoch_id)}"
+        )
 
 
 def semdedup_stream(
@@ -172,11 +194,13 @@ def semdedup_stream(
     eps: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_store_cluster: int = 200_000,
 ):
     """Streaming wrapper: parquet-directory source -> per-micro-batch
-    :func:`detect_and_register`.  AvailableNow trigger drains the backlog
-    and stops; restarting with the same checkpoint processes only new
-    files, with the vector store carrying accepted state across runs."""
+    :func:`detect_and_register` with epoch-keyed idempotent writes.
+    AvailableNow trigger drains the backlog and stops; restarting with
+    the same checkpoint processes only new files, with the vector store
+    carrying accepted state across runs."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(
@@ -187,6 +211,8 @@ def semdedup_stream(
             eps=eps,
             id_col=id_col,
             vec_col=vec_col,
+            epoch_id=epoch_id,
+            max_store_cluster=max_store_cluster,
         )
 
     return (

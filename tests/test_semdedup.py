@@ -257,3 +257,77 @@ def test_semantic_dedup_null_embeddings_pass_through(spark):
     for i in (100, 101):
         assert out[i]["is_keeper"] and out[i]["group_id"] == i
         assert out[i]["cluster_id"] is None
+
+
+def test_streaming_detect_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the same epoch must
+    rewrite its own output, not duplicate matches or store rows."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        semdedup as SS,
+    )
+
+    items = _planted(spark)
+    cents = SS.fit_frozen_centroids(items, k_clusters=6)
+    store, matches = str(tmp_path / "store"), str(tmp_path / "matches")
+    b1 = items.filter(F.col("vec_id") % 2 == 0)
+    SS.detect_and_register(b1, cents, store, matches, eps=0.05, epoch_id=0)
+    once = sorted(
+        (r["new_id"], r["matched_id"])
+        for r in spark.read.parquet(matches).collect()
+    )
+    n_store_once = spark.read.parquet(store).count()
+    # replay the same epoch (crash-after-write restart)
+    SS.detect_and_register(b1, cents, store, matches, eps=0.05, epoch_id=0)
+    again = sorted(
+        (r["new_id"], r["matched_id"])
+        for r in spark.read.parquet(matches).collect()
+    )
+    assert again == once
+    assert spark.read.parquet(store).count() == n_store_once
+
+
+def test_streaming_detect_drops_null_embeddings(spark, tmp_path):
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        semdedup as SS,
+    )
+
+    items = _planted(spark)
+    cents = SS.fit_frozen_centroids(items, k_clusters=6)
+    with_nulls = items.unionByName(
+        spark.createDataFrame(
+            [(500, None, 9)], "vec_id long, embedding array<float>, label long"
+        )
+    )
+    store, matches = str(tmp_path / "s"), str(tmp_path / "m")
+    SS.detect_and_register(with_nulls, cents, store, matches, eps=0.05)
+    stored = spark.read.parquet(store)
+    assert stored.filter(F.col("id") == 500).count() == 0
+    assert stored.filter(F.col("cluster_id").isNull()).count() == 0
+
+
+def test_streaming_detect_hot_cluster_raises(spark, tmp_path):
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        semdedup as SS,
+    )
+    import pytest as _pytest
+
+    items = _planted(spark)
+    cents = SS.fit_frozen_centroids(items, k_clusters=2)
+    store, matches = str(tmp_path / "s"), str(tmp_path / "m")
+    SS.detect_and_register(items, cents, store, matches, eps=0.05)
+    with _pytest.raises(ValueError, match="max_store_cluster"):
+        SS.detect_and_register(
+            items, cents, store, matches, eps=0.05, max_store_cluster=2
+        )
+
+
+def test_semantic_dedup_all_null_embeddings(spark):
+    """Every row NULL: the pass-through contract must hold (no k-means
+    fit on an empty set)."""
+    df = spark.createDataFrame(
+        [(1, None, 0), (2, None, 0)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    out = {r["vec_id"]: r for r in S.semantic_dedup(df, k_clusters=2).collect()}
+    assert len(out) == 2
+    assert all(r["is_keeper"] and r["cluster_id"] is None for r in out.values())
