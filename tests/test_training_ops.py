@@ -271,3 +271,21 @@ class TestUnigramSurprisal:
         out = TS.unigram_surprisal(df)
         assert E.python_eval_nodes(out) == []
         assert E.has_broadcast_join(out)  # the total-tokens scalar
+
+    def test_partition_invariance(self, spark):
+        """Integer bit-sums are exactly associative: any repartitioning
+        must produce identical rows (the property that lets the oracle
+        hash bit-for-bit with no ordering discipline)."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            textstats as TS,
+        )
+
+        rows = [
+            (i, " ".join(f"tok{(i * 7 + j) % 13}" for j in range(12)))
+            for i in range(60)
+        ]
+        df1 = spark.createDataFrame(rows, "doc_id long, text string")
+        df8 = df1.repartition(8)
+        got1 = sorted(map(tuple, TS.unigram_surprisal(df1).collect()))
+        got8 = sorted(map(tuple, TS.unigram_surprisal(df8).collect()))
+        assert got1 == got8
