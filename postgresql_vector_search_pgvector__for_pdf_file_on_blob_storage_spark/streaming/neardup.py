@@ -32,13 +32,12 @@ stream-static joins where the static side must grow.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..utils import spread
+from .stores import drop_own_epoch, read_store
 
 __all__ = ["detect_and_register", "neardup_stream"]
 
@@ -54,6 +53,7 @@ def detect_and_register(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    epoch_id: int | None = None,
 ) -> None:
     """Process one (micro-)batch of new documents: append near-dup
     matches ``(new_id, matched_id, jaccard)`` to ``matches_dir`` —
@@ -61,6 +61,13 @@ def detect_and_register(
     smaller-id doc in the same batch — then register the batch's bands
     and shingles.  Callable directly on a static DataFrame (the batch
     twin the tests pin) or from ``foreachBatch``.
+
+    With ``epoch_id`` (the ``foreachBatch`` path, at-least-once) all
+    three writes land in ``epoch=<id>`` subdirectories with overwrite,
+    and store reads exclude the replayed epoch's own rows — a restarted
+    micro-batch rewrites exactly its own output instead of appending
+    duplicate matches and registrations.  Store existence is probed by
+    reading (object-store-safe), never ``os.path``.
     """
     spark = batch.sparkSession
     sh = spread(batch).select(
@@ -85,8 +92,9 @@ def detect_and_register(
         )
         .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("matched_id"))
     )
-    if os.path.exists(band_dir):
-        store = spark.read.parquet(band_dir)
+    band_store = drop_own_epoch(read_store(spark, band_dir), epoch_id)
+    if band_store is not None:
+        store = band_store
         cand_old = (
             new_bands.alias("a")
             .join(
@@ -106,8 +114,11 @@ def detect_and_register(
     # Exact verification over the full shingle sets: new side from this
     # batch, matched side from the batch or the store.
     sh_all = sh
-    if os.path.exists(shingle_dir):
-        sh_all = sh.unionByName(spark.read.parquet(shingle_dir))
+    sh_store = drop_own_epoch(read_store(spark, shingle_dir), epoch_id)
+    if sh_store is not None:
+        sh_all = sh.unionByName(
+            sh_store.select("id", "shingles"), allowMissingColumns=False
+        )
     verified = (
         cand.join(
             sh.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")),
@@ -127,11 +138,21 @@ def detect_and_register(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("new_id", "matched_id", "jaccard")
     )
-    verified.write.mode("append").parquet(matches_dir)
-    # Register AFTER matching: a batch's docs never match their own store
-    # rows (the within-batch join covers them exactly once).
-    new_bands.write.partitionBy("band").mode("append").parquet(band_dir)
-    sh.write.mode("append").parquet(shingle_dir)
+    if epoch_id is None:
+        verified.write.mode("append").parquet(matches_dir)
+        # Register AFTER matching: a batch's docs never match their own
+        # store rows (the within-batch join covers them exactly once).
+        new_bands.write.partitionBy("band").mode("append").parquet(band_dir)
+        sh.write.mode("append").parquet(shingle_dir)
+    else:
+        # Epoch-keyed overwrite: replaying this batch rewrites exactly
+        # its own output (see docstring).
+        e = int(epoch_id)
+        verified.write.mode("overwrite").parquet(f"{matches_dir}/epoch={e}")
+        new_bands.write.partitionBy("band").mode("overwrite").parquet(
+            f"{band_dir}/epoch={e}"
+        )
+        sh.write.mode("overwrite").parquet(f"{shingle_dir}/epoch={e}")
 
 
 def neardup_stream(
@@ -167,6 +188,7 @@ def neardup_stream(
             num_hashes=num_hashes,
             bands=bands,
             threshold=threshold,
+            epoch_id=epoch_id,
         )
 
     return (

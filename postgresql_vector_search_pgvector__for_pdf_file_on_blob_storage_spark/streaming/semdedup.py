@@ -43,27 +43,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from ..functions import vector as V
 from ..operators.semdedup import assign_to_centroids, kmeans_centroids
 from ..utils import spread
+from .stores import drop_own_epoch, read_store
 
 __all__ = ["fit_frozen_centroids", "detect_and_register", "semdedup_stream"]
 
 # The frozen quantizer fit, re-exported under the streaming module's
 # historical name (one fit seam — operators.semdedup._fit_kmeans).
 fit_frozen_centroids = kmeans_centroids
-
-
-def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
-    """Open the vector store, or None if it does not exist yet.  A read
-    attempt (not os.path.exists) so s3://, hdfs://, abfss:// and local
-    paths all behave identically."""
-    try:
-        return spark.read.parquet(store_dir)
-    except AnalysisException:
-        return None
 
 
 def detect_and_register(
@@ -122,12 +112,7 @@ def detect_and_register(
         )
     )
     cand = cand_new
-    store = _read_store(spark, store_dir)
-    if store is not None and epoch_id is not None and "epoch" in store.columns:
-        # A REPLAYED batch finds its own earlier registration in the
-        # store; its epoch's rows must not be candidates (they are this
-        # very batch — the within-batch join covers those pairs).
-        store = store.filter(F.col("epoch") != int(epoch_id))
+    store = drop_own_epoch(read_store(spark, store_dir), epoch_id)
     if store is not None:
         # Partition-pruned store read: only clusters present in this
         # batch are ever opened (cluster count is small by construction,

@@ -607,3 +607,47 @@ def test_neardup_stream_restarts_with_store(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(m_d).collect()
     assert {(r["new_id"], r["matched_id"]) for r in rows} == {(2, 1)}
+
+
+def test_neardup_detect_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the same epoch of the
+    incremental near-dup pass must rewrite its own output, never append
+    duplicate matches or band/shingle registrations."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        neardup as ND,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "entirely different text about parquet")],
+        "doc_id long, text string",
+    )
+    band_d = str(tmp_path / "bands")
+    sh_d = str(tmp_path / "shingles")
+    m_d = str(tmp_path / "matches")
+    ND.detect_and_register(docs, band_d, sh_d, m_d, epoch_id=0)
+    once = sorted(
+        (r["new_id"], r["matched_id"])
+        for r in spark.read.parquet(m_d).collect()
+    )
+    n_bands = spark.read.parquet(band_d).count()
+    assert once == [(2, 1)]
+    # replay (crash-after-write restart)
+    ND.detect_and_register(docs, band_d, sh_d, m_d, epoch_id=0)
+    again = sorted(
+        (r["new_id"], r["matched_id"])
+        for r in spark.read.parquet(m_d).collect()
+    )
+    assert again == once
+    assert spark.read.parquet(band_d).count() == n_bands
+    # a later epoch still matches against epoch 0's registrations
+    more = spark.createDataFrame([(9, base)], "doc_id long, text string")
+    ND.detect_and_register(more, band_d, sh_d, m_d, epoch_id=1)
+    final = sorted(
+        (r["new_id"], r["matched_id"])
+        for r in spark.read.parquet(m_d).collect()
+    )
+    assert final == [(2, 1), (9, 1), (9, 2)]
