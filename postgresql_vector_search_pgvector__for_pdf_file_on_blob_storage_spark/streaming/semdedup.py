@@ -56,6 +56,97 @@ __all__ = ["fit_frozen_centroids", "detect_and_register", "semdedup_stream"]
 fit_frozen_centroids = kmeans_centroids
 
 
+def _bipartite_edges(
+    scored: DataFrame,
+    eps: float,
+    max_store_cluster: int,
+    block_elems: int = 1 << 22,
+) -> DataFrame:
+    """Per-cluster bipartite duplicate scan: for every NEW row, distances
+    to ALL rows of its cluster (store + batch) as one row-blocked float64
+    GEMM — the same kernel shape as the batch operator's
+    ``semantic_dup_edges``, here restricted to new-row sources.  Input
+    rows carry ``(id, cluster_id, vec, is_new)`` with ``vec`` already
+    L2-normalized; emits ``(new_id, matched_id, cos_dist)`` where
+    ``matched_id`` is any store row or a SMALLER-id new row (each
+    within-batch pair once).
+
+    Replaces a native per-pair ``zip_with`` dot join that measured 85 s
+    for a 10k batch against a 900k store (1.4e8 candidate pairs through
+    the interpreted HOF path); the GEMM form scores the same pairs at
+    BLAS throughput.  A cluster whose rows exceed ``max_store_cluster``
+    raises inside the task — the loud-refusal discipline, enforced where
+    the quadratic work would actually happen."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("new_id", T.LongType()),
+            T.StructField("matched_id", T.LongType()),
+            T.StructField("cos_dist", T.DoubleType()),
+        ]
+    )
+    eps_f, cap, blk = float(eps), int(max_store_cluster), int(block_elems)
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"new_id": [], "matched_id": [], "cos_dist": []}
+        ).astype(
+            {"new_id": "int64", "matched_id": "int64", "cos_dist": "float64"}
+        )
+        m = len(pdf)
+        if m > cap:
+            raise ValueError(
+                f"streaming semantic dedup: cluster holds {m} rows >"
+                f" max_store_cluster={cap}; per-batch candidate volume"
+                " against it grows without bound.  Rebuild the store with"
+                " more clusters (finer frozen centroids) or raise the cap"
+                " explicitly."
+            )
+        flags = pdf["is_new"].to_numpy(dtype=bool)
+        if m < 2 or not flags.any():
+            return empty
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        new_idx = np.nonzero(flags)[0]
+        Xn, new_ids = X[new_idx], ids[new_idx]
+        block = max(1, blk // m)
+        outs = []
+        for s in range(0, len(new_idx), block):
+            e = min(s + block, len(new_idx))
+            S = Xn[s:e] @ X.T
+            bi, bj = np.nonzero(1.0 - S < eps_f)
+            gi = new_idx[bi + s]  # position of the new row in pdf
+            keep = gi != bj  # never self
+            # within-batch pairs once: new-vs-new only when id is larger
+            both_new = flags[bj[keep]]
+            a_ids = new_ids[bi[keep] + s]
+            b_ids = ids[bj[keep]]
+            keep2 = ~both_new | (a_ids > b_ids)
+            if not keep2.any():
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "new_id": a_ids[keep2],
+                        "matched_id": b_ids[keep2],
+                        "cos_dist": 1.0 - S[bi[keep], bj[keep]][keep2],
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        scored.select("id", "cluster_id", "vec", "is_new")
+        .groupBy("cluster_id")
+        .applyInPandas(per_cluster, out_schema)
+    )
+
+
 def detect_and_register(
     batch: DataFrame,
     centroids: list[list[float]],
@@ -97,21 +188,7 @@ def detect_and_register(
         )
         .localCheckpoint(eager=True)
     )
-    sim = F.lit(1.0) - V.dot_product(F.col("a.vec"), F.col("b.vec"))
-    cand_new = (
-        new.alias("a")
-        .join(
-            new.alias("b"),
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.id") > F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("new_id"),
-            F.col("b.id").alias("matched_id"),
-            sim.alias("cos_dist"),
-        )
-    )
-    cand = cand_new
+    scored = new.withColumn("is_new", F.lit(True))
     store = drop_own_epoch(read_store(spark, store_dir), epoch_id)
     if store is not None:
         # Partition-pruned store read: only clusters present in this
@@ -121,37 +198,12 @@ def detect_and_register(
             r["cluster_id"]
             for r in new.select("cluster_id").distinct().collect()
         ]
-        store = store.filter(F.col("cluster_id").isin(batch_clusters))
-        hot = (
-            store.groupBy("cluster_id")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_store_cluster)
-            .collect()
+        scored = scored.unionByName(
+            store.filter(F.col("cluster_id").isin(batch_clusters))
+            .select("id", "cluster_id", "vec")
+            .withColumn("is_new", F.lit(False))
         )
-        if hot:
-            worst = max(hot, key=lambda r: r["n"])
-            raise ValueError(
-                f"streaming semantic dedup: store cluster"
-                f" {worst['cluster_id']} holds {worst['n']} rows >"
-                f" max_store_cluster={max_store_cluster}; per-batch"
-                " candidate volume against it grows without bound."
-                " Rebuild the store with more clusters (finer frozen"
-                " centroids) or raise the cap explicitly."
-            )
-        cand_old = (
-            new.alias("a")
-            .join(
-                store.alias("b"),
-                F.col("a.cluster_id") == F.col("b.cluster_id"),
-            )
-            .select(
-                F.col("a.id").alias("new_id"),
-                F.col("b.id").alias("matched_id"),
-                sim.alias("cos_dist"),
-            )
-        )
-        cand = cand_new.unionByName(cand_old)
-    matches = cand.filter(F.col("cos_dist") < F.lit(float(eps)))
+    matches = _bipartite_edges(scored, eps, max_store_cluster)
     if epoch_id is None:
         matches.write.mode("append").parquet(matches_dir)
         # Register AFTER matching (a batch never matches its own store
