@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..utils import spread
-from .stores import drop_own_epoch, read_store
+from .stores import prepare_store, read_store
 
 __all__ = ["detect_and_register", "neardup_stream"]
 
@@ -92,7 +92,9 @@ def detect_and_register(
         )
         .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("matched_id"))
     )
-    band_store = drop_own_epoch(read_store(spark, band_dir), epoch_id)
+    band_store = prepare_store(
+        read_store(spark, band_dir), epoch_id, "near-dup band store"
+    )
     if band_store is not None:
         store = band_store
         cand_old = (
@@ -114,7 +116,9 @@ def detect_and_register(
     # Exact verification over the full shingle sets: new side from this
     # batch, matched side from the batch or the store.
     sh_all = sh
-    sh_store = drop_own_epoch(read_store(spark, shingle_dir), epoch_id)
+    sh_store = prepare_store(
+        read_store(spark, shingle_dir), epoch_id, "near-dup shingle store"
+    )
     if sh_store is not None:
         sh_all = sh.unionByName(
             sh_store.select("id", "shingles"), allowMissingColumns=False

@@ -29,11 +29,13 @@ doing the candidate pruning that MinHash bands do for text:
   exactly-once.  (Direct batch-twin calls without an epoch append, for
   simple scripted ingest.)
 - **Hot-cluster refusal**: candidate volume per batch is
-  |batch ∩ cluster| x |store ∩ cluster|; a store cluster past
-  ``max_store_cluster`` raises loudly (the streaming form of
+  |batch ∩ cluster| x |store+batch ∩ cluster|; a cluster whose COMBINED
+  batch+store rows exceed ``max_store_cluster`` raises loudly inside the
+  scoring task, naming the cluster (the streaming form of
   semantic_dup_edges' ``max_cluster_size`` discipline) instead of
-  silently becoming a per-batch straggler.  Remedy: rebuild with more
-  clusters.
+  silently becoming a per-batch straggler.  Remedy: finer frozen
+  centroids (rebuild), or smaller batches if the batch itself is the
+  bulk.  Task-side raises surface as ``pyspark.errors.PythonException``.
 - State is a relation, not executor memory — and store existence is
   probed by *reading* it (portable to object stores), never by
   ``os.path`` checks that only see the local filesystem.
@@ -47,7 +49,7 @@ from pyspark.sql import functions as F
 from ..functions import vector as V
 from ..operators.semdedup import assign_to_centroids, kmeans_centroids
 from ..utils import spread
-from .stores import drop_own_epoch, read_store
+from .stores import prepare_store, read_store
 
 __all__ = ["fit_frozen_centroids", "detect_and_register", "semdedup_stream"]
 
@@ -98,12 +100,15 @@ def _bipartite_edges(
         )
         m = len(pdf)
         if m > cap:
+            cid = int(pdf["cluster_id"].iloc[0])
+            n_new = int(pdf["is_new"].sum())
             raise ValueError(
-                f"streaming semantic dedup: cluster holds {m} rows >"
-                f" max_store_cluster={cap}; per-batch candidate volume"
-                " against it grows without bound.  Rebuild the store with"
-                " more clusters (finer frozen centroids) or raise the cap"
-                " explicitly."
+                f"streaming semantic dedup: cluster {cid} holds {m} rows"
+                f" ({n_new} from this batch, {m - n_new} from the store)"
+                f" > max_store_cluster={cap}; per-batch candidate volume"
+                " against it grows without bound.  Use finer frozen"
+                " centroids (rebuild the store), smaller batches if the"
+                " batch dominates, or raise the cap explicitly."
             )
         flags = pdf["is_new"].to_numpy(dtype=bool)
         if m < 2 or not flags.any():
@@ -169,7 +174,11 @@ def detect_and_register(
     NULL-embedding rows are dropped up front — they cannot be duplicate
     candidates (same guard as the batch operator)."""
     spark = batch.sparkSession
-    nrm = V.l2_norm(vec_col)
+    # Zero-norm guard (the batch kernel's norms==0 -> 1.0, applied at the
+    # normalize-on-write boundary): an all-zero embedding must become a
+    # zero vector that never matches, not a NaN row living in the store.
+    raw_norm = V.l2_norm(vec_col)
+    nrm = F.when(raw_norm == 0.0, F.lit(1.0)).otherwise(raw_norm)
     new = (
         assign_to_centroids(
             spread(batch)
@@ -189,7 +198,9 @@ def detect_and_register(
         .localCheckpoint(eager=True)
     )
     scored = new.withColumn("is_new", F.lit(True))
-    store = drop_own_epoch(read_store(spark, store_dir), epoch_id)
+    store = prepare_store(
+        read_store(spark, store_dir), epoch_id, "semantic vector store"
+    )
     if store is not None:
         # Partition-pruned store read: only clusters present in this
         # batch are ever opened (cluster count is small by construction,

@@ -310,12 +310,13 @@ def test_streaming_detect_hot_cluster_raises(spark, tmp_path):
         semdedup as SS,
     )
     import pytest as _pytest
+    from pyspark.errors import PythonException
 
     items = _planted(spark)
     cents = SS.fit_frozen_centroids(items, k_clusters=2)
     store, matches = str(tmp_path / "s"), str(tmp_path / "m")
     SS.detect_and_register(items, cents, store, matches, eps=0.05)
-    with _pytest.raises(Exception, match="max_store_cluster"):
+    with _pytest.raises(PythonException, match="max_store_cluster"):
         SS.detect_and_register(
             items, cents, store, matches, eps=0.05, max_store_cluster=2
         )
@@ -331,3 +332,51 @@ def test_semantic_dedup_all_null_embeddings(spark):
     out = {r["vec_id"]: r for r in S.semantic_dedup(df, k_clusters=2).collect()}
     assert len(out) == 2
     assert all(r["is_keeper"] and r["cluster_id"] is None for r in out.values())
+
+
+def test_streaming_epoch_counter_reset_refused(spark, tmp_path):
+    """A fresh checkpoint pointed at an existing store re-issues low
+    epoch ids; overwriting older epochs would destroy accepted state, so
+    the batch must be refused loudly."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        semdedup as SS,
+    )
+
+    items = _planted(spark)
+    cents = SS.fit_frozen_centroids(items, k_clusters=6)
+    store, matches = str(tmp_path / "s"), str(tmp_path / "m")
+    SS.detect_and_register(
+        items.filter(F.col("vec_id") < 10), cents, store, matches,
+        eps=0.05, epoch_id=5,
+    )
+    with pytest.raises(ValueError, match="behind the store"):
+        SS.detect_and_register(
+            items.filter(F.col("vec_id") >= 10), cents, store, matches,
+            eps=0.05, epoch_id=3,
+        )
+
+
+def test_streaming_mixed_layouts_refused(spark, tmp_path):
+    """Flat (direct) and epoch-keyed (stream) writes produce incompatible
+    store layouts; mixing them against one store must raise, not corrupt
+    partition discovery."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        semdedup as SS,
+    )
+
+    items = _planted(spark)
+    cents = SS.fit_frozen_centroids(items, k_clusters=6)
+    store, matches = str(tmp_path / "s"), str(tmp_path / "m")
+    b1 = items.filter(F.col("vec_id") < 10)
+    b2 = items.filter(F.col("vec_id") >= 10)
+    SS.detect_and_register(b1, cents, store, matches, eps=0.05)  # flat
+    with pytest.raises(ValueError, match="mixing"):
+        SS.detect_and_register(
+            b2, cents, store, matches, eps=0.05, epoch_id=0
+        )
+    store2, matches2 = str(tmp_path / "s2"), str(tmp_path / "m2")
+    SS.detect_and_register(
+        b1, cents, store2, matches2, eps=0.05, epoch_id=0
+    )  # epoch-keyed
+    with pytest.raises(ValueError, match="mixing"):
+        SS.detect_and_register(b2, cents, store2, matches2, eps=0.05)
