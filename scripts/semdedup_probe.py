@@ -14,6 +14,17 @@
    with >= 3 duplicated 8-gram windows.  Measures the two-hash-shuffle
    substring-dedup pass (~23M gram occurrences).
 
+3. **strip_dup_ngrams at 1M docs**: the removal half — exactly the
+   planted boilerplate tokens must be cut.
+
+4. **Sampled k-means fit** (``cluster_assign(fit_fraction=0.1)``) vs the
+   full fit at 1M vectors, asserting no planted duplicate pair is split
+   across clusters by the sampled quantizer.
+
+5. **Streaming incremental batch** (streaming/semdedup.py): a 10k-vector
+   batch against a 900k-row frozen-centroid store — the per-batch cost
+   of the ingest-time SemDeDup question through the bipartite GEMM.
+
 Run: ``python scripts/semdedup_probe.py [n_vec] [n_docs]``.
 Output: one JSON line per probe.
 """
@@ -150,5 +161,138 @@ def main() -> None:
     )
 
 
+def extra_probes(spark, n_vec: int, n_docs: int) -> None:
+    """Probes 3-5 (see module doc) — separated so the default run stays
+    the two headline probes; run with ``--all`` to include these."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.functions import (
+        vector as V,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators.semdedup import (
+        assign_to_centroids,
+        cluster_assign,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        semdedup as SS,
+    )
+
+    # 3. strip at n_docs
+    docs = boilerplate_docs(spark, n_docs).cache()
+    docs.count()
+    t0 = time.time()
+    agg = D.strip_dup_ngrams(docs, n=8).agg(
+        F.sum("n_removed_tokens").alias("removed"),
+        F.sum((F.col("n_removed_tokens") > 0).cast("long")).alias("touched"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "probe": "strip_dup_ngrams",
+                "n_docs": n_docs,
+                "sec": round(time.time() - t0, 2),
+                "tokens_removed": agg["removed"],
+                "expected_removed": (n_docs // 10) * 10,
+                "docs_touched": agg["touched"],
+            }
+        )
+    )
+    docs.unpersist()
+
+    # 4. sampled vs full k-means fit
+    vecs = dup_vectors(spark, n_vec).cache()
+    vecs.count()
+    out = {"probe": "sampled_kmeans_fit", "n_vec": n_vec}
+    for frac in (1.0, 0.1):
+        t0 = time.time()
+        a = cluster_assign(
+            vecs, k_clusters=64, max_iter=5, fit_fraction=frac
+        ).select(F.col("vec_id").alias("id"), F.col("cluster_id").alias("c"))
+        a.count()
+        dup = a.filter(F.col("id") >= int(n_vec * 0.9)).withColumn(
+            "orig", F.col("id") - int(n_vec * 0.9)
+        )
+        split = (
+            dup.join(
+                a.select(F.col("id").alias("orig"), F.col("c").alias("c2")),
+                "orig",
+            )
+            .filter(F.col("c") != F.col("c2"))
+            .count()
+        )
+        key = "full" if frac >= 1.0 else f"frac_{frac}"
+        out[f"{key}_sec"] = round(time.time() - t0, 2)
+        out[f"{key}_split_pairs"] = split
+    print(json.dumps(out))
+
+    # 5. streaming incremental batch vs a prior-ingest store
+    import shutil
+    import tempfile
+
+    uniq = vecs.filter(F.col("vec_id") < int(n_vec * 0.9))
+    cents = SS.fit_frozen_centroids(uniq, k_clusters=64, max_iter=5)
+    tmp = tempfile.mkdtemp(prefix="ssprobe_")
+    try:
+        store, matches = f"{tmp}/store", f"{tmp}/matches"
+        reg = assign_to_centroids(
+            uniq.select(F.col("vec_id").cast("long").alias("id"), "embedding"),
+            cents,
+        )
+        reg = reg.withColumn("__n", V.l2_norm("embedding")).select(
+            "id",
+            "cluster_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("__n")
+            ).alias("vec"),
+        )
+        # Seed the prior-ingest store EPOCH-KEYED (epoch=0) so the
+        # epoch-keyed batch call below passes the mixed-layout guard.
+        reg.write.partitionBy("cluster_id").parquet(f"{store}/epoch=0")
+        n_dup_batch = min(5000, n_vec - int(n_vec * 0.9))
+        batch = vecs.filter(
+            (F.col("vec_id") >= int(n_vec * 0.9))
+            & (F.col("vec_id") < int(n_vec * 0.9) + n_dup_batch)
+        )
+        # Exact id range (not limit — which may grab the generator's own
+        # wraparound dups): content == id here, so these are fresh uniques.
+        fresh = dup_vectors(spark, 3 * n_vec).filter(
+            (F.col("vec_id") >= int(2.0 * n_vec))
+            & (F.col("vec_id") < int(2.0 * n_vec) + n_dup_batch)
+        )
+        t0 = time.time()
+        SS.detect_and_register(
+            batch.unionByName(fresh),
+            cents,
+            store,
+            matches,
+            eps=0.05,
+            epoch_id=7,
+            max_store_cluster=n_vec,
+        )
+        n_matches = spark.read.parquet(matches).count()
+        print(
+            json.dumps(
+                {
+                    "probe": "streaming_semdedup_batch",
+                    "store_rows": int(n_vec * 0.9),
+                    "batch_rows": 2 * n_dup_batch,
+                    "sec": round(time.time() - t0, 2),
+                    "matches": n_matches,
+                    "expected_matches": n_dup_batch,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    vecs.unpersist()
+
+
 if __name__ == "__main__":
     main()
+    if "--all" in sys.argv:
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+            get_spark as _gs,
+        )
+
+        args = [a for a in sys.argv[1:] if a != "--all"]
+        n_vec = int(args[0]) if args else 1_000_000
+        n_docs = int(args[1]) if len(args) > 1 else 1_000_000
+        extra_probes(_gs(app_name="semdedup-probe"), n_vec, n_docs)
