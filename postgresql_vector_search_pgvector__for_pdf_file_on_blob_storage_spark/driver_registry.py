@@ -199,6 +199,7 @@ ROWS_ONLY_SUITES: dict[str, list[str]] = {
     "streaming_dedup_gallery": [
         "streaming_neardup_matches",
         "streaming_semdedup_matches",
+        "streaming_substring_stats",
     ],
 }
 

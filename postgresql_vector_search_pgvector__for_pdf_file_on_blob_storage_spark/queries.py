@@ -4205,3 +4205,39 @@ def tokenize_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = T.pack_token_bins(with_counts, "n_tok", "shard", "doc_id", 500)
     return packed.withColumn("dropped_words", F.lit(int(dropped)).cast("long"))
+
+
+@query("streaming_substring_stats")
+def streaming_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SUBSTRING-level dedup (streaming/substring.py) driven
+    over the documents fixture as two arrival batches: the first half's
+    distinct gram hashes are registered into the bucket-partitioned gram
+    store, then the second half arrives and each new doc is scored
+    against its own batch AND the store.  Returns the batch operator's
+    exact per-doc column contract ``(doc_id, n_windows, n_grams,
+    n_dup_grams, dup_gram_ppm)``; a single-batch call is test-pinned
+    equal to ``ngram_dup_stats``.  foreachBatch state-table pattern ->
+    rows-only."""
+    import shutil
+    import tempfile
+
+    from .streaming import substring as SB
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    tmp = tempfile.mkdtemp(prefix="substr_q_")
+    try:
+        gram_d, s_d = f"{tmp}/grams", f"{tmp}/stats"
+        SB.detect_and_register(
+            docs.filter(F.col("doc_id") <= mid), gram_d, s_d, n=8
+        )
+        SB.detect_and_register(
+            docs.filter(F.col("doc_id") > mid), gram_d, s_d, n=8
+        )
+        out = spark.read.parquet(s_d).orderBy("doc_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema) if rows else (
+            spark.createDataFrame([], out.schema)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -651,3 +651,70 @@ def test_neardup_detect_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(m_d).collect()
     )
     assert final == [(2, 1), (9, 1), (9, 2)]
+
+
+class TestStreamingSubstring:
+    def test_single_batch_equals_batch_operator(self, spark, sf_dir, tmp_path):
+        """One batch over the whole corpus == dedup.ngram_dup_stats
+        (same window universe, df>=2 rule, and column contract)."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            dedup as D,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        gram_d, stats_d = str(tmp_path / "grams"), str(tmp_path / "stats")
+        SB.detect_and_register(docs, gram_d, stats_d, n=8)
+        got = sorted(
+            map(tuple, spark.read.parquet(stats_d).collect())
+        )
+        want = sorted(map(tuple, D.ngram_dup_stats(docs, n=8).collect()))
+        assert got == want
+
+    def test_incremental_flags_cross_batch_grams(self, spark, tmp_path):
+        """A later doc repeating an accepted doc's 8-gram is flagged via
+        the gram STORE even though its own batch has no internal dups."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        span = "one two three four five six seven eight"
+        b1 = spark.createDataFrame(
+            [(1, f"{span} tail-a"), (2, "all unique words in this early doc")],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            [(3, f"prefix {span} suffix"), (4, "another fully unique doc")],
+            "doc_id long, text string",
+        )
+        gram_d, stats_d = str(tmp_path / "g"), str(tmp_path / "s")
+        SB.detect_and_register(b1, gram_d, stats_d, n=8, epoch_id=0)
+        SB.detect_and_register(b2, gram_d, stats_d, n=8, epoch_id=1)
+        got = {
+            r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()
+        }
+        assert got[1]["n_dup_grams"] == 0  # first carrier saw nothing prior
+        assert got[3]["n_dup_grams"] == 1  # flagged against the store
+        assert got[2]["n_dup_grams"] == 0 and got[4]["n_dup_grams"] == 0
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+            "doc_id long, text string",
+        )
+        gram_d, stats_d = str(tmp_path / "g"), str(tmp_path / "s")
+        SB.detect_and_register(docs, gram_d, stats_d, n=8, epoch_id=0)
+        once = sorted(map(tuple, spark.read.parquet(stats_d).collect()))
+        n_grams_once = spark.read.parquet(gram_d).count()
+        SB.detect_and_register(docs, gram_d, stats_d, n=8, epoch_id=0)
+        assert sorted(map(tuple, spark.read.parquet(stats_d).collect())) == once
+        assert spark.read.parquet(gram_d).count() == n_grams_once
