@@ -25,6 +25,9 @@
    batch against a 900k-row frozen-centroid store — the per-batch cost
    of the ingest-time SemDeDup question through the bipartite GEMM.
 
+6. **Streaming substring ingest** (streaming/substring.py): a 100k-doc
+   batch against a gram store accumulated from 900k accepted docs.
+
 Run: ``python scripts/semdedup_probe.py [n_vec] [n_docs]``.
 Output: one JSON line per probe.
 """
@@ -283,6 +286,49 @@ def extra_probes(spark, n_vec: int, n_docs: int) -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     vecs.unpersist()
+
+    # 6. streaming substring ingest: batch vs an accumulated gram store
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        substring as SB,
+    )
+
+    n9 = int(n_docs * 0.9)
+    all_docs = boilerplate_docs(spark, n_docs)
+    tmp = tempfile.mkdtemp(prefix="sbprobe_")
+    try:
+        gram_d, s_d = f"{tmp}/grams", f"{tmp}/stats"
+        t0 = time.time()
+        SB.detect_and_register(
+            all_docs.filter(F.col("doc_id") < n9), gram_d, s_d, n=8,
+            epoch_id=0,
+        )
+        seed_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        SB.detect_and_register(
+            all_docs.filter(F.col("doc_id") >= n9), gram_d, s_d, n=8,
+            epoch_id=1,
+        )
+        batch_sec = round(time.time() - t0, 2)
+        flagged = (
+            spark.read.parquet(f"{s_d}/epoch=1")
+            .filter(F.col("n_dup_grams") > 0)
+            .count()
+        )
+        print(
+            json.dumps(
+                {
+                    "probe": "streaming_substring_batch",
+                    "store_docs": n9,
+                    "batch_docs": n_docs - n9,
+                    "seed_sec": seed_sec,
+                    "batch_sec": batch_sec,
+                    "batch_docs_flagged": flagged,
+                    "expected_flagged": (n_docs - n9 + 9) // 10,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
