@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..utils import spread
-from .stores import prepare_store, read_store
+from .stores import prepare_store, read_store, write_store_partitioned
 
 __all__ = ["detect_and_register", "neardup_stream"]
 
@@ -144,19 +144,17 @@ def detect_and_register(
     )
     if epoch_id is None:
         verified.write.mode("append").parquet(matches_dir)
-        # Register AFTER matching: a batch's docs never match their own
-        # store rows (the within-batch join covers them exactly once).
-        new_bands.write.partitionBy("band").mode("append").parquet(band_dir)
         sh.write.mode("append").parquet(shingle_dir)
     else:
         # Epoch-keyed overwrite: replaying this batch rewrites exactly
         # its own output (see docstring).
         e = int(epoch_id)
         verified.write.mode("overwrite").parquet(f"{matches_dir}/epoch={e}")
-        new_bands.write.partitionBy("band").mode("overwrite").parquet(
-            f"{band_dir}/epoch={e}"
-        )
         sh.write.mode("overwrite").parquet(f"{shingle_dir}/epoch={e}")
+    # Register AFTER matching: a batch's docs never match their own store
+    # rows (the within-batch join covers them exactly once).  Empty-safe
+    # partitioned write (stores.write_store_partitioned).
+    write_store_partitioned(new_bands, band_dir, "band", epoch_id)
 
 
 def neardup_stream(

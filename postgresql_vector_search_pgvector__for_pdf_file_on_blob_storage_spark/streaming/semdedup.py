@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from ..functions import vector as V
 from ..operators.semdedup import assign_to_centroids, kmeans_centroids
 from ..utils import spread
-from .stores import prepare_store, read_store
+from .stores import prepare_store, read_store, write_store_partitioned
 
 __all__ = ["fit_frozen_centroids", "detect_and_register", "semdedup_stream"]
 
@@ -217,18 +217,16 @@ def detect_and_register(
     matches = _bipartite_edges(scored, eps, max_store_cluster)
     if epoch_id is None:
         matches.write.mode("append").parquet(matches_dir)
-        # Register AFTER matching (a batch never matches its own store
-        # rows; the within-batch join covers those pairs exactly once).
-        new.write.partitionBy("cluster_id").mode("append").parquet(store_dir)
     else:
         # Epoch-keyed overwrite: replaying this batch rewrites exactly its
         # own output, never duplicating matches or store rows.
         matches.write.mode("overwrite").parquet(
             f"{matches_dir}/epoch={int(epoch_id)}"
         )
-        new.write.partitionBy("cluster_id").mode("overwrite").parquet(
-            f"{store_dir}/epoch={int(epoch_id)}"
-        )
+    # Register AFTER matching (a batch never matches its own store rows;
+    # the within-batch join covers those pairs exactly once).  Empty-safe
+    # partitioned write (stores.write_store_partitioned).
+    write_store_partitioned(new, store_dir, "cluster_id", epoch_id)
 
 
 def semdedup_stream(

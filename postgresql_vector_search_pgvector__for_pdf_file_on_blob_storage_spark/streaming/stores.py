@@ -75,3 +75,22 @@ def prepare_store(
             " fresh store or restore the matching checkpoint."
         )
     return store.filter(F.col("epoch") != int(epoch_id))
+
+
+def write_store_partitioned(
+    df: DataFrame, path: str, partition_col: str, epoch_id: int | None
+) -> None:
+    """Store-registration write shared by the streaming dedup modules.
+
+    Skips the write entirely when the frame is EMPTY: a partitioned write
+    of zero rows produces a directory with no parquet files (only
+    _SUCCESS — Spark's empty-schema marker file applies to
+    non-partitioned writes), and every later ``read_store`` would then
+    die with UNABLE_TO_INFER_SCHEMA even though no state is corrupt.
+    Skipping keeps the store genuinely absent until something registers.
+    """
+    if df.limit(1).count() == 0:
+        return
+    target = path if epoch_id is None else f"{path}/epoch={int(epoch_id)}"
+    mode = "append" if epoch_id is None else "overwrite"
+    df.write.partitionBy(partition_col).mode(mode).parquet(target)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 from ..operators.dedup import word_shingles
 from ..utils import spread
-from .stores import prepare_store, read_store
+from .stores import prepare_store, read_store, write_store_partitioned
 
 __all__ = ["detect_and_register", "substring_stream"]
 
@@ -51,21 +51,24 @@ def detect_and_register(
     hashes.  Epoch semantics and call styles mirror the sibling modules
     (``epoch_id`` -> idempotent overwrite; direct calls append)."""
     spark = batch.sparkSession
-    base = (
-        spread(batch)
-        .select(
-            F.col(id_col).cast("long").alias("id"),
-            word_shingles(text_col, n).alias("grams"),
-            F.greatest(
-                F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_windows"),
+    # Gram-string discipline (same as the batch operator): the gram text
+    # is never checkpointed or shuffled — the shingle expression is
+    # evaluated once per slim consumer below (recompute-beats-materialize,
+    # dedup.ngram_dup_stats), and only longs persist per batch.
+    raw = spread(batch).select(
+        F.col(id_col).cast("long").alias("id"),
+        word_shingles(text_col, n).alias("grams"),
+        F.greatest(
+            F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
         )
-        .localCheckpoint(eager=True)
+        .cast("long")
+        .alias("n_windows"),
     )
+    base = raw.select(
+        "id", "n_windows", F.size("grams").cast("long").alias("n_grams")
+    ).localCheckpoint(eager=True)
     g = (
-        base.select("id", F.explode("grams").alias("__g"))
+        raw.select("id", F.explode("grams").alias("__g"))
         .select("id", F.xxhash64("__g").alias("gk"))
         .withColumn("bucket", F.pmod(F.col("gk"), F.lit(N_BUCKETS)))
         .localCheckpoint(eager=True)
@@ -80,28 +83,42 @@ def detect_and_register(
     store = prepare_store(
         read_store(spark, gram_dir), epoch_id, "substring gram store"
     )
+    batch_gk = g.select("gk", "bucket").distinct()
     if store is not None:
-        # Bucket-pruned store probe: only the buckets present in this
-        # batch are read (bucket list is <= N_BUCKETS literals).
+        # ONE bucket-pruned store pass serves both consumers: a left join
+        # marking which distinct batch grams exist in the store yields the
+        # store-duplicate keys AND the novel registration set (scanning
+        # the ~distinct-gram-sized store twice would double the dominant
+        # per-batch I/O).
         buckets = [
-            r["bucket"] for r in g.select("bucket").distinct().collect()
+            r["bucket"] for r in batch_gk.select("bucket").distinct().collect()
         ]
-        store = store.filter(F.col("bucket").isin(buckets))
+        hits = (
+            batch_gk.join(
+                store.filter(F.col("bucket").isin(buckets))
+                .select("gk")
+                .withColumn("__in_store", F.lit(1)),
+                "gk",
+                "left",
+            )
+            .localCheckpoint(eager=True)
+        )
         dup_keys = batch_dup.unionByName(
-            store.select("gk")
+            hits.filter(F.col("__in_store") == 1).select("gk")
         ).distinct()
+        novel = hits.filter(F.col("__in_store").isNull()).select(
+            "gk", "bucket"
+        )
     else:
         dup_keys = batch_dup
+        novel = batch_gk
     per_doc = (
         g.join(dup_keys, "gk", "left_semi")
         .groupBy("id")
         .agg(F.count("*").alias("n_dup_grams"))
     )
     stats = (
-        base.select(
-            "id", "n_windows", F.size("grams").cast("long").alias("n_grams")
-        )
-        .join(per_doc, "id", "left")
+        base.join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "n_windows",
@@ -122,20 +139,16 @@ def detect_and_register(
             .cast("long"),
         )
     )
-    # Register only NOVEL grams (anti-join) so the store stays distinct
-    # under append — one row per corpus-wide distinct gram forever.
-    novel = g.select("gk", "bucket").distinct()
-    if store is not None:
-        novel = novel.join(store.select("gk"), "gk", "left_anti")
     if epoch_id is None:
         stats.write.mode("append").parquet(stats_dir)
-        novel.write.partitionBy("bucket").mode("append").parquet(gram_dir)
     else:
-        e = int(epoch_id)
-        stats.write.mode("overwrite").parquet(f"{stats_dir}/epoch={e}")
-        novel.write.partitionBy("bucket").mode("overwrite").parquet(
-            f"{gram_dir}/epoch={e}"
+        stats.write.mode("overwrite").parquet(
+            f"{stats_dir}/epoch={int(epoch_id)}"
         )
+    # Register only NOVEL grams so the store stays distinct under append
+    # — one row per corpus-wide distinct gram forever.  Empty-safe write
+    # (an all-short-doc first batch must not poison the store dir).
+    write_store_partitioned(novel, gram_dir, "bucket", epoch_id)
 
 
 def substring_stream(

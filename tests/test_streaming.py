@@ -718,3 +718,29 @@ class TestStreamingSubstring:
         SB.detect_and_register(docs, gram_d, stats_d, n=8, epoch_id=0)
         assert sorted(map(tuple, spark.read.parquet(stats_d).collect())) == once
         assert spark.read.parquet(gram_d).count() == n_grams_once
+
+    def test_all_short_first_batch_does_not_poison_store(self, spark, tmp_path):
+        """A first batch where every doc has < n tokens registers nothing;
+        the empty partitioned write must be SKIPPED (a file-less epoch dir
+        would make every later store read fail schema inference), and the
+        next batch must work normally."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        shorts = spark.createDataFrame(
+            [(1, "too short"), (2, "also tiny")], "doc_id long, text string"
+        )
+        gram_d, s_d = str(tmp_path / "g"), str(tmp_path / "s")
+        SB.detect_and_register(shorts, gram_d, s_d, n=8, epoch_id=0)
+        real = spark.createDataFrame(
+            [(3, "a b c d e f g h i"), (4, "a b c d e f g h j")],
+            "doc_id long, text string",
+        )
+        SB.detect_and_register(real, gram_d, s_d, n=8, epoch_id=1)
+        got = {
+            r["doc_id"]: r["n_dup_grams"]
+            for r in spark.read.parquet(s_d).collect()
+        }
+        assert got[1] == 0 and got[2] == 0
+        assert got[3] >= 1 and got[4] >= 1  # shared "a b c d e f g h"
