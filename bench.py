@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
@@ -119,5 +121,96 @@ def main() -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# Benign-noise stderr filter (VERDICT r03 #4).
+#
+# Under the noop sink, BENCH_r03's stderr tail recorded "SparkException:
+# attempted to access non-existent accumulator".  Mechanism (reproduced
+# deterministically at sf0.01): AccumulatorContext holds SQLMetrics by WEAK
+# reference; operators that run bounded driver actions mid-build
+# (collect_bounded's `limit().collect()`, size-dispatch `count()`s) create
+# INTERMEDIATE Datasets whose Python wrappers die as soon as the action
+# returns, JVM GC then clears their metric weak-refs, and straggler tasks
+# of the cancelled/incremental limit jobs still deliver completion events —
+# DAGScheduler logs the failed accumulator lookup (always preceded by
+# "WARN AccumulatorContext: ... garbage collected accumulator").  The job
+# result is unaffected (rc=0, every value recorded); keeping the final
+# DataFrames alive does NOT help because the dead objects are the
+# intermediates.
+#
+# A real mid-bench failure must not hide in that noise, so the bench runs
+# its body in a child process and the parent strips EXACTLY the benign
+# block (the paired WARN/ERROR lines + the SparkException stack beneath
+# them), forwards everything else unmodified, reports how many blocks were
+# stripped, and exits non-zero if any OTHER exception/ERROR line survives
+# the filter.
+# ---------------------------------------------------------------------------
+
+_BENIGN_LINE = re.compile(
+    r"WARN AccumulatorContext: Attempted to access garbage collected"
+    r" accumulator \d+"
+)
+_BENIGN_ERROR = re.compile(
+    r"ERROR DAGScheduler: Failed to update accumulator \d+ \(Unknown class\)"
+    r" for task \d+"
+)
+_BENIGN_EXC = re.compile(
+    r"^org\.apache\.spark\.SparkException: attempted to access non-existent"
+    r" accumulator \d+"
+)
+_SUSPECT = re.compile(r"\bERROR \w|Exception|Traceback")
+
+
+def _run_filtered() -> int:
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stderr=subprocess.PIPE,
+        text=True,
+        errors="replace",
+    )
+    stripped = 0
+    suspects: list[str] = []
+    in_stack = False
+    assert proc.stderr is not None
+    for line in proc.stderr:
+        if _BENIGN_LINE.search(line):
+            continue
+        if _BENIGN_ERROR.search(line):
+            stripped += 1
+            continue
+        if _BENIGN_EXC.match(line):
+            in_stack = True
+            continue
+        if in_stack:
+            if line.startswith("\tat "):
+                continue
+            in_stack = False
+        sys.stderr.write(line)
+        if _SUSPECT.search(line) and not line.startswith("# warmup"):
+            suspects.append(line.rstrip())
+    rc = proc.wait()
+    if stripped:
+        print(
+            f"# stripped {stripped} benign accumulator-GC error blocks"
+            " (see bench.py header / BASELINE.md)",
+            file=sys.stderr,
+        )
+    if suspects and rc == 0:
+        print(
+            "# BENCH FAILED: unexpected stderr exceptions survived the"
+            " benign filter:",
+            file=sys.stderr,
+        )
+        for s in suspects[:20]:
+            print(f"#   {s}", file=sys.stderr)
+        return 4
+    return rc
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_run_filtered())

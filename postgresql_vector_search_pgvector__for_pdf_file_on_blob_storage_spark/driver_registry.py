@@ -68,12 +68,18 @@ _NULL = "∅"  # ∅
 DRIVER_ENTRY_CAP = 50
 
 SUITES: dict[str, list[str]] = {
-    # pgvector distance family besides the flagship l2 (kept individual)
-    "knn_distance_family": ["knn_cosine_top5", "knn_dot_top5"],
+    # pgvector distance family + the kNN joins (folded r04 for headroom)
+    "knn_distance_family": [
+        "knn_l2_top5",
+        "knn_cosine_top5",
+        "knn_dot_top5",
+        "knn_join_l2",
+    ],
     # reference listing / scalar-transform shapes over documents
     "doc_listing_suite": [
         "listing_registered",
         "listing_failed",
+        "filter_suffix",
         "normalize_whitespace",
         "url_build",
     ],
@@ -90,6 +96,7 @@ SUITES: dict[str, list[str]] = {
         "having_big_part_groups",
         "distinct_counts_per_group",
         "stats_exact_moments",
+        "order_price_percentiles",
     ],
     "window_suite": [
         "window_top_orders_per_customer",
@@ -113,7 +120,12 @@ SUITES: dict[str, list[str]] = {
         "join_anti_inactive_customers",
         "join_left_outer_order_counts",
     ],
-    "events_window_suite": ["events_tumbling_agg", "events_sliding_window"],
+    "events_window_suite": [
+        "events_tumbling_agg",
+        "events_sliding_window",
+        "sessionize_events",
+        "window_trailing_10min",
+    ],
     "text_stats_suite": [
         "token_stats",
         "bpe_token_stats",
@@ -124,6 +136,7 @@ SUITES: dict[str, list[str]] = {
         "sequence_packing",
         "ngram_dup_stats",
         "strip_dup_ngrams",
+        "simhash_fingerprints",
     ],
     "corpus_stats_suite": [
         "lang_distribution",
@@ -133,6 +146,8 @@ SUITES: dict[str, list[str]] = {
         "domain_mixture_sample",
         "dataset_split_shuffle",
         "unigram_surprisal",
+        "token_frequencies_top100",
+        "corpus_curation_pipeline",
     ],
     "tpch_suite_a": ["tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
                      "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
@@ -156,29 +171,22 @@ SUITES: dict[str, list[str]] = {
     ],
 }
 
-# Oracle-backed queries that keep their own driver entry.
+# Oracle-backed queries that keep their own driver entry.  r04 folded 9
+# former individuals into topic suites (VERDICT r03 next-round #3) to buy
+# headroom under DRIVER_ENTRY_CAP for future operators.
 INDIVIDUAL: list[str] = [
-    "knn_l2_top5",
-    "knn_join_l2",
-    "filter_suffix",
     "dedup_exact",
     "jaccard_similar_pairs",
     "dedup_clusters",
     "embedding_near_dup",
     "status_listings",
     "status_state_machine",
-    "token_frequencies_top100",
     "correlated_scalar_subquery",
     "asof_join_last_click_before_purchase",
-    "sessionize_events",
-    "window_trailing_10min",
-    "order_price_percentiles",
     "vector_centroid_per_label",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "sse_projection_sql",
-    "simhash_fingerprints",
-    "corpus_curation_pipeline",
 ]
 
 # Rows-only SUITES: members share one driver entry via the same
@@ -232,8 +240,15 @@ def _canon_spark_col(name: str, dtype: str):
     if dtype == "string":
         return F.coalesce(col, F.lit(_NULL))
     if dtype in ("double", "float"):
+        # Integer micro-units via floor(v*1e6 + 0.5) — pure IEEE-754 ops,
+        # bit-identical across engines.  The former %.6f diverged: Java's
+        # Formatter pads the SHORTEST-repr digits with zeros past ~17
+        # significant digits while C printf prints the exact expansion, so
+        # any |v| >= ~1e11 formatted differently (sf0.1 sweep,
+        # grouping_suite).  Formatting libraries are out; arithmetic is in.
+        micros = F.floor(col.cast("double") * F.lit(1_000_000.0) + F.lit(0.5))
         return F.when(col.isNull(), F.lit(_NULL)).otherwise(
-            F.format_string("%.6f", col)
+            micros.cast("bigint").cast("string")
         )
     if dtype in _INT_TYPES:
         return F.when(col.isNull(), F.lit(_NULL)).otherwise(col.cast("string"))
@@ -257,9 +272,11 @@ def _canon_sql_col(name: str, dtype: str) -> str:
     if dtype == "string":
         return f"coalesce({col}, '{_NULL}')"
     if dtype in ("double", "float"):
+        # Mirror of _canon_spark_col's micro-unit form (see comment there).
         return (
             f"CASE WHEN {col} IS NULL THEN '{_NULL}' "
-            f"ELSE printf('%.6f', {col}) END"
+            f"ELSE CAST(CAST(floor(CAST({col} AS DOUBLE) * 1000000.0 + 0.5)"
+            f" AS BIGINT) AS VARCHAR) END"
         )
     if dtype in _INT_TYPES:
         return (

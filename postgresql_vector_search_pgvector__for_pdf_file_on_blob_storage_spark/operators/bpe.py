@@ -31,6 +31,7 @@ beyond-reference training-pipeline closure.
 
 from __future__ import annotations
 
+import heapq
 from typing import Sequence
 
 import pandas as pd
@@ -130,25 +131,65 @@ def train_bpe(
     words: list[tuple[list[str], int]] = [
         (list(r["word"]), int(r["freq"])) for r in rows
     ]
+    # Incremental pair-count maintenance (VERDICT r03 #1): the naive loop
+    # rescans ALL words per merge — O(merges x words), ~8 h extrapolated at
+    # a production 30k-merge vocab.  Instead keep (a) pair -> count, (b)
+    # pair -> {word indices containing it}, and (c) a lazy max-heap of
+    # (-count, pair): each merge touches only the words that actually
+    # contain the merged pair (the standard tokenizer-trainer optimization,
+    # as in HuggingFace ``tokenizers``).  Selection semantics are UNCHANGED
+    # — highest count, ties to the lexicographically smallest pair — so the
+    # learned merge sequence is bit-identical to the naive form (pinned by
+    # tests/test_bpe.py's equivalence test).
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, freq) in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            counts[p] = counts.get(p, 0) + freq
+            index.setdefault(p, set()).add(wi)
+    # Lazy-invalidation heap: every count UPDATE pushes a fresh entry, so a
+    # popped entry is valid iff it matches the live count; stale entries
+    # are discarded on pop.  Equal (-count, pair) keys compare equal, so
+    # heap internals cannot affect which pair wins a tie.
+    heap = [(-c, p) for p, c in counts.items() if c >= 2]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        counts = _pair_counts(words)
-        if not counts:
-            break
-        # Highest count wins; ties break on the lexicographically smallest
-        # pair — stable across partition orders and Python hash seeds.
-        best_count = max(counts.values())
-        best_pair = min(p for p, c in counts.items() if c == best_count)
-        if best_count < 2:
-            break
+    while len(merges) < num_merges and heap:
+        negc, best_pair = heapq.heappop(heap)
+        c = counts.get(best_pair, 0)
+        if c != -negc:
+            continue  # stale — the live count has its own entry
+        if c < 2:
+            break  # every earlier pop was stale, so this IS the max
         merges.append(best_pair)
         joined = best_pair[0] + best_pair[1]
-        words = [
-            (_merge_word(s, best_pair, joined), f)
-            if best_pair[0] in s
-            else (s, f)
-            for s, f in words
-        ]
+        touched: set[tuple[str, str]] = set()
+        for wi in sorted(index.pop(best_pair, ())):
+            syms, freq = words[wi]
+            new = _merge_word(syms, best_pair, joined)
+            words[wi] = (new, freq)
+            for a, b in zip(syms, syms[1:]):
+                p = (a, b)
+                counts[p] -= freq
+                touched.add(p)
+            for a, b in zip(new, new[1:]):
+                p = (a, b)
+                counts[p] = counts.get(p, 0) + freq
+                index.setdefault(p, set()).add(wi)
+                touched.add(p)
+            old_pairs = set(zip(syms, syms[1:]))
+            for p in old_pairs - set(zip(new, new[1:])):
+                s = index.get(p)
+                if s is not None:
+                    s.discard(wi)
+        for p in touched:
+            c2 = counts.get(p, 0)
+            if c2 >= 2:
+                heapq.heappush(heap, (-c2, p))
+            elif c2 <= 0:
+                counts.pop(p, None)
+                index.pop(p, None)
     return merges, dropped
 
 

@@ -341,6 +341,7 @@ def similarity_join(
     impl: str = "auto",
     max_native_pairs: int = 1_000_000,
     max_broadcast_rows: int = 1_000_000,
+    sizes: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Range join: all pairs with distance < threshold (SURVEY.md §2B B2).
 
@@ -377,6 +378,11 @@ def similarity_join(
     invisible at the >=4-decimal rounding every consumer applies (fixture
     margin to the 0.6 cosine threshold is ~1e-5; equality of the two paths
     is pinned by tests/test_knn.py).
+
+    ``sizes=(n_left, n_right)``: callers that already know (or have cached)
+    the input cardinalities pass them here and the dispatch runs ZERO eager
+    actions — otherwise ``impl="auto"``/``"native"`` each pay one count()
+    per side to size the guard (VERDICT r03 #2).
     """
     if impl not in ("auto", "native", "blas"):
         raise ValueError(f"impl must be auto|native|blas, got {impl!r}")
@@ -393,7 +399,7 @@ def similarity_join(
     if impl == "blas":
         return blas_similarity_join(left, right, **kw)
     if impl == "auto":
-        n_l, n_r = left.count(), right.count()
+        n_l, n_r = sizes if sizes is not None else (left.count(), right.count())
         if n_l * n_r > max_native_pairs:
             if min(n_l, n_r) <= max_broadcast_rows:
                 return blas_similarity_join(left, right, **kw)
@@ -410,7 +416,7 @@ def similarity_join(
     )
     r = right.select(F.col(right_id).alias("__rid"), F.col(right_vec).alias("__rvec"))
     if impl == "native" and max_pairs is not None:
-        n_l, n_r = l.count(), r.count()
+        n_l, n_r = sizes if sizes is not None else (l.count(), r.count())
         if n_l * n_r > max_pairs:
             raise ValueError(
                 f"similarity_join: exact all-pairs scoring of {n_l} x {n_r}"

@@ -1696,16 +1696,23 @@ WITH e AS (
          generate_subscripts(embedding, 1) AS pos
   FROM embeddings)
 SELECT label, CAST(pos AS INTEGER) AS pos,
-  -- float -> double -> decimal: both engines round the identical double
-  -- (a direct float->decimal cast rounds differently per engine)
-  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS centroid_val
+  -- dyadic-grid quantization: floor(v * 2^30) is exact IEEE arithmetic
+  -- (power-of-two scaling never rounds; floor is exact), so the bigint
+  -- sum is order-independent AND tie-free.  A decimal cast is NOT: floats
+  -- are dyadic, so exact decimal ties occur (e.g. 0.1494140625 at scale
+  -- 9), and Spark rounds them HALF_UP while DuckDB rounds half-to-even —
+  -- caught by the sf0.1 sweep.
+  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1073741824.0) AS BIGINT)) AS DOUBLE)
+    / 1073741824.0 / count(*) AS centroid_val
 FROM e GROUP BY label, pos ORDER BY label, pos
 """,
 )
 def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregation: per-label centroid as (label, dim, value) rows —
     posexplode + groupBy is the shuffle-friendly shape for element-wise
-    vector aggs (no giant array state per group)."""
+    vector aggs (no giant array state per group).  Elements are quantized
+    to the 2^-30 grid before summing (exact, order-free, and — unlike a
+    decimal cast — free of cross-engine tie-rounding; see oracle SQL)."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "v")
@@ -1714,9 +1721,12 @@ def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("label", "pos")
         .agg(
             (
-                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast(
-                    "double"
-                )
+                F.sum(
+                    F.floor(
+                        F.col("v").cast("double") * F.lit(1073741824.0)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1073741824.0)
                 / F.count("*")
             ).alias("centroid_val")
         )
@@ -3232,6 +3242,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot/(norm*norm) form, which rounds differently in the last ulp and
     could flip a pair sitting on the threshold."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # self-join: size BOTH dispatch sides with one action
     left = emb.select(F.col("vec_id").alias("left_id"), "embedding")
     right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
     pairs = K.similarity_join(
@@ -3241,6 +3252,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="cosine",
         left_id="left_id",
         right_id="right_id",
+        sizes=(n, n),
     )
     return (
         pairs.filter(F.col("left_id") < F.col("right_id"))

@@ -66,9 +66,11 @@ def main() -> int:
         spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # Driver fixtures are single files; Spark-written scaled fixtures
+        # (scripts/make_scaled_fixture.py) are directories of part files.
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if only:
