@@ -143,23 +143,36 @@ _FONTSEL_RE = re.compile(rb"/([A-Za-z0-9.+-]+)\s+[0-9.]+\s+Tf")
 
 class _Font:
     """Decoding info for one page font: 2-byte codes iff /Type0
-    (Identity-H CID keying), plus the /ToUnicode code->str map."""
+    (Identity-H CID keying), the /ToUnicode code->str map, and — for
+    simple fonts WITHOUT ToUnicode — the byte-code->char map derived from
+    /Encoding (WinAnsi/MacRoman base + /Differences, PDF 32000-1 §9.6.5
+    and Annex D)."""
 
-    __slots__ = ("two_byte", "cmap")
+    __slots__ = ("two_byte", "cmap", "enc")
 
-    def __init__(self, two_byte: bool, cmap: dict[int, str] | None):
+    def __init__(
+        self,
+        two_byte: bool,
+        cmap: dict[int, str] | None,
+        enc: dict[int, str] | None = None,
+    ):
         self.two_byte = two_byte
         self.cmap = cmap
+        self.enc = enc
 
 
 def _decode_shown(raw: bytes, font: "_Font | None") -> str:
     """Decode one shown string through the active font: Type0 fonts carry
     2-byte codes mapped via ToUnicode (Identity fallback per code); simple
-    fonts with a ToUnicode map translate byte codes; otherwise latin-1
-    (the pre-CMap behavior, bit-identical for classic fixtures)."""
-    if font is None or (not font.two_byte and not font.cmap):
+    fonts map byte codes through ToUnicode first (authoritative when
+    present), then the /Encoding-derived map, then latin-1 (the pre-CMap
+    behavior, bit-identical for classic fixtures)."""
+    if font is None or (
+        not font.two_byte and not font.cmap and not font.enc
+    ):
         return raw.decode("latin-1")
     cmap = font.cmap or {}
+    enc = font.enc or {}
     if font.two_byte:
         codes = [
             int.from_bytes(raw[i : i + 2], "big")
@@ -167,7 +180,7 @@ def _decode_shown(raw: bytes, font: "_Font | None") -> str:
         ]
     else:
         codes = list(raw)
-    return "".join(cmap.get(c, chr(c)) for c in codes)
+    return "".join(cmap.get(c) or enc.get(c) or chr(c) for c in codes)
 
 
 def _stream_text(ops: bytes, fonts: dict[str, _Font] | None = None) -> str:
@@ -605,6 +618,153 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return cmap
 
 
+# ---------------------------------------------------------------------------
+# Simple-font /Encoding support (PDF 32000-1 §9.6.5, Annex D).
+#
+# WinAnsiEncoding is Windows code page 1252 and MacRomanEncoding is the
+# classic Mac OS Roman set for every code both define, so the tables are
+# derived from Python's public codecs rather than transcribed; codes the
+# codec leaves undefined simply stay absent and fall through to chr().
+# ---------------------------------------------------------------------------
+
+
+def _codec_table(codec: str) -> dict[int, str]:
+    table: dict[int, str] = {}
+    for c in range(32, 256):
+        try:
+            table[c] = bytes([c]).decode(codec)
+        except UnicodeDecodeError:
+            pass
+    return table
+
+
+_WINANSI = _codec_table("cp1252")
+_MACROMAN = _codec_table("mac_roman")
+
+# Adobe Glyph List subset for /Differences arrays: ASCII glyph names plus
+# the typographic/accented names simple fonts actually remap.  Unknown
+# names fall through (code keeps its base-encoding/chr meaning) — lossy
+# but never wrong-shaped; /uniXXXX names resolve exactly.
+_GLYPH_NAMES: dict[str, str] = {
+    **{ch: ch for ch in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"},
+    **dict(
+        zip(
+            [
+                "zero", "one", "two", "three", "four",
+                "five", "six", "seven", "eight", "nine",
+            ],
+            "0123456789",
+        )
+    ),
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "bullet": "•", "dagger": "†", "daggerdbl": "‡",
+    "emdash": "—", "endash": "–", "ellipsis": "…",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "fi": "ﬁ", "fl": "ﬂ", "Euro": "€",
+    "trademark": "™", "copyright": "©", "registered": "®",
+    "degree": "°", "plusminus": "±", "multiply": "×",
+    "divide": "÷", "section": "§", "paragraph": "¶",
+    "periodcentered": "·", "cent": "¢", "sterling": "£",
+    "yen": "¥", "currency": "¤", "florin": "ƒ",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "exclamdown": "¡", "questiondown": "¿",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ae": "æ", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "ntilde": "ñ", "ograve": "ò",
+    "oacute": "ó", "ocircumflex": "ô", "otilde": "õ",
+    "odieresis": "ö", "oslash": "ø", "ugrave": "ù",
+    "uacute": "ú", "ucircumflex": "û", "udieresis": "ü",
+    "yacute": "ý", "ydieresis": "ÿ", "germandbls": "ß",
+    "Agrave": "À", "Aacute": "Á", "Adieresis": "Ä",
+    "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ntilde": "Ñ",
+    "Odieresis": "Ö", "Oslash": "Ø", "Udieresis": "Ü",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š", "scaron": "š",
+    "Ydieresis": "Ÿ", "Zcaron": "Ž", "zcaron": "ž",
+    "dotlessi": "ı", "circumflex": "ˆ", "tilde": "˜",
+    "macron": "¯", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "cedilla": "¸", "hungarumlaut": "˝",
+    "ogonek": "˛", "caron": "ˇ", "brokenbar": "¦",
+    "onequarter": "¼", "onehalf": "½", "threequarters": "¾",
+    "onesuperior": "¹", "twosuperior": "²",
+    "threesuperior": "³", "mu": "µ", "middot": "·",
+    "nbspace": " ", "perthousand": "‰", "minus": "−",
+    "fraction": "⁄", "logicalnot": "¬", "ordfeminine": "ª",
+    "ordmasculine": "º", "dieresis": "¨", "acute": "´",
+    "eth": "ð", "Eth": "Ð", "thorn": "þ", "Thorn": "Þ",
+}
+
+_UNI_GLYPH = re.compile(r"uni([0-9A-Fa-f]{4})$")
+
+
+def _glyph_char(gname: str) -> str | None:
+    hit = _GLYPH_NAMES.get(gname)
+    if hit is not None:
+        return hit
+    m = _UNI_GLYPH.match(gname)
+    if m:
+        return chr(int(m.group(1), 16))
+    return None
+
+
+def _base_encoding(name: bytes) -> dict[int, str] | None:
+    if name == b"WinAnsiEncoding":
+        return dict(_WINANSI)
+    if name == b"MacRomanEncoding":
+        return dict(_MACROMAN)
+    # StandardEncoding / PDFDocEncoding / MacExpertEncoding: no table —
+    # chr() fallback is the closest behavior for their ASCII core.
+    return None
+
+
+def _parse_encoding(fbody: bytes, objects: dict[int, bytes]) -> dict[int, str] | None:
+    """Resolve a simple font's /Encoding entry to a code->char map: a bare
+    base-encoding name, or an encoding dict (possibly indirect) carrying
+    /BaseEncoding and a /Differences array of ``code /name /name ...``
+    runs."""
+    m = re.search(
+        rb"/Encoding\s*(?:/([A-Za-z]+)|(\d+)\s+\d+\s+R|(<<))", fbody
+    )
+    if not m:
+        return None
+    if m.group(1):
+        return _base_encoding(m.group(1))
+    if m.group(2):
+        ebody = objects.get(int(m.group(2)), b"")
+    else:
+        ebody = _balanced_dict(fbody, m.start(3))
+    enc: dict[int, str] = {}
+    bm = re.search(rb"/BaseEncoding\s*/([A-Za-z]+)", ebody)
+    if bm:
+        enc = _base_encoding(bm.group(1)) or {}
+    dm = re.search(rb"/Differences\s*\[(.*?)\]", ebody, re.S)
+    if dm:
+        code = 0
+        for tok in re.finditer(rb"(\d+)|/([A-Za-z0-9._]+)", dm.group(1)):
+            if tok.group(1):
+                code = int(tok.group(1))
+            else:
+                ch = _glyph_char(tok.group(2).decode("latin-1"))
+                if ch is not None:
+                    enc[code] = ch
+                code += 1
+    return enc or None
+
+
 def _page_fonts(
     page_body: bytes, objects: dict[int, bytes]
 ) -> dict[str, _Font]:
@@ -633,7 +793,8 @@ def _page_fonts(
             data = _stream_of(objects.get(int(tu.group(1)), b""))
             if data:
                 cmap = _parse_tounicode(data)
-        fonts[name] = _Font(two_byte, cmap)
+        enc = None if two_byte else _parse_encoding(fbody, objects)
+        fonts[name] = _Font(two_byte, cmap, enc)
     return fonts
 
 
@@ -709,6 +870,116 @@ def make_pdf(pages: list[list[str]] | list[str]) -> bytes:
             if j:
                 ops += b"0 -14 Td\n"
             ops += b"(" + _escape_literal(line) + b") Tj\n"
+        ops += b"ET"
+        data = zlib.compress(bytes(ops))
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _escape_bytes(b: bytes) -> bytes:
+    return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+
+
+def make_pdf_encoded(
+    pages: list[list[str]] | list[str],
+    base: str | None = "WinAnsiEncoding",
+    differences: dict[int, str] | None = None,
+) -> bytes:
+    """Write a real PDF whose simple font has NO /ToUnicode and declares
+    ``/Encoding`` instead — a bare base-encoding name, or an encoding dict
+    with ``/BaseEncoding`` + ``/Differences`` when ``differences`` maps
+    byte codes to glyph NAMES (e.g. ``{136: "bullet"}``).  Text is encoded
+    through the inverse of that table, so extraction must apply the
+    encoding to round-trip — the shape PDFBox handles for fonts without
+    ToUnicode (reference Function.java:90-132) that minipdf previously
+    read as latin-1."""
+    table: dict[int, str] = dict(
+        _base_encoding(base.encode("ascii")) or {} if base else {}
+    )
+    for code, gname in (differences or {}).items():
+        ch = _glyph_char(gname)
+        if ch is None:
+            raise ValueError(f"unknown glyph name {gname!r}")
+        table[code] = ch
+    inverse: dict[str, int] = {}
+    for code, ch in sorted(table.items()):
+        inverse.setdefault(ch, code)
+
+    def enc_line(line: str) -> bytes:
+        out = bytearray()
+        for ch in line:
+            code = inverse.get(ch)
+            if code is None:
+                if ord(ch) < 128:
+                    code = ord(ch)  # ASCII is identity in both bases
+                else:
+                    raise ValueError(
+                        f"character {ch!r} not reachable through this"
+                        " encoding"
+                    )
+            out.append(code)
+        return bytes(out)
+
+    norm: list[list[str]] = [
+        p.split("\n") if isinstance(p, str) else list(p) for p in pages
+    ]
+    objs: list[bytes] = []
+    n_pages = len(norm)
+    kid_nums = [4 + 2 * i for i in range(n_pages)]
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    if differences:
+        diffs = bytearray(b"/Differences [")
+        for code in sorted(differences):
+            diffs += b" %d /%s" % (code, differences[code].encode("ascii"))
+        diffs += b" ]"
+        encent = b"/Encoding << "
+        if base:
+            encent += b"/BaseEncoding /%s " % base.encode("ascii")
+        encent += bytes(diffs) + b" >>"
+    elif base:
+        encent = b"/Encoding /%s" % base.encode("ascii")
+    else:
+        encent = b""
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        + encent
+        + b" >>"
+    )
+    for i, lines in enumerate(norm):
+        content_num = kid_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % content_num
+        )
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                ops += b"0 -14 Td\n"
+            ops += b"(" + _escape_bytes(enc_line(line)) + b") Tj\n"
         ops += b"ET"
         data = zlib.compress(bytes(ops))
         objs.append(

@@ -318,3 +318,80 @@ def test_corrupt_objstm_falls_through():
     sidx = pdf.index(b"stream\n", idx) + len(b"stream\n")
     garbled = pdf[:sidx] + b"\x00\x00\x00\x00" + pdf[sidx + 4 :]
     assert MP.extract_text_pages(garbled) is None
+
+
+# ---------------------------------------------------------------------------
+# Simple-font /Encoding (WinAnsi / MacRoman / Differences) — fonts WITHOUT
+# /ToUnicode, the most common remaining real-PDF text shape (VERDICT r03
+# next-round #8).
+# ---------------------------------------------------------------------------
+
+
+def test_winansi_roundtrip():
+    text = 'café crème — “quotes” • naïve €99'
+    pdf = MP.make_pdf_encoded([[text]], base="WinAnsiEncoding")
+    assert b"/Encoding /WinAnsiEncoding" in pdf
+    assert MP.extract_text_pages(pdf) == [text]
+
+
+def test_winansi_differs_from_latin1_fallback():
+    """The euro sign sits at 0x80 in WinAnsi; a latin-1 read would yield
+    the C1 control \\x80 — proves the encoding is actually applied."""
+    pdf = MP.make_pdf_encoded([["price: €5"]], base="WinAnsiEncoding")
+    assert MP.extract_text_pages(pdf) == ["price: €5"]
+
+
+def test_macroman_roundtrip():
+    text = "Grüße von München"
+    pdf = MP.make_pdf_encoded([[text]], base="MacRomanEncoding")
+    # ü is 0x9F in MacRoman but 0xFC in latin-1/WinAnsi
+    assert MP.extract_text_pages(pdf) == [text]
+
+
+def test_differences_overlay():
+    """/Differences remaps codes on top of the base encoding."""
+    diffs = {136: "bullet", 137: "emdash", 138: "uni0394"}
+    text = "a • b — Δ"
+    pdf = MP.make_pdf_encoded(
+        [[text]], base="WinAnsiEncoding", differences=diffs
+    )
+    assert b"/Differences [ 136 /bullet 137 /emdash 138 /uni0394 ]" in pdf
+    assert MP.extract_text_pages(pdf) == [text]
+
+
+def test_differences_without_base_encoding():
+    pdf = MP.make_pdf_encoded(
+        [["x † y"]], base=None, differences={200: "dagger"}
+    )
+    assert b"/BaseEncoding" not in pdf
+    assert MP.extract_text_pages(pdf) == ["x † y"]
+
+
+def test_unknown_glyph_name_keeps_code():
+    """An unrecognized /Differences glyph name falls through to the base
+    meaning instead of corrupting neighbors (code counter still
+    advances)."""
+    body = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " \
+           b"/Encoding << /BaseEncoding /WinAnsiEncoding " \
+           b"/Differences [ 65 /notarealglyphname /B ] >> >>"
+    enc = MP._parse_encoding(body, {})
+    assert enc[65] == "A"      # unknown name -> base meaning kept
+    assert enc[66] == "B"      # counter advanced past the unknown name
+
+
+def test_encoded_pdf_through_spark_pipeline(spark, tmp_path):
+    d = tmp_path / "pdfs_enc"
+    d.mkdir()
+    (d / "winansi.pdf").write_bytes(
+        MP.make_pdf_encoded([["résumé — €12"]], base="WinAnsiEncoding")
+    )
+    pages = B.extract_pages(B.read_binary_dir(spark, str(d), glob="*.pdf"))
+    rows = {r["pageNumber"]: r["text"] for r in pages.collect()}
+    assert rows[1] == "résumé — €12"
+
+
+def test_classic_fixture_unaffected_by_encoding_machinery():
+    assert MP.extract_text_pages(MP.make_pdf(PAGES)) == [
+        "alpha line one\nalpha line two",
+        "beta solo",
+    ]
