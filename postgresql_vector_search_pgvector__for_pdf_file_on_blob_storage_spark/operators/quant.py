@@ -98,19 +98,31 @@ class SQ8:
         # Constant dimensions encode to 0 and decode to their min exactly.
         self.steps = np.where(spread_ > 0, spread_ / 255.0, 1.0)
 
+    # Above this dimensionality the parameter vectors ride a broadcast
+    # single-row join instead of literal arrays: Catalyst analysis/codegen
+    # over 2*dim inline literals is O(minutes) at the reference's real
+    # 1536-d, while the joined form compiles a constant-size plan at any
+    # dim.  The literal form is kept below the threshold so existing
+    # low-dim plan signatures (tests/golden_plans.json) are unchanged.
+    MAX_LITERAL_DIM = 128
+
     def _lit_arr(self, vals) -> "F.Column":
         return F.array(*[F.lit(float(v)) for v in vals])
 
-    def encode(
-        self, df: DataFrame, vec_col: str = "embedding", code_col: str = "code"
-    ) -> DataFrame:
-        """Append ``code_col`` as ``array<tinyint>`` — pure codegen: two
-        ``zip_with`` passes against literal parameter arrays, no Python."""
-        mn, st = self._lit_arr(self.mins), self._lit_arr(self.steps)
+    def _with_params(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        params = spark.createDataFrame(
+            [([float(v) for v in self.mins], [float(v) for v in self.steps])],
+            "__sq8_mins array<double>, __sq8_steps array<double>",
+        )
+        return df.crossJoin(F.broadcast(params))
+
+    @staticmethod
+    def _encode_expr(vec_col, mn, st) -> "F.Column":
         centered = F.zip_with(
             F.col(vec_col), mn, lambda x, m: x.cast("double") - m
         )
-        code = F.zip_with(
+        return F.zip_with(
             centered,
             st,
             lambda y, s: F.least(
@@ -118,18 +130,64 @@ class SQ8:
                 F.greatest(F.lit(-128), F.round(y / s).cast("int") - 128),
             ).cast("tinyint"),
         )
-        return df.withColumn(code_col, code)
 
-    def dequant_expr(self, code_col: str = "code") -> "F.Column":
-        """Approximate reconstruction as a codegen expression:
-        ``(code + 128) * step + min`` per element."""
-        mn, st = self._lit_arr(self.mins), self._lit_arr(self.steps)
+    @staticmethod
+    def _dequant_of(code_col, mn, st) -> "F.Column":
         scaled = F.zip_with(
             F.col(code_col),
             st,
             lambda c, s: (c.cast("double") + F.lit(128.0)) * s,
         )
         return F.zip_with(scaled, mn, lambda y, m: y + m)
+
+    def encode(
+        self, df: DataFrame, vec_col: str = "embedding", code_col: str = "code"
+    ) -> DataFrame:
+        """Append ``code_col`` as ``array<tinyint>`` — pure codegen: two
+        ``zip_with`` passes against the parameter arrays (inline literals
+        at low dim, a broadcast param row at high dim)."""
+        if self.dim <= self.MAX_LITERAL_DIM:
+            mn, st = self._lit_arr(self.mins), self._lit_arr(self.steps)
+            return df.withColumn(code_col, self._encode_expr(vec_col, mn, st))
+        return (
+            self._with_params(df)
+            .withColumn(
+                code_col,
+                self._encode_expr(
+                    vec_col, F.col("__sq8_mins"), F.col("__sq8_steps")
+                ),
+            )
+            .drop("__sq8_mins", "__sq8_steps")
+        )
+
+    def dequant_expr(self, code_col: str = "code") -> "F.Column":
+        """Approximate reconstruction as a codegen expression:
+        ``(code + 128) * step + min`` per element (literal params — use
+        :meth:`dequantize` at high dim)."""
+        mn, st = self._lit_arr(self.mins), self._lit_arr(self.steps)
+        return self._dequant_of(code_col, mn, st)
+
+    def dequantize(
+        self,
+        df: DataFrame,
+        code_col: str = "code",
+        out_col: str = "embedding",
+    ) -> DataFrame:
+        """Append ``out_col`` with the approximate reconstruction,
+        dispatching literal vs broadcast-param form by dim (see
+        MAX_LITERAL_DIM)."""
+        if self.dim <= self.MAX_LITERAL_DIM:
+            return df.withColumn(out_col, self.dequant_expr(code_col))
+        return (
+            self._with_params(df)
+            .withColumn(
+                out_col,
+                self._dequant_of(
+                    code_col, F.col("__sq8_mins"), F.col("__sq8_steps")
+                ),
+            )
+            .drop("__sq8_mins", "__sq8_steps")
+        )
 
     def knn(
         self,
@@ -146,7 +204,7 @@ class SQ8:
         TakeOrderedAndProject plan as exact ``knn``."""
         from . import knn as K
 
-        dec = encoded.withColumn("__deq", self.dequant_expr(code_col))
+        dec = self.dequantize(encoded, code_col, "__deq")
         q = F.array(*[F.lit(float(v)) for v in query_vec])
         dist = K.distance_expr(metric, F.col("__deq"), q)
         # Guard malformed rows the same way operators/knn.py does: a

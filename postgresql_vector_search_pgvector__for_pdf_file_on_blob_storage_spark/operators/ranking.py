@@ -46,8 +46,14 @@ _DEC = "decimal(18,6)"
 
 
 def _dsum(c: Column) -> Column:
-    """Exact order-independent sum of a double expression."""
-    return F.sum(c.cast(_DEC)).cast("double")
+    """Exact order-independent sum of a double expression.  The decimal ->
+    double conversion uses the truncated-int + fraction split (mirroring
+    queries._dec_to_double and the oracle SQL): a direct cast diverges
+    between engines once the sum's integer units pass 2^53."""
+    s = F.sum(c.cast(_DEC))
+    return (s - (s % 1)).cast("bigint").cast("double") + (s % 1).cast(
+        "double"
+    )
 
 
 def bm25_scores(

@@ -32,8 +32,14 @@ clusters.
 Pairs whose members fall in different clusters are *by design* not
 compared — that approximation is the paper's accuracy/cost trade and is
 measured here the same way the ANN operators are: recall vs the exact
-``similarity_join`` twin is asserted in tests on clustered fixtures, not
-assumed.
+``similarity_join`` twin is asserted in tests BOTH on separable clusters
+(recall 1.0) and on an OVERLAPPING-cluster fixture where the hard
+assignment measurably misses boundary pairs
+(tests/test_semdedup.py; scripts/semdedup_probe.py probe 7 records the
+miss rate vs eps at 200k vectors).  When the miss rate matters,
+:func:`assign_to_centroids_topm` (soft top-m assignment) compares every
+pair whose top-m cluster sets intersect — the measured mitigation, at
+~m^2 the within-cluster work.
 """
 
 from __future__ import annotations
@@ -52,6 +58,7 @@ __all__ = [
     "cluster_assign",
     "kmeans_centroids",
     "assign_to_centroids",
+    "assign_to_centroids_topm",
     "semantic_dedup",
     "semantic_dup_edges",
 ]
@@ -156,6 +163,48 @@ def assign_to_centroids(
     cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return df.filter(F.col(vec_col).isNotNull()).withColumn(
         "cluster_id", cid
+    )
+
+
+def assign_to_centroids_topm(
+    df: DataFrame,
+    centroids: list[list[float]],
+    m: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Soft top-``m`` assignment against frozen centroids: each row is
+    EXPLODED into one row per its ``m`` nearest centroids (``cluster_id``
+    each time, ties to the lowest id via the sort on ``(dist, id)``).
+
+    Why: hard assignment makes SemDeDup miss duplicate pairs whose
+    members straddle a k-means boundary — by design uncompared (module
+    docstring).  Feeding this multi-assignment to
+    :func:`semantic_dup_edges` (then ``dropDuplicates(["id_a","id_b"])``
+    — a pair found in two shared clusters is emitted twice with an
+    identical score) compares every pair whose top-``m`` sets intersect,
+    closing the boundary band at ~``m^2``x the within-cluster work — the
+    measured trade in scripts/semdedup_probe.py probe 7 and
+    tests/test_semdedup.py's overlapping-cluster bound.  Native
+    expressions only, same discipline as :func:`assign_to_centroids`."""
+    from ..functions import vector as V
+
+    dists = F.array(
+        *[
+            F.struct(
+                V.squared_l2_distance(
+                    F.col(vec_col), F.array(*[F.lit(x) for x in c])
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    topm = F.slice(F.array_sort(dists), 1, int(m))
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("__a", F.explode(topm))
+        .withColumn("cluster_id", F.col("__a.i").cast("int"))
+        .drop("__a")
     )
 
 

@@ -11,9 +11,16 @@ Oracle-parity rules used throughout (why results hash-match bit-for-bit):
   per-row expression may stay in double.
 - **Aggregated doubles go through DECIMAL(18,6).**  Summing doubles is
   order-dependent; both engines sum decimals exactly, and
-  ``CAST(double AS DECIMAL(18,6))`` rounds the same way on both.  Pattern:
-  ``CAST(sum(CAST(expr AS DECIMAL(18,6))) AS DOUBLE)`` — exact, order-free,
-  and the final double cast is deterministic.
+  ``CAST(double AS DECIMAL(18,6))`` rounds the same way on both.  The
+  decimal sum S is then converted to double via the SPLIT form
+  ``CAST(CAST(S - (S % 1) AS BIGINT) AS DOUBLE) + CAST(S % 1 AS DOUBLE)``
+  (truncated integer part + signed fraction, ``_dsum`` on the Spark
+  side) — a direct ``CAST(S AS DOUBLE)`` diverges once S's integer units
+  exceed 2^53: DuckDB double-rounds (int128 -> double, then /10^scale)
+  while Spark's BigDecimal rounds once, which flipped tpch_q1's
+  sum_charge at sf1.  Each split component is a single correctly-rounded
+  conversion in any engine, and the recombining add is IEEE-exact
+  deterministic.
 - **Distances are rounded to 4 decimals for output** (sums of 64 terms are
   accumulated left-to-right on both sides; rounding absorbs any last-ulp
   difference), while **ordering uses the unrounded value** with an id
@@ -289,22 +296,33 @@ def url_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEC = "decimal(18,6)"
 
 
+def _dec_to_double(s: F.Column) -> F.Column:
+    """Deterministic decimal -> double: truncated integer part and signed
+    fraction converted separately (each a single correctly-rounded step in
+    any engine) and recombined in IEEE arithmetic.  Mirrors the oracle-SQL
+    split form — see the module doc's aggregation bullet for why a direct
+    cast diverges past 2^53 integer units."""
+    return (s - (s % 1)).cast("bigint").cast("double") + (s % 1).cast(
+        "double"
+    )
+
+
 def _dsum(c: F.Column) -> F.Column:
     """Exact order-independent sum of a double expression (see module doc)."""
-    return F.sum(c.cast(_DEC)).cast("double")
+    return _dec_to_double(F.sum(c.cast(_DEC)))
 
 
 @query(
     "tpch_q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
-  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+  (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) - (sum(CAST(l_quantity AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS sum_qty,
+  (CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) - (sum(CAST(l_extendedprice AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS sum_base_price,
+  (CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) - (sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS sum_disc_price,
+  (CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) - (sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS sum_charge,
+  (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) - (sum(CAST(l_quantity AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) % 1 AS DOUBLE)) / count(*) AS avg_qty,
+  (CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) - (sum(CAST(l_extendedprice AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) % 1 AS DOUBLE)) / count(*) AS avg_price,
+  (CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) - (sum(CAST(l_discount AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_discount AS DECIMAL(18,6))) % 1 AS DOUBLE)) / count(*) AS avg_disc,
   CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -340,7 +358,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     """
 SELECT l.l_orderkey,
-  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  (CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) - (sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS revenue,
   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
   o.o_orderpriority
 FROM customer c
@@ -389,7 +407,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     """
 SELECT n.n_name,
-  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  (CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) - (sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -503,7 +521,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag, l_linestatus,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+  (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) - (sum(CAST(l_quantity AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -666,7 +684,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_bucket,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  (CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) - (sum(CAST(value AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(value AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS total_value
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
 GROUP BY 1 ORDER BY 1
@@ -696,7 +714,7 @@ def json_struct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST((epoch_us(ts) // 600000000) * 600 AS BIGINT) AS bucket_s,
   event_type,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  (CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) - (sum(CAST(value AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(value AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS total_value
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
@@ -802,7 +820,7 @@ def token_frequencies_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_distribution",
     """
 SELECT lang, CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_chars
+  (CAST(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) - (sum(CAST(n_chars AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(n_chars AS DECIMAL(18,6))) % 1 AS DOUBLE)) / count(*) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
 )
@@ -1343,7 +1361,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderstatus, o_orderpriority,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+  (CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) - (sum(CAST(o_totalprice AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -1391,8 +1409,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_returnflag_by_status",
     """
 SELECT l_returnflag,
-  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_F,
-  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_O
+  (CAST(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) - (sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) % 1 AS DOUBLE)) AS qty_F,
+  (CAST(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) - (sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) % 1 AS DOUBLE)) AS qty_O
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
@@ -1403,7 +1421,7 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
+        .agg(_dec_to_double(F.sum(F.col("l_quantity").cast(_DEC))))
         .withColumnRenamed("F", "qty_F")
         .withColumnRenamed("O", "qty_O")
         .orderBy("l_returnflag")
@@ -1416,45 +1434,87 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT l_returnflag,
     CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s2,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS p1,
-    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sp
+    sum(CAST(l_quantity AS DECIMAL(18,6))) AS s1,
+    sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS s2,
+    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS p1,
+    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS sp
   FROM lineitem GROUP BY l_returnflag)
+, m AS (
+  SELECT l_returnflag, n, s1,
+    CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,6))
+      - CAST(s1 AS DECIMAL(19,6)) * CAST(s1 AS DECIMAL(19,6)) AS vnum,
+    CAST(n AS DECIMAL(19,0)) * CAST(sp AS DECIMAL(19,6))
+      - CAST(s1 AS DECIMAL(19,6)) * CAST(p1 AS DECIMAL(19,6)) AS cnum
+  FROM s)
 SELECT l_returnflag, n,
-  s1 / n AS mean_qty,
-  (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
-  (sp - s1 * p1 / n) / (n - 1) AS covar_qty_price
-FROM s ORDER BY l_returnflag
+  CAST(s1 AS DOUBLE) / n AS mean_qty,
+  (CAST(CAST(vnum - (vnum % 1) AS BIGINT) AS DOUBLE)
+   + CAST(CAST(CAST(vnum % 1 AS DECIMAL(7,6)) * 1000000 AS BIGINT) AS DOUBLE)
+     / 1000000.0) / n / (n - 1) AS var_qty,
+  (CAST(CAST(cnum - (cnum % 1) AS BIGINT) AS DOUBLE)
+   + CAST(CAST(CAST(cnum % 1 AS DECIMAL(7,6)) * 1000000 AS BIGINT) AS DOUBLE)
+     / 1000000.0) / n / (n - 1) AS covar_qty_price
+FROM m ORDER BY l_returnflag
 """,
 )
 def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance/covariance computed from exact decimal sums (not the
-    engines' streaming variance, whose merge order differs) — every double
-    op downstream of the exact sums is deterministic."""
+    engines' streaming variance, whose merge order differs).
+
+    The moment NUMERATORS (n*s2 - s1^2, n*sp - s1*p1) are computed
+    entirely in decimal — explicitly-sized operands so the products stay
+    within 38 digits and both engines are exact — and only the small
+    cancelled result is cast to double.  Casting the big sums to double
+    FIRST (the pre-r04 form) diverged at sf1: a decimal whose integer
+    units exceed 2^53 is double-rounded by DuckDB (int128 -> double, then
+    /10^scale) but single-rounded by Spark (BigDecimal), and the
+    covariance's catastrophic cancellation amplified that last-ulp
+    difference ~4 orders of magnitude into a visible micro-unit flip."""
     l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c, t: F.col(c).cast(t)  # noqa: E731
     s = l.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        _dsum(F.col("l_quantity")).alias("s1"),
-        _dsum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
-        _dsum(F.col("l_extendedprice")).alias("p1"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("s1"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(_DEC)).alias(
+            "s2"
+        ),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("p1"),
         F.sum(
-            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(24,6)")
-        )
-        .cast("double")
-        .alias("sp"),
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast(
+                "decimal(24,6)"
+            )
+        ).alias("sp"),
     )
     n = F.col("n")
+    # Width >= 19 on every operand forces DuckDB onto int128 arithmetic
+    # (narrower widths multiply in int64 and overflow); products cap at
+    # width 38 so both engines stay exact.
+    nd = n.cast("decimal(19,0)")
+    var_num = nd * dec("s2", "decimal(19,6)") - dec("s1", "decimal(19,6)") * dec(
+        "s1", "decimal(19,6)"
+    )
+    cov_num = nd * dec("sp", "decimal(19,6)") - dec("s1", "decimal(19,6)") * dec(
+        "p1", "decimal(19,6)"
+    )
+
+    def exact_to_double(num):
+        # hi/lo split: truncated integer part and signed fractional micros
+        # as BIGINTs, recombined in IEEE arithmetic.  A direct decimal ->
+        # double cast of the numerator still diverged (its integer units
+        # exceed 2^53); bigint -> double conversion is a SINGLE correctly
+        # rounded step in every engine, so this path is bit-identical.
+        hi = (num - (num % 1)).cast("bigint").cast("double")
+        lo = ((num % 1).cast("decimal(7,6)") * 1000000).cast("bigint").cast(
+            "double"
+        )
+        return hi + lo / F.lit(1000000.0)
+
     return s.select(
         "l_returnflag",
         "n",
-        (F.col("s1") / n).alias("mean_qty"),
-        ((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)).alias(
-            "var_qty"
-        ),
-        ((F.col("sp") - F.col("s1") * F.col("p1") / n) / (n - 1)).alias(
-            "covar_qty_price"
-        ),
+        (F.col("s1").cast("double") / n).alias("mean_qty"),
+        (exact_to_double(var_num) / n / (n - 1)).alias("var_qty"),
+        (exact_to_double(cov_num) / n / (n - 1)).alias("covar_qty_price"),
     ).orderBy("l_returnflag")
 
 
@@ -1542,7 +1602,7 @@ u AS (
   SELECT w1 AS window_start, event_type, value FROM b)
 SELECT window_start, event_type,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  (CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) - (sum(CAST(value AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(value AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS total_value
 FROM u GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """,
@@ -1810,7 +1870,7 @@ def sse_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_forecast_revenue",
     """
-SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+SELECT (CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) - (sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS revenue,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -1874,10 +1934,14 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14_promo_effect",
     """
 SELECT
-  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+  (CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
-  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      ELSE CAST(0 AS DECIMAL(18,6)) END) - (sum(CASE WHEN p_type LIKE 'PROMO%'
+      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) % 1 AS DOUBLE)) AS promo_revenue,
+  (CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) - (sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
@@ -1899,8 +1963,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(_DEC)
     )
     return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
-        F.sum(promo).cast("double").alias("promo_revenue"),
-        F.sum(disc).cast("double").alias("total_revenue"),
+        _dec_to_double(F.sum(promo)).alias("promo_revenue"),
+        _dec_to_double(F.sum(disc)).alias("total_revenue"),
     )
 
 
@@ -1910,7 +1974,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey, o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
   o_totalprice,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+  (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) - (sum(CAST(l_quantity AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -1993,7 +2057,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7_nation_volume",
     """
 SELECT supp_nation, cust_nation, l_year,
-  CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  (CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) - (sum(CAST(volume AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(volume AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -2129,7 +2193,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_product_type_profit",
     """
 SELECT nation, o_year,
-  CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+  (CAST(CAST(sum(CAST(amount AS DECIMAL(18,6))) - (sum(CAST(amount AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(amount AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
@@ -2258,7 +2322,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     """
 SELECT c.c_custkey, c.c_name,
-  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  (CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) - (sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS revenue,
   c.c_acctbal, n.n_name
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2383,7 +2447,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q17_small_quantity_revenue",
     """
-SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT (CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) - (sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) % 1 AS DOUBLE)) / 7.0 AS avg_yearly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#2' AND p.p_size < 10
   AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
@@ -2419,7 +2483,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q19_discounted_revenue",
     """
-SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+SELECT (CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) - (sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity >= 1 AND l.l_quantity <= 11)
@@ -2487,10 +2551,14 @@ WITH allnations AS (
     AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
 SELECT o_year,
-  CAST(sum(CASE WHEN nation = 'NATION_3'
+  (CAST(CAST(sum(CASE WHEN nation = 'NATION_3'
                 THEN CAST(volume AS DECIMAL(18,6))
-                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-    / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+                ELSE CAST(0 AS DECIMAL(18,6)) END) - (sum(CASE WHEN nation = 'NATION_3'
+                THEN CAST(volume AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CASE WHEN nation = 'NATION_3'
+                THEN CAST(volume AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) % 1 AS DOUBLE))
+    / (CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) - (sum(CAST(volume AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(volume AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS mkt_share
 FROM allnations GROUP BY o_year ORDER BY o_year
 """,
 )
@@ -2529,12 +2597,14 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             (
-                F.sum(
-                    F.when(F.col("nation") == "NATION_3", vol).otherwise(
-                        F.lit(0).cast(_DEC)
+                _dec_to_double(
+                    F.sum(
+                        F.when(F.col("nation") == "NATION_3", vol).otherwise(
+                            F.lit(0).cast(_DEC)
+                        )
                     )
-                ).cast("double")
-                / F.sum(vol).cast("double")
+                )
+                / _dec_to_double(F.sum(vol))
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -2704,10 +2774,10 @@ WITH pool AS (
   SELECT CAST(c_custkey % 7 AS INTEGER) AS cntrycode, c_custkey, c_acctbal
   FROM customer WHERE c_custkey % 7 IN (1, 3, 5)),
 cutoff AS (
-  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_bal
+  SELECT (CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) - (sum(CAST(c_acctbal AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) % 1 AS DOUBLE)) / count(*) AS avg_bal
   FROM pool WHERE c_acctbal > 0.0)
 SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+       (CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) - (sum(CAST(c_acctbal AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS totacctbal
 FROM pool, cutoff
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -3534,15 +3604,42 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumnRenamed("vec_id", "item_id"),
     }
 
+    # SQ8 at the reference's REAL dimensionality (1536-d,
+    # text-embedding-ada-002 — README.md): the fixture embeddings are
+    # low-dim, so synthesize a small deterministic 1536-d clustered table
+    # in-query and report the same recall@5 row for it (method
+    # "sq8_1536d").  Keeps the driver-visible report honest about the
+    # dimensionality the reference actually stores; the full-scale
+    # 1536-d latency probe lives in scripts/quant_probe.py.
+    hi = A.synthetic_clustered_vectors(
+        spark, 500, dim=1536, n_centers=16
+    ).drop("center")
+    hi_probes = hi.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    hi_items = hi.select(F.col("vec_id").alias("item_id"), "embedding")
+    hi_sq8 = Qz.SQ8(hi, dim=1536)
+    hi_dec = hi_sq8.dequantize(
+        hi_sq8.encode(hi), "code", "__deq"
+    ).select(
+        F.col("vec_id").alias("item_id"), F.col("__deq").alias("embedding")
+    )
+    hi_exact = K.knn_join(hi_probes, hi_items, k=5).select(
+        "probe_id", "item_id"
+    )
+
+    jobs = [(m, a, exact) for m, a in approx_by_method.items()]
+    jobs.append(("sq8_1536d", K.knn_join(hi_probes, hi_dec, k=5), hi_exact))
+
     reports = []
-    for method, approx in approx_by_method.items():
-        hits = exact.join(
+    for method, approx, exact_df in jobs:
+        hits = exact_df.join(
             approx.select("probe_id", "item_id"),
             ["probe_id", "item_id"],
             "left_semi",
         )
         per_probe = (
-            exact.groupBy("probe_id")
+            exact_df.groupBy("probe_id")
             .agg(F.count("*").alias("n"))
             .join(
                 hits.groupBy("probe_id").agg(F.count("*").alias("h")),
@@ -3616,7 +3713,7 @@ bmscored AS (
            AS part
   FROM tf t JOIN dfreq d ON t.token = d.token CROSS JOIN bmstats s),
 bmagg AS (
-  SELECT doc_id, CAST(sum(CAST(part AS DECIMAL(18,6))) AS DOUBLE) AS score
+  SELECT doc_id, (CAST(CAST(sum(CAST(part AS DECIMAL(18,6))) - (sum(CAST(part AS DECIMAL(18,6))) % 1) AS BIGINT) AS DOUBLE) + CAST(sum(CAST(part AS DECIMAL(18,6))) % 1 AS DOUBLE)) AS score
   FROM bmscored GROUP BY doc_id),
 bmranked AS (
   SELECT doc_id, score,

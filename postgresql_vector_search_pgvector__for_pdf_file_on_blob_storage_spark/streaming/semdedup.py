@@ -241,12 +241,17 @@ def semdedup_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_store_cluster: int = 200_000,
+    max_files_per_trigger: int | None = None,
+    on_batch=None,
 ):
     """Streaming wrapper: parquet-directory source -> per-micro-batch
     :func:`detect_and_register` with epoch-keyed idempotent writes.
     AvailableNow trigger drains the backlog and stops; restarting with
     the same checkpoint processes only new files, with the vector store
-    carrying accepted state across runs."""
+    carrying accepted state across runs.
+
+    ``max_files_per_trigger`` bounds each micro-batch; ``on_batch`` is
+    the post-write crash-injection seam (see substring.substring_stream)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(
@@ -260,10 +265,14 @@ def semdedup_stream(
             epoch_id=epoch_id,
             max_store_cluster=max_store_cluster,
         )
+        if on_batch is not None:
+            on_batch(epoch_id)
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return (
-        spark.readStream.schema(schema)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -161,10 +161,19 @@ def substring_stream(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    on_batch=None,
 ):
     """Streaming wrapper: parquet-directory source -> per-micro-batch
     :func:`detect_and_register` with epoch-keyed idempotent writes;
-    AvailableNow trigger, same contract as the sibling streams."""
+    AvailableNow trigger, same contract as the sibling streams.
+
+    ``max_files_per_trigger`` bounds each micro-batch (ingest pacing at
+    scale; also how the kill/resume test forces multiple batches).
+    ``on_batch(epoch_id)``, if given, runs AFTER the batch's writes —
+    the crash-injection seam for restart tests (a raise here simulates
+    dying between the state writes and the checkpoint commit, the
+    at-least-once window the epoch-keyed overwrite exists for)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(
@@ -176,10 +185,14 @@ def substring_stream(
             id_col=id_col,
             epoch_id=epoch_id,
         )
+        if on_batch is not None:
+            on_batch(epoch_id)
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return (
-        spark.readStream.schema(schema)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -37,9 +37,15 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.opera
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    dim = 64
+    # dim as argv[2]: 64 is the fixture shape; 1536 is the reference's
+    # real embedding dimensionality (text-embedding-ada-002, README) —
+    # the r04 BASELINE row runs `quant_probe.py 200000 1536`.
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    # PQ subquantizers must divide dim; keep 8 dims/subspace at 64-d
+    # (m=8) and the standard 16 dims/subspace at high dim (1536 -> m=96).
+    m_pq = 8 if dim <= 128 else dim // 16
     spark = get_spark(app_name="quant-probe")
-    results: dict = {"n": n, "dim": dim}
+    results: dict = {"n": n, "dim": dim, "m_pq": m_pq}
 
     vecs = (
         A.synthetic_clustered_vectors(spark, n, dim=dim, n_centers=64)
@@ -87,7 +93,7 @@ def main() -> None:
     # ---- PQ --------------------------------------------------------------
     t0 = time.time()
     pq = Qz.PQCodebook(
-        vecs.filter(F.col("vec_id") % 97 == 0), m=8, codes=256, iters=10
+        vecs.filter(F.col("vec_id") % 97 == 0), m=m_pq, codes=256, iters=10
     )
     results["pq_fit_sec"] = round(time.time() - t0, 2)
     t0 = time.time()
@@ -123,7 +129,7 @@ def main() -> None:
 
     # ---- IVF + PQ on residuals (the 100 TB composition) ------------------
     t0 = time.time()
-    ivfpq = Qz.IVFPQIndex(vecs, k_clusters=64, m=8, codes=256, iters=10)
+    ivfpq = Qz.IVFPQIndex(vecs, k_clusters=64, m=m_pq, codes=256, iters=10)
     ivfpq.indexed.count()
     results["ivfpq_build_sec"] = round(time.time() - t0, 2)
     for shortlist_k in (50, 200, 800):
