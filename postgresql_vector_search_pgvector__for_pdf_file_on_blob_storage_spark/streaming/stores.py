@@ -94,3 +94,76 @@ def write_store_partitioned(
     target = path if epoch_id is None else f"{path}/epoch={int(epoch_id)}"
     mode = "append" if epoch_id is None else "overwrite"
     df.write.partitionBy(partition_col).mode(mode).parquet(target)
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Maintenance compaction for an epoch-keyed streaming store.
+
+    Every micro-batch appends an ``epoch=K`` directory with one file per
+    touched ``partition_col`` value, so a long-running stream accumulates
+    thousands of small files and the per-batch full-store probe
+    (the dominant per-batch I/O — streaming/substring.py's design note)
+    pays ever-growing file-open overhead.  This rewrites all FULLY
+    COMMITTED history — every epoch strictly below the newest — into one
+    consolidated ``epoch = max-1`` directory, one file per partition,
+    sorted by ``sort_cols`` (row-group min/max stats + better
+    encoding), leaving the NEWEST epoch untouched.
+
+    Why ``max-1`` and not ``max``: Structured Streaming may replay the
+    newest epoch after a crash, and ``prepare_store`` drops the replayed
+    epoch's own rows from the candidate store — if compaction folded all
+    history into ``epoch=max``, that replay would silently drop the
+    whole corpus history.  Folding into ``max-1`` keeps replay semantics
+    and the epoch-monotonicity guard intact (max epoch unchanged).
+
+    MUST run while the stream is stopped (single-writer discipline, same
+    as checkpoint maintenance): the swap — write sibling temp dir,
+    delete old epoch dirs, rename temp in — is not atomic on object
+    stores.  Returns a summary dict.
+    """
+    from pyspark.sql import functions as F  # local alias, matches module
+
+    store = read_store(spark, path)
+    if store is None:
+        return {"compacted": False, "reason": "store missing"}
+    if "epoch" not in store.columns:
+        raise ValueError(
+            "compact_store: flat (non-epoch) stores are single-writer"
+            " appends with no epoch dirs to fold — nothing to compact"
+        )
+    epochs = sorted(
+        r[0] for r in store.select("epoch").distinct().collect()
+    )
+    if len(epochs) < 2:
+        return {"compacted": False, "reason": "single epoch"}
+    max_epoch = epochs[-1]
+    target_epoch = max_epoch - 1
+    hist = store.filter(F.col("epoch") < max_epoch).drop("epoch")
+    tmp = path.rstrip("/") + ".compact_tmp"
+    writer = hist.repartition(F.col(partition_col))
+    if sort_cols:
+        writer = writer.sortWithinPartitions(partition_col, *sort_cols)
+    writer.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(hconf)
+    for e in epochs[:-1]:
+        fs.delete(jpath(f"{path}/epoch={int(e)}"), True)
+    ok = fs.rename(jpath(tmp), jpath(f"{path}/epoch={int(target_epoch)}"))
+    if not ok:
+        raise IOError(
+            f"compact_store: rename of {tmp} into the store failed —"
+            " history is preserved in the temp dir; restore manually"
+        )
+    return {
+        "compacted": True,
+        "epochs_folded": len(epochs) - 1,
+        "target_epoch": int(target_epoch),
+    }

@@ -20,6 +20,17 @@ writes, layout/epoch guards):
   batch operator's exact column contract.
 - A SINGLE batch over a whole corpus is therefore equivalent to the
   batch operator ``dedup.ngram_dup_stats(min_docs=2)`` — pinned by test.
+
+Store-scan cost note: for any non-tiny batch the gram hashes touch all
+64 buckets, so the ``isin(buckets)`` pruning below cannot shrink the
+probe and each batch pays a full distinct-gram-store scan — linear in
+corpus-wide distinct grams (~22.6/doc measured, BASELINE.md).  The
+maintenance lever is ``stores.compact_store`` (run between stream
+sessions): folds the per-epoch small files into one sorted file per
+bucket, which removes the accumulated file-open overhead and gives the
+scan row-group min/max stats.  Sub-linear probing would need a keyed
+state store (Bloom/LSM) rather than parquet — recorded as the known
+trade, not silently assumed away.
 """
 
 from __future__ import annotations

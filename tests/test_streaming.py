@@ -818,3 +818,111 @@ def test_substring_stream_kill_resume_exactly_once(spark, tmp_path):
     # gk appears exactly once across all epochs.
     grams = spark.read.parquet(gram_d)
     assert grams.count() == grams.select("gk").distinct().count()
+
+
+def test_compact_store_preserves_content_and_replay_safety(spark, tmp_path):
+    """Maintenance compaction (streaming/stores.compact_store): folds all
+    committed epoch dirs into one consolidated epoch = max-1 directory —
+    same distinct grams, fewer files — while the NEWEST epoch stays
+    untouched so a crash-replay of it (which prepare_store drops from
+    the candidate store) cannot drop the folded history."""
+    import glob
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        stores as ST,
+        substring as SB,
+    )
+
+    gram_d, stats_d = str(tmp_path / "g"), str(tmp_path / "s")
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    batches = [
+        [(1, f"{span} one"), (2, "unique words for the second doc")],
+        [(3, "wholly different vocabulary words span batch two here now")],
+        [(4, "third batch text with fully fresh terms appearing only here")],
+        [(5, "fourth batch also uses novel words entirely of its own kind")],
+    ]
+    for e, rows in enumerate(batches):
+        SB.detect_and_register(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            gram_d, stats_d, n=8, epoch_id=e,
+        )
+    before = {
+        (r["gk"], r["bucket"])
+        for r in spark.read.parquet(gram_d).collect()
+    }
+    files_before = len(glob.glob(f"{gram_d}/epoch=*/bucket=*/*.parquet"))
+
+    out = ST.compact_store(spark, gram_d, "bucket", sort_cols=["gk"])
+    assert out["compacted"] and out["epochs_folded"] == 3
+    assert out["target_epoch"] == 2
+
+    after_df = spark.read.parquet(gram_d)
+    after = {(r["gk"], r["bucket"]) for r in after_df.collect()}
+    assert after == before  # content identical
+    assert set(
+        r[0] for r in after_df.select("epoch").distinct().collect()
+    ) == {2, 3}  # folded history + untouched newest
+    # The lever is directory/epoch consolidation: 4 epoch dirs -> 2, and
+    # at most one file per (epoch, bucket) in the folded dir.  (Total
+    # file count only shrinks when epochs share buckets — this fixture
+    # is too small to guarantee overlap, so assert the structure.)
+    assert len(glob.glob(f"{gram_d}/epoch=*")) == 2
+    assert all(
+        len(glob.glob(f"{d}/*.parquet")) == 1
+        for d in glob.glob(f"{gram_d}/epoch=2/bucket=*")
+    )
+    files_after = len(glob.glob(f"{gram_d}/epoch=*/bucket=*/*.parquet"))
+    assert files_after <= files_before
+
+    # replay of the NEWEST epoch (crash-after-write) is still safe and
+    # idempotent against the compacted store...
+    SB.detect_and_register(
+        spark.createDataFrame(batches[3], "doc_id long, text string"),
+        gram_d, stats_d, n=8, epoch_id=3,
+    )
+    assert {
+        (r["gk"], r["bucket"]) for r in spark.read.parquet(gram_d).collect()
+    } == before
+    # ...and the next epoch still flags against the full folded history.
+    SB.detect_and_register(
+        spark.createDataFrame(
+            [(9, f"prefix {span} suffix")], "doc_id long, text string"
+        ),
+        gram_d, stats_d, n=8, epoch_id=4,
+    )
+    got = {r["doc_id"]: r["n_dup_grams"]
+           for r in spark.read.parquet(stats_d).collect()}
+    assert got[9] == 1  # epoch-0 gram found via the compacted dir
+
+
+def test_compact_store_single_epoch_noop_and_flat_raises(spark, tmp_path):
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        stores as ST,
+        substring as SB,
+    )
+
+    gram_d, stats_d = str(tmp_path / "g1"), str(tmp_path / "s1")
+    SB.detect_and_register(
+        spark.createDataFrame(
+            [(1, "a b c d e f g h i")], "doc_id long, text string"
+        ),
+        gram_d, stats_d, n=8, epoch_id=0,
+    )
+    assert ST.compact_store(spark, gram_d, "bucket") == {
+        "compacted": False, "reason": "single epoch",
+    }
+    assert ST.compact_store(spark, str(tmp_path / "nope"), "bucket") == {
+        "compacted": False, "reason": "store missing",
+    }
+
+    flat_d, fs_d = str(tmp_path / "gf"), str(tmp_path / "sf")
+    SB.detect_and_register(
+        spark.createDataFrame(
+            [(1, "a b c d e f g h i")], "doc_id long, text string"
+        ),
+        flat_d, fs_d, n=8,  # no epoch -> flat layout
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="flat"):
+        ST.compact_store(spark, flat_d, "bucket")
