@@ -87,6 +87,8 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         seed: int = 42,
+        fit_fraction: float = 1.0,
+        max_iter: int = 20,
     ):
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -95,8 +97,21 @@ class IVFIndex:
         feat = spread(items).withColumn(
             "__features", array_to_vector(F.col(vec_col))
         )
-        km = KMeans(k=k_clusters, seed=seed, featuresCol="__features")
-        self.model = km.fit(feat)
+        # fit_fraction < 1 fits centroids on a seeded Bernoulli sample —
+        # each k-means iteration then scans the sample, not the corpus,
+        # and only the final assignment pass reads everything (the same
+        # corpus-scale split as semdedup.cluster_assign; at the
+        # reference's 1536-d the full fit dominated the IVFPQ build).
+        fit_src = (
+            feat
+            if fit_fraction >= 1.0
+            else feat.sample(fit_fraction, seed=seed)
+        )
+        km = KMeans(
+            k=k_clusters, seed=seed, featuresCol="__features",
+            maxIter=max_iter,
+        )
+        self.model = km.fit(fit_src)
         self.centroids = [list(map(float, c)) for c in self.model.clusterCenters()]
         assigned = self.model.transform(feat).withColumnRenamed(
             "prediction", "cluster_id"

@@ -598,13 +598,15 @@ class IVFPQIndex:
         seed: int = 42,
         sample_rows: int = 100_000,
         iters: int = 10,
+        fit_fraction: float = 1.0,
+        coarse_max_iter: int = 20,
     ):
         from .ann import IVFIndex
 
         self.id_col, self.vec_col = id_col, vec_col
         self.base = IVFIndex(
             items, k_clusters=k_clusters, id_col=id_col, vec_col=vec_col,
-            seed=seed,
+            seed=seed, fit_fraction=fit_fraction, max_iter=coarse_max_iter,
         )
         self.centroids = np.asarray(self.base.centroids, dtype=np.float64)
         resid = self._residuals(self.base.indexed)
