@@ -208,6 +208,7 @@ ROWS_ONLY_SUITES: dict[str, list[str]] = {
         "streaming_neardup_matches",
         "streaming_semdedup_matches",
         "streaming_substring_stats",
+        "streaming_substring_keyed",
     ],
 }
 

@@ -4350,3 +4350,36 @@ def streaming_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("streaming_substring_keyed")
+def streaming_substring_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEYED-STATE substring-dedup stream (r04,
+    streaming/substring.keyed_substring_stream): the same per-doc stats
+    as streaming_substring_stats but probed through Spark's checkpointed
+    state store keyed on the gram hash — O(batch) lookups instead of the
+    parquet store's full scan, the sub-linear shape the store-scan design
+    note names.  Driven over the documents fixture as one availableNow
+    drain; rows-only (stateful streaming has no SQL twin), with the
+    single-batch == ngram_dup_stats equivalence pinned in pytest."""
+    import shutil
+    import tempfile
+
+    from .streaming import substring as SB
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="substr_keyed_q_")
+    try:
+        src, s_d, ckpt = f"{tmp}/src", f"{tmp}/stats", f"{tmp}/ckpt"
+        docs.write.parquet(src)
+        q = SB.keyed_substring_stream(
+            spark, src, "doc_id long, text string", s_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(s_d).drop("epoch").orderBy("doc_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema) if rows else (
+            spark.createDataFrame([], out.schema)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -28,12 +28,18 @@ corpus-wide distinct grams (~22.6/doc measured, BASELINE.md).  The
 maintenance lever is ``stores.compact_store`` (run between stream
 sessions): folds the per-epoch small files into one sorted file per
 bucket, which removes the accumulated file-open overhead and gives the
-scan row-group min/max stats.  Sub-linear probing would need a keyed
-state store (Bloom/LSM) rather than parquet — recorded as the known
-trade, not silently assumed away.
+scan row-group min/max stats.  For genuinely SUB-LINEAR probing use
+:func:`keyed_substring_stream` below (r04): Spark's checkpointed state
+store keyed on the gram hash — O(batch) lookups, replay idempotence from
+state versioning — at the cost of the membership structure living inside
+the checkpoint instead of a queryable parquet table.
 """
 
 from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,7 +49,11 @@ from ..operators.dedup import word_shingles
 from ..utils import spread
 from .stores import prepare_store, read_store, write_store_partitioned
 
-__all__ = ["detect_and_register", "substring_stream"]
+__all__ = [
+    "detect_and_register",
+    "substring_stream",
+    "keyed_substring_stream",
+]
 
 N_BUCKETS = 64
 
@@ -205,6 +215,166 @@ def substring_stream(
     return (
         reader.parquet(input_dir)
         .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyed-state variant: the SUB-LINEAR per-batch shape (r04).
+#
+# The parquet-store form above pays a full distinct-gram-store scan per
+# batch (module docstring).  This variant keys Spark's own streaming state
+# store on the gram hash — `groupBy(gk).applyInPandasWithState` — so a
+# batch performs O(batch grams) keyed lookups against RocksDB/HDFS-backed
+# state instead of scanning the corpus-wide gram table, and state
+# versioning rides the CHECKPOINT: a replayed epoch restores the
+# pre-batch state snapshot, so crash idempotence needs no epoch
+# bookkeeping at all.  The trade: state lives inside the checkpoint (not
+# a queryable parquet table), which is exactly the right home for a
+# pure membership structure.
+# ---------------------------------------------------------------------------
+
+_KEYED_OUT_SCHEMA = (
+    "doc_id long, n_windows long, n_grams long, is_dup int"
+)
+_KEYED_STATE_SCHEMA = "seen boolean"
+
+
+def _gram_group(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """One gram-hash group per micro-batch: a (doc, gram) pair is a
+    duplicated window iff the gram was seen in ANY earlier batch (keyed
+    state) or >= 2 distinct docs of THIS batch carry it — the same
+    df >= 2 rule as the batch operator.  The NULL key collects the
+    zero-gram docs (explode_outer sentinel): they pass through with
+    is_dup = 0 and never touch state."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    docs = batch.drop_duplicates("doc_id")
+    if key[0] is None:
+        yield pd.DataFrame(
+            {
+                "doc_id": docs["doc_id"],
+                "n_windows": docs["n_windows"],
+                "n_grams": docs["n_grams"],
+                "is_dup": 0,
+            }
+        )
+        return
+    dup = int(state.exists or len(docs) >= 2)
+    state.update((True,))
+    yield pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "n_windows": docs["n_windows"],
+            "n_grams": docs["n_grams"],
+            "is_dup": dup,
+        }
+    )
+
+
+def keyed_substring_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    stats_dir: str,
+    checkpoint: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming substring-dedup stats over KEYED state (see section
+    comment): parquet source -> distinct (doc, gram-hash) explode ->
+    per-gram stateful dup flags -> per-doc aggregation in foreachBatch
+    with epoch-keyed idempotent stats writes.  Output rows carry the
+    batch operator's exact column contract; a single batch over a whole
+    corpus equals ``dedup.ngram_dup_stats(min_docs=2)`` (pinned by
+    test)."""
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
+    raw = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        word_shingles(text_col, n).alias("__grams"),
+        F.greatest(
+            F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_windows"),
+    ).withColumn("n_grams", F.size("__grams").cast("long"))
+    exploded = raw.select(
+        "doc_id",
+        "n_windows",
+        "n_grams",
+        F.explode_outer("__grams").alias("__g"),
+    ).select(
+        "doc_id",
+        "n_windows",
+        "n_grams",
+        # xxhash64(NULL) is a CONSTANT, not NULL — it would collide every
+        # zero-gram sentinel into one legitimate-looking gram key, so the
+        # sentinel must stay a real NULL.
+        F.when(F.col("__g").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64("__g"))
+        .alias("gk"),
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    flagged = exploded.groupBy("gk").applyInPandasWithState(
+        _gram_group,
+        outputStructType=_KEYED_OUT_SCHEMA,
+        stateStructType=_KEYED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        stats = (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.first("n_windows").alias("n_windows"),
+                F.first("n_grams").alias("n_grams"),
+                # the NULL-key sentinel contributes its single is_dup=0
+                # row; real docs sum one flag per distinct gram
+                F.sum(
+                    F.when(F.col("n_grams") > 0, F.col("is_dup")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("n_dup_grams"),
+            )
+            .withColumn(
+                "dup_gram_ppm",
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.expr(
+                        "(n_dup_grams * CAST(1000000 AS BIGINT)) div n_grams"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            .withColumnRenamed("doc_id", "__id")
+            .select(
+                F.col("__id").alias("doc_id"),
+                "n_windows",
+                "n_grams",
+                "n_dup_grams",
+                "dup_gram_ppm",
+            )
+        )
+        stats.write.mode("overwrite").parquet(
+            f"{stats_dir}/epoch={int(epoch_id)}"
+        )
+
+    return (
+        flagged.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

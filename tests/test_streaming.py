@@ -926,3 +926,66 @@ def test_compact_store_single_epoch_noop_and_flat_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="flat"):
         ST.compact_store(spark, flat_d, "bucket")
+
+
+class TestKeyedSubstring:
+    def test_single_batch_equals_batch_operator(self, spark, sf_dir, tmp_path):
+        """One availableNow drain over the corpus == ngram_dup_stats
+        (same window universe, df>=2 rule, column contract) — the keyed
+        state store changes the probe mechanics, never the answer."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            dedup as D,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        src = str(tmp_path / "src")
+        docs.select("doc_id", "text").write.parquet(src)
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+        q = SB.keyed_substring_stream(
+            spark, src, "doc_id long, text string", stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.read.parquet(stats_d).drop("epoch").collect()))
+        want = sorted(map(tuple, D.ngram_dup_stats(docs, n=8).collect()))
+        assert got == want
+
+    def test_cross_batch_flags_via_keyed_state(self, spark, tmp_path):
+        """A later batch repeating an accepted doc's 8-gram is flagged
+        from the CHECKPOINTED keyed state across a stream restart."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "one two three four five six seven eight"
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+
+        spark.createDataFrame(
+            [(1, f"{span} tail-a"), (2, "short")], schema
+        ).write.mode("append").parquet(src)
+        q = SB.keyed_substring_stream(spark, src, schema, stats_d, ckpt, n=8)
+        q.awaitTermination()
+
+        spark.createDataFrame(
+            [(3, f"prefix {span} suffix"), (4, "also tiny")], schema
+        ).write.mode("append").parquet(src)
+        q = SB.keyed_substring_stream(spark, src, schema, stats_d, ckpt, n=8)
+        q.awaitTermination()
+
+        got = {
+            r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}
+        assert got[1]["n_dup_grams"] == 0   # first carrier saw nothing
+        assert got[3]["n_dup_grams"] == 1   # flagged via keyed state
+        # zero-gram docs pass through the NULL-key sentinel with zeros
+        assert got[2]["n_grams"] == 0 and got[2]["n_dup_grams"] == 0
+        assert got[4]["dup_gram_ppm"] == 0
