@@ -228,3 +228,22 @@ def test_knn_join_probe_cap_fires(spark, emb):
             item_id="item_id",
             max_probe_rows=10,
         )
+
+
+def test_similarity_join_sizes_param_drives_dispatch(spark):
+    """Caller-provided sizes must be BELIEVED (zero eager actions): fake
+    over-limit sizes on tiny frames force the loud refusal, and fake
+    small sizes keep the native path (VERDICT r03 #2)."""
+    import pytest
+
+    items = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    l = items.select(F.col("vec_id").alias("left_id"), "embedding")
+    r = items.select(F.col("vec_id").alias("right_id"), "embedding")
+    with pytest.raises(ValueError, match="compute-infeasible"):
+        K.similarity_join(
+            l, r, threshold=10.0, sizes=(2_000_000, 2_000_000)
+        )
+    out = K.similarity_join(l, r, threshold=10.0, sizes=(2, 2)).collect()
+    assert len(out) == 4  # all pairs within threshold 10
