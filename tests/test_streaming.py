@@ -989,3 +989,74 @@ class TestKeyedSubstring:
         # zero-gram docs pass through the NULL-key sentinel with zeros
         assert got[2]["n_grams"] == 0 and got[2]["n_dup_grams"] == 0
         assert got[4]["dup_gram_ppm"] == 0
+
+
+def test_compact_store_on_band_and_vector_stores(spark, tmp_path):
+    """compact_store is layout-generic: the MinHash band store (partition
+    col `band`) and the semantic vector store (`cluster_id`) fold the
+    same way the gram store does, and the next incremental batch still
+    matches against the folded history."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        neardup as ND,
+        semdedup as SS,
+        stores as ST,
+    )
+
+    # --- band store ------------------------------------------------------
+    base = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen"
+    )
+    band_d, sh_d, m_d = (
+        str(tmp_path / "bands"), str(tmp_path / "sh"), str(tmp_path / "m")
+    )
+    for e, rows in enumerate(
+        [[(1, base)], [(2, "wholly different text in the second epoch here")]]
+    ):
+        ND.detect_and_register(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            band_d, sh_d, m_d, epoch_id=e,
+        )
+    before = {
+        tuple(r) for r in spark.read.parquet(band_d).drop("epoch").collect()
+    }
+    out = ST.compact_store(spark, band_d, "band")
+    assert out["compacted"] and out["epochs_folded"] == 1
+    assert {
+        tuple(r) for r in spark.read.parquet(band_d).drop("epoch").collect()
+    } == before
+    ND.detect_and_register(
+        spark.createDataFrame(
+            [(9, base + " seventeen")], "doc_id long, text string"
+        ),
+        band_d, sh_d, m_d, epoch_id=2,
+    )
+    got = {
+        (r["new_id"], r["matched_id"])
+        for r in spark.read.parquet(m_d).collect()
+    }
+    assert (9, 1) in got  # matched via the folded band history
+
+    # --- semantic vector store ------------------------------------------
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    store, matches = str(tmp_path / "vs"), str(tmp_path / "vm")
+    for e, rows in enumerate(
+        [[(10, [1.0, 0.01])], [(11, [0.01, 1.0])]]
+    ):
+        SS.detect_and_register(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            cents, store, matches, eps=0.05, epoch_id=e,
+        )
+    out = ST.compact_store(spark, store, "cluster_id")
+    assert out["compacted"] and out["epochs_folded"] == 1
+    SS.detect_and_register(
+        spark.createDataFrame(
+            [(12, [0.99, 0.02])], "vec_id long, embedding array<float>"
+        ),
+        cents, store, matches, eps=0.05, epoch_id=2,
+    )
+    got = {
+        (r["new_id"], r["matched_id"])
+        for r in spark.read.parquet(matches).collect()
+    }
+    assert (12, 10) in got  # matched via the folded vector history
