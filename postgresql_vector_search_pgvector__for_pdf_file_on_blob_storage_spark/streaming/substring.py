@@ -285,6 +285,7 @@ def keyed_substring_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_files_per_trigger: int | None = None,
+    on_batch=None,
 ):
     """Streaming substring-dedup stats over KEYED state (see section
     comment): parquet source -> distinct (doc, gram-hash) explode ->
@@ -372,6 +373,8 @@ def keyed_substring_stream(
         stats.write.mode("overwrite").parquet(
             f"{stats_dir}/epoch={int(epoch_id)}"
         )
+        if on_batch is not None:
+            on_batch(epoch_id)
 
     return (
         flagged.writeStream.foreachBatch(sink)

@@ -1060,3 +1060,59 @@ def test_compact_store_on_band_and_vector_stores(spark, tmp_path):
         for r in spark.read.parquet(matches).collect()
     }
     assert (12, 10) in got  # matched via the folded vector history
+
+
+def test_keyed_substring_stream_kill_resume_exactly_once(spark, tmp_path):
+    """Kill the KEYED stream after a batch's stats write but before its
+    checkpoint commit: on resume the state store restores the pre-batch
+    version (state updates commit WITH the epoch), the killed epoch
+    replays against identical state, and the epoch-keyed stats overwrite
+    makes the output exactly-once — the 'replay idempotence from state
+    versioning' claim, proven rather than asserted."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        substring as SB,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    files = [
+        [(10, f"{span} one")],
+        [(20, f"prefix {span} suffix")],     # dup via keyed state
+        [(30, f"{span} once more")],         # dup via keyed state
+    ]
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+
+    def crash_on_1(epoch_id: int) -> None:
+        if epoch_id == 1:
+            raise RuntimeError("injected crash after epoch-1 stats write")
+
+    q = SB.keyed_substring_stream(
+        spark, src, schema, stats_d, ckpt,
+        n=8, max_files_per_trigger=1, on_batch=crash_on_1,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    partial = {r["doc_id"] for r in spark.read.parquet(stats_d).collect()}
+    assert 10 in partial and 30 not in partial
+
+    q = SB.keyed_substring_stream(
+        spark, src, schema, stats_d, ckpt, n=8, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(stats_d).collect()
+    by_doc = {}
+    for r in got:
+        assert r["doc_id"] not in by_doc, f"doc {r['doc_id']} duplicated"
+        by_doc[r["doc_id"]] = r
+    assert set(by_doc) == {10, 20, 30}
+    assert by_doc[10]["n_dup_grams"] == 0
+    # the replayed epoch saw the RESTORED state (gram not double-marked),
+    # and later epochs see the state including the replayed epoch
+    assert by_doc[20]["n_dup_grams"] == 1
+    assert by_doc[30]["n_dup_grams"] == 1
