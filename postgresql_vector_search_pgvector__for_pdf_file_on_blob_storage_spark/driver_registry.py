@@ -247,9 +247,21 @@ def _canon_spark_col(name: str, dtype: str):
         # significant digits while C printf prints the exact expansion, so
         # any |v| >= ~1e11 formatted differently (sf0.1 sweep,
         # grouping_suite).  Formatting libraries are out; arithmetic is in.
-        micros = F.floor(col.cast("double") * F.lit(1_000_000.0) + F.lit(0.5))
-        return F.when(col.isNull(), F.lit(_NULL)).otherwise(
-            micros.cast("bigint").cast("string")
+        # Guard the extremes BEFORE the cast: for |v| >= ~9.2e12 the
+        # micro-units overflow int64 (Spark's non-ANSI cast saturates,
+        # DuckDB's CAST raises) and NaN/Inf diverge the same way, so both
+        # engines clamp those bands to identical sentinel strings — a real
+        # value mismatch inside a band still can't produce a false PASS
+        # unless both engines land in the same band, where micro-unit
+        # precision exceeded double precision anyway.
+        d = col.cast("double")
+        micros = F.floor(d * F.lit(1_000_000.0) + F.lit(0.5))
+        return (
+            F.when(col.isNull(), F.lit(_NULL))
+            .when(F.isnan(d), F.lit("nan"))
+            .when(d >= F.lit(9.0e12), F.lit("pos_big"))
+            .when(d <= F.lit(-9.0e12), F.lit("neg_big"))
+            .otherwise(micros.cast("bigint").cast("string"))
         )
     if dtype in _INT_TYPES:
         return F.when(col.isNull(), F.lit(_NULL)).otherwise(col.cast("string"))
@@ -273,9 +285,13 @@ def _canon_sql_col(name: str, dtype: str) -> str:
     if dtype == "string":
         return f"coalesce({col}, '{_NULL}')"
     if dtype in ("double", "float"):
-        # Mirror of _canon_spark_col's micro-unit form (see comment there).
+        # Mirror of _canon_spark_col's micro-unit form, including the
+        # NaN/Inf/overflow clamp bands (see comment there).
         return (
             f"CASE WHEN {col} IS NULL THEN '{_NULL}' "
+            f"WHEN isnan(CAST({col} AS DOUBLE)) THEN 'nan' "
+            f"WHEN CAST({col} AS DOUBLE) >= 9e12 THEN 'pos_big' "
+            f"WHEN CAST({col} AS DOUBLE) <= -9e12 THEN 'neg_big' "
             f"ELSE CAST(CAST(floor(CAST({col} AS DOUBLE) * 1000000.0 + 0.5)"
             f" AS BIGINT) AS VARCHAR) END"
         )

@@ -180,7 +180,17 @@ def _decode_shown(raw: bytes, font: "_Font | None") -> str:
         ]
     else:
         codes = list(raw)
-    return "".join(cmap.get(c) or enc.get(c) or chr(c) for c in codes)
+    # Sentinel-based lookups: an explicit empty-string ToUnicode mapping
+    # (glyph mapped to nothing, or malformed hex) is an authoritative
+    # "emit nothing" — `or`-chaining would treat it as falsy and fall
+    # through to /Encoding or chr(c), emitting a spurious character.
+    out: list[str] = []
+    for c in codes:
+        v = cmap.get(c)
+        if v is None:
+            v = enc.get(c)
+        out.append(chr(c) if v is None else v)
+    return "".join(out)
 
 
 def _stream_text(ops: bytes, fonts: dict[str, _Font] | None = None) -> str:

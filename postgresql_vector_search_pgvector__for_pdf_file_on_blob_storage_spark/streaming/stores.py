@@ -154,14 +154,22 @@ def compact_store(
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path
     fs = jpath(path).getFileSystem(hconf)
-    for e in epochs[:-1]:
-        fs.delete(jpath(f"{path}/epoch={int(e)}"), True)
+    # Swap ordering minimizes the unreadable window: delete ONLY the
+    # target epoch dir, rename tmp (which holds the full folded history)
+    # into its place, then delete the remaining old epoch dirs.  A crash
+    # before the rename loses only epoch=target from the live tree (full
+    # history still in .compact_tmp); a crash after the rename leaves
+    # folded history PLUS stale old epochs — harmless duplicates for a
+    # membership store, cleaned up by re-running compaction.
+    fs.delete(jpath(f"{path}/epoch={int(target_epoch)}"), True)
     ok = fs.rename(jpath(tmp), jpath(f"{path}/epoch={int(target_epoch)}"))
     if not ok:
         raise IOError(
             f"compact_store: rename of {tmp} into the store failed —"
             " history is preserved in the temp dir; restore manually"
         )
+    for e in epochs[:-2]:
+        fs.delete(jpath(f"{path}/epoch={int(e)}"), True)
     return {
         "compacted": True,
         "epochs_folded": len(epochs) - 1,
