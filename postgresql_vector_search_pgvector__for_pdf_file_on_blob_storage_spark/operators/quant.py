@@ -30,6 +30,7 @@ driver query.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -241,15 +242,24 @@ def _kmeans(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
             + (centers * centers).sum(1)[None, :]
         )
         assign = d2.argmin(1)
-        empties = [j for j in range(k) if not (assign == j).any()]
-        if empties:
+        counts = np.bincount(assign, minlength=k)
+        empties = np.flatnonzero(counts == 0)
+        if empties.size:
             far = np.argsort(d2.min(1))[::-1]
             for i, j in enumerate(empties):
                 centers[j] = X[far[i % n]]
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                centers[j] = X[mask].mean(0)
+        # Vectorized mean update: one weighted bincount per dimension
+        # (O(n*d) C loops) instead of k boolean masks over X — the mask
+        # loop was the fit's real bottleneck at codes=256, n=100k+.
+        sums = np.stack(
+            [
+                np.bincount(assign, weights=X[:, c], minlength=k)
+                for c in range(X.shape[1])
+            ],
+            axis=1,
+        )
+        nz = counts > 0
+        centers[nz] = sums[nz] / counts[nz, None]
     return centers
 
 
@@ -291,11 +301,26 @@ class PQCodebook:
             raise ValueError(f"PQCodebook: dim {d} not divisible by m={m}")
         self.m, self.codes, self.dim = m, codes, d
         self.dsub = d // m
-        rng = np.random.RandomState(seed)
+        # The m sub-space fits are independent k-means problems, so they
+        # run on a driver thread pool: NumPy's matmul/argmin kernels
+        # release the GIL, so the (n, codes) distance work overlaps
+        # across threads (1536-d m=96 build: 875-1057 s serial -> see
+        # quant_probe.py for the pooled number).  Each sub-space derives
+        # its OWN RandomState from (seed, j) — a shared sequential rng
+        # would make results depend on completion order.
+        from concurrent.futures import ThreadPoolExecutor
+
         self.books = np.empty((m, codes, self.dsub))
-        for j in range(m):
+
+        def fit_sub(j: int) -> None:
             sub = X[:, j * self.dsub : (j + 1) * self.dsub]
-            self.books[j] = _kmeans(sub, codes, iters, rng)
+            self.books[j] = _kmeans(
+                sub, codes, iters, np.random.RandomState(seed * 10_007 + j)
+            )
+
+        workers = min(m, os.cpu_count() or 8)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(fit_sub, range(m)))
 
     def _lut(self, q: np.ndarray) -> np.ndarray:
         """The ``(m, codes)`` ADC lookup table for one query (or query

@@ -29,16 +29,19 @@ maintenance lever is ``stores.compact_store`` (run between stream
 sessions): folds the per-epoch small files into one sorted file per
 bucket, which removes the accumulated file-open overhead and gives the
 scan row-group min/max stats.  For genuinely SUB-LINEAR probing use
-:func:`keyed_substring_stream` below (r04): Spark's checkpointed state
-store keyed on the gram hash — O(batch) lookups, replay idempotence from
-state versioning — at the cost of the membership structure living inside
-the checkpoint instead of a queryable parquet table.
+:func:`keyed_substring_stream` below (r04, sharded r05): Spark's
+checkpointed state store keyed on a shard of the gram-hash space —
+O(batch·log corpus) probes over per-shard sorted membership arrays,
+replay idempotence from state versioning — at the cost of the membership
+structure living inside the checkpoint instead of a queryable parquet
+table.
 """
 
 from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -222,57 +225,115 @@ def substring_stream(
 
 
 # ---------------------------------------------------------------------------
-# Keyed-state variant: the SUB-LINEAR per-batch shape (r04).
+# Keyed-state variant: the SUB-LINEAR per-batch shape (r04, sharded r05).
 #
 # The parquet-store form above pays a full distinct-gram-store scan per
 # batch (module docstring).  This variant keys Spark's own streaming state
-# store on the gram hash — `groupBy(gk).applyInPandasWithState` — so a
-# batch performs O(batch grams) keyed lookups against RocksDB/HDFS-backed
-# state instead of scanning the corpus-wide gram table, and state
-# versioning rides the CHECKPOINT: a replayed epoch restores the
-# pre-batch state snapshot, so crash idempotence needs no epoch
-# bookkeeping at all.  The trade: state lives inside the checkpoint (not
-# a queryable parquet table), which is exactly the right home for a
-# pure membership structure.
+# store on a SHARD of the gram-hash space — `groupBy(pmod(gk, n_shards))
+# .applyInPandasWithState` — so a batch performs O(batch grams) membership
+# probes against checkpointed state, and state versioning rides the
+# CHECKPOINT: a replayed epoch restores the pre-batch state snapshot, so
+# crash idempotence needs no epoch bookkeeping at all.  The trade: state
+# lives inside the checkpoint (not a queryable parquet table), which is
+# exactly the right home for a pure membership structure.
+#
+# Why shards, not one state key per gram (the r04 form): keying on the
+# raw hash made every distinct batch gram its own pandas group — 2.3M
+# single-row groups per 100k-doc batch, 87 s of pure group dispatch
+# (BASELINE.md r04 probe).  Sharding the key space gives each group
+# ~batch_grams/n_shards rows, so group dispatch is amortized; inside a
+# group the membership set is a SORTED packed int64 array in one binary
+# state column, probed with vectorized searchsorted and merged with
+# union1d.  Per-batch state movement is O(corpus/n_shards × touched
+# shards) bytes of Arrow-transferred int64 — for non-tiny batches every
+# shard is touched, so the byte volume is linear in corpus like the
+# store scan, but at ~8 bytes/gram memcpy speed instead of a
+# parquet-scan + shuffle-join, and the probe CPU is O(batch·log corpus).
+# n_shards is fixed per checkpoint (guard below): changing it would
+# re-route grams to shards whose state they were never written to.
 # ---------------------------------------------------------------------------
 
 _KEYED_OUT_SCHEMA = (
     "doc_id long, n_windows long, n_grams long, is_dup int"
 )
-_KEYED_STATE_SCHEMA = "seen boolean"
+_KEYED_STATE_SCHEMA = "grams binary"
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
 
 
-def _gram_group(
+def _shard_group(
     key: Tuple, pdfs: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
-    """One gram-hash group per micro-batch: a (doc, gram) pair is a
-    duplicated window iff the gram was seen in ANY earlier batch (keyed
-    state) or >= 2 distinct docs of THIS batch carry it — the same
-    df >= 2 rule as the batch operator.  The NULL key collects the
-    zero-gram docs (explode_outer sentinel): they pass through with
-    is_dup = 0 and never touch state."""
+    """One gram-hash shard per micro-batch: a (doc, gram) pair is a
+    duplicated window iff the gram was seen in ANY earlier batch (the
+    shard's sorted membership array in keyed state) or >= 2 distinct
+    docs of THIS batch carry it — the same df >= 2 rule as the batch
+    operator.  The NULL key collects the zero-gram docs (explode_outer
+    sentinel): they pass through with is_dup = 0 and never touch
+    state."""
     batch = pd.concat(list(pdfs), ignore_index=True)
-    docs = batch.drop_duplicates("doc_id")
     if key[0] is None:
+        docs = batch.drop_duplicates("doc_id")
         yield pd.DataFrame(
             {
                 "doc_id": docs["doc_id"],
                 "n_windows": docs["n_windows"],
                 "n_grams": docs["n_grams"],
-                "is_dup": 0,
+                "is_dup": np.zeros(len(docs), dtype=np.int32),
             }
         )
         return
-    dup = int(state.exists or len(docs) >= 2)
-    state.update((True,))
+    pairs = batch.drop_duplicates(["doc_id", "gk"])
+    gk = pairs["gk"].to_numpy(dtype=np.int64)
+    seen = (
+        np.frombuffer(state.get[0], dtype=np.int64)
+        if state.exists
+        else _EMPTY_I64
+    )
+    if seen.size:
+        pos = np.minimum(np.searchsorted(seen, gk), seen.size - 1)
+        in_state = seen[pos] == gk
+    else:
+        in_state = np.zeros(gk.size, dtype=bool)
+    in_batch = pairs.groupby("gk")["doc_id"].transform("size").to_numpy() >= 2
+    merged = np.union1d(seen, gk)  # sorted + distinct
+    if merged.size != seen.size:
+        state.update((merged.tobytes(),))
     yield pd.DataFrame(
         {
-            "doc_id": docs["doc_id"],
-            "n_windows": docs["n_windows"],
-            "n_grams": docs["n_grams"],
-            "is_dup": dup,
+            "doc_id": pairs["doc_id"].to_numpy(),
+            "n_windows": pairs["n_windows"].to_numpy(),
+            "n_grams": pairs["n_grams"].to_numpy(),
+            "is_dup": (in_state | in_batch).astype(np.int32),
         }
     )
+
+
+def _shard_count_guard(
+    spark: SparkSession, checkpoint: str, n_shards: int
+) -> None:
+    """Pin ``n_shards`` to the checkpoint: grams are routed to shards by
+    ``pmod(gk, n_shards)``, so resuming with a different value would
+    probe shards whose state never saw those grams — silent duplicate
+    misses.  The pin is an empty marker directory ``_n_shards=<n>``
+    inside the checkpoint (existence-only: readable on any Hadoop
+    filesystem without open/read plumbing)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    root = jpath(checkpoint)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = jpath(f"{checkpoint}/_n_shards={int(n_shards)}")
+    existing = fs.globStatus(jpath(f"{checkpoint}/_n_shards=*"))
+    if existing is not None and len(existing) > 0:
+        found = [s.getPath().getName() for s in existing]
+        if f"_n_shards={int(n_shards)}" not in found:
+            raise ValueError(
+                f"keyed_substring_stream: checkpoint {checkpoint} was"
+                f" created with {found[0]} but this session asked for"
+                f" n_shards={n_shards}; shard routing is part of the"
+                " state layout and cannot change on resume"
+            )
+        return
+    fs.mkdirs(marker)
 
 
 def keyed_substring_stream(
@@ -286,15 +347,18 @@ def keyed_substring_stream(
     id_col: str = "doc_id",
     max_files_per_trigger: int | None = None,
     on_batch=None,
+    n_shards: int = 2048,
 ):
     """Streaming substring-dedup stats over KEYED state (see section
     comment): parquet source -> distinct (doc, gram-hash) explode ->
-    per-gram stateful dup flags -> per-doc aggregation in foreachBatch
-    with epoch-keyed idempotent stats writes.  Output rows carry the
-    batch operator's exact column contract; a single batch over a whole
-    corpus equals ``dedup.ngram_dup_stats(min_docs=2)`` (pinned by
-    test)."""
-
+    per-SHARD stateful dup flags (sorted packed-int64 membership array
+    per shard, vectorized searchsorted probes) -> per-doc aggregation in
+    foreachBatch with epoch-keyed idempotent stats writes.  Output rows
+    carry the batch operator's exact column contract; a single batch
+    over a whole corpus equals ``dedup.ngram_dup_stats(min_docs=2)``
+    (pinned by test).  ``n_shards`` is pinned to the checkpoint on first
+    start and enforced on resume."""
+    _shard_count_guard(spark, checkpoint, n_shards)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
@@ -323,11 +387,16 @@ def keyed_substring_stream(
         F.when(F.col("__g").isNull(), F.lit(None).cast("long"))
         .otherwise(F.xxhash64("__g"))
         .alias("gk"),
+    ).withColumn(
+        # pmod(NULL) stays NULL, so zero-gram sentinel docs keep their
+        # own NULL-key group and never enter a membership shard
+        "shard",
+        F.pmod(F.col("gk"), F.lit(int(n_shards))).cast("int"),
     )
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    flagged = exploded.groupBy("gk").applyInPandasWithState(
-        _gram_group,
+    flagged = exploded.groupBy("shard").applyInPandasWithState(
+        _shard_group,
         outputStructType=_KEYED_OUT_SCHEMA,
         stateStructType=_KEYED_STATE_SCHEMA,
         outputMode="append",
