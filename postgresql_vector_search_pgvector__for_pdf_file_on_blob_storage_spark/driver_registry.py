@@ -74,6 +74,9 @@ SUITES: dict[str, list[str]] = {
         "knn_cosine_top5",
         "knn_dot_top5",
         "knn_join_l2",
+        # r6: SQ8 encode/decode roundtrip — the quantization tier's first
+        # oracle-backed row (VERDICT r5 next-round #3).
+        "sq8_roundtrip",
     ],
     # reference listing / scalar-transform shapes over documents
     "doc_listing_suite": [
@@ -216,6 +219,9 @@ ROWS_ONLY_SUITES: dict[str, list[str]] = {
 ROWS_ONLY: list[str] = [
     "flagship_rag_search",
     "semantic_dedup",
+    # r6: the measured boundary-miss mitigation now runs in the driver
+    # sweep (VERDICT r4 #8 / r5 next-round #8).
+    "semantic_dedup_topm",
     "multimodal_image_pipeline",
     "summarize_hits",
     "sse_event_projection",

@@ -223,15 +223,44 @@ class SQ8:
         )
 
 
+def _kmeanspp_init(X: np.ndarray, k: int, rng) -> np.ndarray:
+    """Vectorized k-means++ (D²-sampling) seeding.  One O(n*d) distance
+    update per chosen center — total O(n*k*d), about the cost of a single
+    Lloyd iteration, and it buys a far better local optimum than uniform
+    sampling (Arthur & Vassilvitskii, SODA'07: O(log k)-competitive in
+    expectation).  Deterministic for a fixed rng state."""
+    n = X.shape[0]
+    centers = np.empty((k, X.shape[1]), dtype=X.dtype)
+    # rng may be a legacy RandomState or a new-style Generator — use only
+    # the methods they share (choice / uniform).
+    centers[0] = X[int(rng.choice(n))]
+    # Running min squared distance to the chosen set.
+    d2 = ((X - centers[0]) ** 2).sum(1)
+    for i in range(1, k):
+        tot = d2.sum()
+        if tot <= 0.0:
+            # All points coincide with chosen centers (k > distinct
+            # points): fall back to uniform picks for the remainder.
+            centers[i:] = X[rng.choice(n, size=k - i)]
+            break
+        # D² sampling via inverse-CDF on the cumulative weights.
+        cum = np.cumsum(d2)
+        idx = int(np.searchsorted(cum, rng.uniform() * tot))
+        idx = min(idx, n - 1)
+        centers[i] = X[idx]
+        np.minimum(d2, ((X - centers[i]) ** 2).sum(1), out=d2)
+    return centers
+
+
 def _kmeans(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
-    """Seeded Lloyd's k-means (NumPy, driver-side) for PQ sub-codebooks.
-    Deterministic for a fixed rng state; empty clusters are re-seeded from
-    DISTINCT farthest points (farthest-first order) so all k codes stay
-    usable — re-seeding them all to the same point would leave permanent
-    duplicates that never attract members."""
+    """Seeded Lloyd's k-means (NumPy, driver-side) for PQ sub-codebooks,
+    k-means++ initialized.  Deterministic for a fixed rng state; empty
+    clusters are re-seeded from DISTINCT farthest points (farthest-first
+    order) so all k codes stay usable — re-seeding them all to the same
+    point would leave permanent duplicates that never attract members."""
     n = X.shape[0]
     if n >= k:
-        centers = X[rng.choice(n, size=k, replace=False)].copy()
+        centers = _kmeanspp_init(X, k, rng)
     else:
         centers = X[rng.choice(n, size=k, replace=True)].copy()
     for _ in range(iters):
@@ -314,8 +343,12 @@ class PQCodebook:
 
         def fit_sub(j: int) -> None:
             sub = X[:, j * self.dsub : (j + 1) * self.dsub]
+            # Wrap the derived seed: RandomState only accepts [0, 2**32).
             self.books[j] = _kmeans(
-                sub, codes, iters, np.random.RandomState(seed * 10_007 + j)
+                sub,
+                codes,
+                iters,
+                np.random.RandomState((seed * 10_007 + j) % (2**32)),
             )
 
         workers = min(m, os.cpu_count() or 8)

@@ -193,6 +193,93 @@ def knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sq8_roundtrip",
+    """
+WITH pos_vals AS (
+  SELECT unnest(range(1, len(embedding)+1)) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+params AS (
+  SELECT pos,
+         min(CAST(v AS DOUBLE)) AS mn,
+         max(CAST(v AS DOUBLE)) AS mx
+  FROM pos_vals GROUP BY pos
+),
+plist AS (
+  SELECT list(mn ORDER BY pos) AS mins,
+         list(CASE WHEN mx - mn > 0 THEN (mx - mn) / 255.0 ELSE 1.0 END
+              ORDER BY pos) AS steps
+  FROM params
+),
+enc AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(range(1, len(e.embedding)+1),
+           i -> least(127, greatest(-128,
+                CAST(round((CAST(e.embedding[i] AS DOUBLE) - p.mins[i])
+                           / p.steps[i]) AS INTEGER) - 128))) AS code,
+         p.mins AS mins, p.steps AS steps
+  FROM embeddings e, plist p
+  WHERE e.embedding IS NOT NULL
+)
+SELECT vec_id,
+  CAST(list_sum(list_transform(range(1, len(code)+1),
+       i -> (code[i] + 128) * i)) AS BIGINT) AS code_sum,
+  CAST(list_min(code) AS INTEGER) AS code_min,
+  CAST(list_max(code) AS INTEGER) AS code_max,
+  list_max(list_transform(range(1, len(code)+1),
+    i -> abs(CAST(embedding[i] AS DOUBLE)
+             - ((CAST(code[i] AS DOUBLE) + 128.0) * steps[i] + mins[i]))))
+    AS max_abs_err
+FROM enc ORDER BY vec_id
+""",
+)
+def sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 encode/decode roundtrip through the REAL quantizer
+    (operators/quant.SQ8, SURVEY.md §2B B16) with an integer-exact DuckDB
+    twin: per-vector position-weighted code checksum (bit-exact — the
+    whole fit+encode path is single IEEE ops both sides, and Spark's
+    HALF_UP round equals DuckDB's half-away-from-zero round on the
+    non-negative pre-shift codes), code min/max, and the max absolute
+    reconstruction error (order-insensitive list max, micro-unit canon).
+    This is the oracle coverage whose absence let the r5 codebook
+    regression through the CORRECTNESS gate unnoticed (VERDICT r5 #3)."""
+    from .operators import quant as Qz
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    sq = Qz.SQ8(emb)
+    enc = sq.encode(emb, code_col="code")
+    dec = sq.dequantize(enc, code_col="code", out_col="recon")
+    weights = F.sequence(F.lit(1), F.size("code"))
+    weighted = F.zip_with(
+        F.col("code"),
+        weights,
+        lambda c, i: (c.cast("int") + F.lit(128)) * i,
+    )
+    err = F.zip_with(
+        F.col("embedding"),
+        F.col("recon"),
+        lambda v, r: F.abs(v.cast("double") - r),
+    )
+    return (
+        dec.select(
+            "vec_id",
+            F.aggregate(
+                weighted,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long"),
+            ).alias("code_sum"),
+            F.array_min("code").cast("int").alias("code_min"),
+            F.array_max("code").cast("int").alias("code_max"),
+            F.array_max(err).alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity scalar ops & listings (SURVEY.md §2A rows 7-12, 15-16, 25)
 # ---------------------------------------------------------------------------
@@ -4241,6 +4328,31 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SD.semantic_dedup(
         emb, eps=0.6, k_clusters=8, id_col="vec_id"
     ).orderBy("vec_id")
+
+
+@query("semantic_dedup_topm")
+def semantic_dedup_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with soft top-2 centroid assignment
+    (operators/semdedup.assign_to_centroids_topm): each vector joins its
+    TWO nearest clusters, so duplicate pairs straddling a k-means
+    boundary — which hard assignment never compares, measured recall
+    floor 0.637 vs 0.883 soft (scripts/semdedup_boundary_probe.py,
+    BASELINE.md) — are still compared whenever their top-2 sets
+    intersect.  A pair found in two shared clusters is emitted twice
+    with an identical score; ``dropDuplicates`` folds it.  k-means
+    geometry is engine-specific -> rows-only; the boundary-recall bound
+    is pinned in tests/test_semdedup.py."""
+    from .operators import semdedup as SD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SD.kmeans_centroids(emb, k_clusters=8)
+    assigned = SD.assign_to_centroids_topm(emb, cents, m=2)
+    edges = SD.semantic_dup_edges(assigned, eps=0.6).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    return edges.select(
+        "id_a", "id_b", F.round("cos_dist", 4).alias("cos_dist")
+    ).orderBy("id_a", "id_b")
 
 
 @query("streaming_semdedup_matches")

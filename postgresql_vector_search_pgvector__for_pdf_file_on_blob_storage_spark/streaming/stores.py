@@ -168,8 +168,14 @@ def compact_store(
             f"compact_store: rename of {tmp} into the store failed —"
             " history is preserved in the temp dir; restore manually"
         )
-    for e in epochs[:-2]:
-        fs.delete(jpath(f"{path}/epoch={int(e)}"), True)
+    # Delete every folded epoch EXCEPT the target.  Epochs need not be
+    # contiguous (write_store_partitioned skips empty frames), so the
+    # target dir is not necessarily epochs[-2] — a positional slice here
+    # would leave a stale epoch dir whose duplicate rows a re-run of
+    # compaction folds permanently into the consolidated file.
+    for e in epochs[:-1]:
+        if int(e) != int(target_epoch):
+            fs.delete(jpath(f"{path}/epoch={int(e)}"), True)
     return {
         "compacted": True,
         "epochs_folded": len(epochs) - 1,

@@ -257,7 +257,12 @@ _KEYED_OUT_SCHEMA = (
     "doc_id long, n_windows long, n_grams long, is_dup int"
 )
 _KEYED_STATE_SCHEMA = "grams binary"
-_EMPTY_I64 = np.empty(0, dtype=np.int64)
+# Little-endian pinned dtype for keyed-state membership bytes: a
+# checkpoint written with native byte order would be silently misread
+# (garbage gram hashes, missed duplicates) if resumed on a platform
+# of the other endianness.
+_STATE_DTYPE = np.dtype("<i8")
+_EMPTY_I64 = np.empty(0, dtype=_STATE_DTYPE)
 
 
 def _shard_group(
@@ -285,7 +290,7 @@ def _shard_group(
     pairs = batch.drop_duplicates(["doc_id", "gk"])
     gk = pairs["gk"].to_numpy(dtype=np.int64)
     seen = (
-        np.frombuffer(state.get[0], dtype=np.int64)
+        np.frombuffer(state.get[0], dtype=_STATE_DTYPE)
         if state.exists
         else _EMPTY_I64
     )
@@ -297,7 +302,7 @@ def _shard_group(
     in_batch = pairs.groupby("gk")["doc_id"].transform("size").to_numpy() >= 2
     merged = np.union1d(seen, gk)  # sorted + distinct
     if merged.size != seen.size:
-        state.update((merged.tobytes(),))
+        state.update((merged.astype(_STATE_DTYPE, copy=False).tobytes(),))
     yield pd.DataFrame(
         {
             "doc_id": pairs["doc_id"].to_numpy(),
@@ -316,7 +321,14 @@ def _shard_count_guard(
     probe shards whose state never saw those grams — silent duplicate
     misses.  The pin is an empty marker directory ``_n_shards=<n>``
     inside the checkpoint (existence-only: readable on any Hadoop
-    filesystem without open/read plumbing)."""
+    filesystem without open/read plumbing).
+
+    The marker is written BEFORE the stream starts, so a first run that
+    dies before any commit leaves a pinned marker over an empty
+    checkpoint.  Harmless: resuming with the same n_shards works, and a
+    different value errors spuriously but LOUDLY (delete the checkpoint
+    dir to truly start over) — preferable to the silent duplicate misses
+    an unpinned mismatch would cause."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path
     root = jpath(checkpoint)

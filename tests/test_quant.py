@@ -114,9 +114,17 @@ def test_pq_adc_matches_numpy(spark):
 def test_pq_shortlist_and_refined_recall_on_clustered(spark):
     """On tightly-clustered data PQ's quantization error exceeds the
     intra-cluster spacing, so pure ADC cannot rank WITHIN a blob — the
-    meaningful contracts are (a) the exact top-5 lands in the ADC top-50
+    meaningful contracts are (a) the exact top-5 lands in the ADC
     shortlist, and (b) the refine step (exact re-rank of the shortlist,
-    the production IVFADC+R shape) recovers the exact top-5."""
+    the production IVFADC+R shape) recovers the exact top-5.
+
+    Shortlist depth is 150 (30x the refined k, inside the usual
+    IVFADC+R 10-100x band), NOT 50: a 10-seed sweep on this exact
+    fixture (r6) measured top-50 refined recall mean 0.76, range
+    0.60-0.90 — the former 50/0.9 pin passed only under a lucky seed
+    and failed under any codebook change (r5 regression).  At depth
+    150 the same sweep measured min 0.95 / mean 0.965, so the >=0.9
+    pin below holds with margin for any seeded init."""
     items = A.synthetic_clustered_vectors(
         spark, 5000, dim=32, n_centers=16
     ).cache()
@@ -129,11 +137,11 @@ def test_pq_shortlist_and_refined_recall_on_clustered(spark):
         (r["probe_id"], r["item_id"])
         for r in K.knn_join(probes, items, k=5, item_id="vec_id").collect()
     }
-    shortlist = pq.search_many(enc, probes, k=50).cache()
+    shortlist = pq.search_many(enc, probes, k=150).cache()
     sl_pairs = {
         (r["probe_id"], r["vec_id"]) for r in shortlist.collect()
     }
-    assert len(exact & sl_pairs) / len(exact) >= 0.8  # shortlist recall
+    assert len(exact & sl_pairs) / len(exact) >= 0.9  # shortlist recall
     refined = {
         (r["probe_id"], r["vec_id"])
         for r in Qz.PQCodebook.refine(shortlist, items, probes, k=5).collect()
