@@ -212,6 +212,9 @@ ROWS_ONLY_SUITES: dict[str, list[str]] = {
         "streaming_semdedup_matches",
         "streaming_substring_stats",
         "streaming_substring_keyed",
+        # r06: the LSM-tiered form — history snapshot probed JVM-side,
+        # keyed state bounded by session-novel grams.
+        "streaming_substring_tiered",
     ],
 }
 

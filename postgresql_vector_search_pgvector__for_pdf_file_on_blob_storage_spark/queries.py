@@ -4495,3 +4495,39 @@ def streaming_substring_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+@query("streaming_substring_tiered")
+def streaming_substring_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSM-TIERED substring-dedup stream (r06,
+    streaming/substring.tiered_substring_stream): committed-corpus
+    membership lives in a bucket-partitioned parquet snapshot probed
+    JVM-side (cached stream-static join, zero Python transfer) while
+    keyed state holds only SESSION-novel grams — per-batch state bytes
+    bounded by session ingest, not corpus size (the fix for the keyed
+    form's corpus-linear Arrow state transfer).  Driven over the
+    documents fixture as one availableNow drain; rows-only, with
+    single-batch == ngram_dup_stats equivalence, cross-session history
+    flags, kill/resume exactly-once, and state-boundedness pinned in
+    pytest (tests/test_streaming.py::TestTieredSubstring)."""
+    import shutil
+    import tempfile
+
+    from .streaming import substring as SB
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="substr_tiered_q_")
+    try:
+        src = f"{tmp}/src"
+        gram_d, s_d, ckpt = f"{tmp}/grams", f"{tmp}/stats", f"{tmp}/ckpt"
+        docs.write.parquet(src)
+        q = SB.tiered_substring_stream(
+            spark, src, "doc_id long, text string", gram_d, s_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(s_d).drop("epoch").orderBy("doc_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema) if rows else (
+            spark.createDataFrame([], out.schema)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -56,6 +56,7 @@ __all__ = [
     "detect_and_register",
     "substring_stream",
     "keyed_substring_stream",
+    "tiered_substring_stream",
 ]
 
 N_BUCKETS = 64
@@ -274,9 +275,12 @@ def _shard_group(
     docs of THIS batch carry it — the same df >= 2 rule as the batch
     operator.  The NULL key collects the zero-gram docs (explode_outer
     sentinel): they pass through with is_dup = 0 and never touch
-    state."""
+    state.  A null int key reaches pandas as NaN, not None, so the
+    sentinel test must be pd.isna — `is None` would route empty docs
+    into the membership branch where the NaN gram hash silently casts
+    to int64-min and registers as a fake gram."""
     batch = pd.concat(list(pdfs), ignore_index=True)
-    if key[0] is None:
+    if pd.isna(key[0]):
         docs = batch.drop_duplicates("doc_id")
         yield pd.DataFrame(
             {
@@ -454,6 +458,296 @@ def keyed_substring_stream(
         stats.write.mode("overwrite").parquet(
             f"{stats_dir}/epoch={int(epoch_id)}"
         )
+        if on_batch is not None:
+            on_batch(epoch_id)
+
+    return (
+        flagged.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tiered variant: LSM-shaped state — bounded keyed state + parquet history
+# (r06; the fix for the keyed form's corpus-linear per-batch state bytes).
+#
+# The sharded keyed form above keeps the ENTIRE corpus membership inside
+# Spark's state store, so every batch round-trips O(corpus/n_shards ×
+# touched shards) bytes JVM→Arrow→Python — sub-linear CPU, linear I/O
+# (VERDICT r05 "what's wrong #3").  This variant splits membership the way
+# an LSM tree splits writes:
+#
+# - **History tier** (the gram-store parquet, bucket-partitioned): every
+#   gram registered by a COMMITTED epoch.  Loaded ONCE per stream session
+#   as a cached static DataFrame and probed with a JVM-side stream-static
+#   left join — whole-stage codegen, zero Python transfer.  The snapshot
+#   is pinned to epochs <= the checkpoint's last committed batch, so a
+#   crashed batch's registrations are invisible on replay (identical
+#   novel/dup decisions → exactly-once survives).
+# - **Delta tier** (keyed state, sharded as above): ONLY grams first seen
+#   during the CURRENT session.  Per-batch state bytes are therefore
+#   bounded by session ingest, not corpus size.  On the next session the
+#   snapshot has absorbed them (each batch registers its novel grams into
+#   the store, epoch-keyed idempotent), so state is purged WHOLESALE via
+#   a session marker: state rows written under an older marker are
+#   discarded on first touch — every gram they contain is provably in the
+#   new snapshot.
+#
+# Marker soundness: marker = last-committed-epoch + 1 at session start.  A
+# gram enters state at epoch e only when absent from the snapshot, and the
+# SAME batch registers it into store epoch e; once e commits, any later
+# session's snapshot (epochs <= C >= e) contains it — so stored-marker <
+# current-marker implies every state gram is snapshot-covered.  Replay of
+# the one possible uncommitted epoch E: state restores to its pre-E
+# version, the snapshot excludes E's store dir (E > C), and both attempts
+# compute identical flags and novel sets.
+#
+# The per-batch join against the cached snapshot is still corpus-linear
+# CPU (nothing answers arbitrary-hash membership without touching a
+# corpus-sized structure), but it stays JVM-side, columnar and codegen'd —
+# the measured store-scan/keyed gap (91 s vs 7 s, BASELINE.md) came from
+# parquet re-scan + shuffle join, both of which the cached snapshot
+# avoids.  scripts/substring_stream_probe.py --tiered records batch wall
+# AND state bytes at multiple corpus sizes.
+# ---------------------------------------------------------------------------
+
+_TIERED_OUT_SCHEMA = (
+    "doc_id long, n_windows long, n_grams long, is_dup int,"
+    " gk long, novel int"
+)
+_TIERED_STATE_SCHEMA = "marker long, grams binary"
+
+
+def _tiered_shard_group(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Per-shard flags for the tiered stream: dup iff in the history
+    snapshot (``in_hist``, joined JVM-side) OR in this session's keyed
+    delta state OR >= 2 docs of this batch.  Emits one row per distinct
+    (doc, gram) pair plus ``novel`` marking each gram's single
+    registration row.  State stores ONLY non-history grams and is purged
+    wholesale when the session marker advances (see section comment).
+    The NULL-key sentinel group (zero-gram docs) arrives with a NaN int
+    key — pd.isna, not `is None` (see _shard_group)."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if pd.isna(key[0]):
+        docs = batch.drop_duplicates("doc_id")
+        yield pd.DataFrame(
+            {
+                "doc_id": docs["doc_id"],
+                "n_windows": docs["n_windows"],
+                "n_grams": docs["n_grams"],
+                "is_dup": np.zeros(len(docs), dtype=np.int32),
+                # gk is consumed only through the novel==1 registration
+                # filter; novel is 0 here, so a plain 0 placeholder
+                # avoids the nullable-Int64 Arrow cast warning.
+                "gk": np.zeros(len(docs), dtype=np.int64),
+                "novel": np.zeros(len(docs), dtype=np.int32),
+            }
+        )
+        return
+    pairs = batch.drop_duplicates(["doc_id", "gk"])
+    gk = pairs["gk"].to_numpy(dtype=np.int64)
+    in_hist = pairs["in_hist"].to_numpy(dtype=np.int64) == 1
+    marker = int(batch["marker"].iloc[0])
+    purged = False
+    if state.exists:
+        st_marker, st_bytes = state.get
+        if int(st_marker) < marker:
+            # Previous-session state: every gram in it is in the current
+            # snapshot (registered by a committed epoch) — drop it all.
+            seen, purged = _EMPTY_I64, True
+        else:
+            seen = np.frombuffer(st_bytes, dtype=_STATE_DTYPE)
+    else:
+        seen = _EMPTY_I64
+    if seen.size:
+        pos = np.minimum(np.searchsorted(seen, gk), seen.size - 1)
+        in_state = seen[pos] == gk
+    else:
+        in_state = np.zeros(gk.size, dtype=bool)
+    in_batch = pairs.groupby("gk")["doc_id"].transform("size").to_numpy() >= 2
+    fresh = ~in_hist & ~in_state
+    merged = np.union1d(seen, gk[fresh])
+    if merged.size != seen.size or purged:
+        state.update(
+            (marker, merged.astype(_STATE_DTYPE, copy=False).tobytes())
+        )
+    # One registration row per fresh gram (first occurrence in shard
+    # order): shards partition the gk space, so this is globally unique.
+    first_occ = ~pd.Series(gk).duplicated().to_numpy()
+    yield pd.DataFrame(
+        {
+            "doc_id": pairs["doc_id"].to_numpy(),
+            "n_windows": pairs["n_windows"].to_numpy(),
+            "n_grams": pairs["n_grams"].to_numpy(),
+            "is_dup": (in_hist | in_state | in_batch).astype(np.int32),
+            "gk": gk,
+            "novel": (fresh & first_occ).astype(np.int32),
+        }
+    )
+
+
+def _last_committed_epoch(spark: SparkSession, checkpoint: str) -> int | None:
+    """The newest batch id with a commit-log entry, or None if nothing
+    ever committed (fresh or crashed-before-first-commit checkpoint)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    commits = jpath(f"{checkpoint}/commits")
+    fs = commits.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(commits):
+        return None
+    best = None
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        if name.isdigit():
+            best = int(name) if best is None else max(best, int(name))
+    return best
+
+
+def tiered_substring_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    gram_dir: str,
+    stats_dir: str,
+    checkpoint: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    on_batch=None,
+    n_shards: int = 2048,
+):
+    """Streaming substring-dedup stats with LSM-TIERED membership (see
+    section comment): committed history in a cached bucket-partitioned
+    parquet snapshot probed JVM-side, session-novel grams in bounded
+    keyed state, per-batch registration of novel grams into the store
+    (epoch-keyed idempotent).  Same output contract as the sibling
+    forms; a single batch over a whole corpus equals
+    ``dedup.ngram_dup_stats(min_docs=2)``."""
+    _shard_count_guard(spark, checkpoint, n_shards)
+    committed = _last_committed_epoch(spark, checkpoint)
+    store = read_store(spark, gram_dir)
+    snapshot = None
+    if store is not None:
+        if "epoch" not in store.columns:
+            raise ValueError(
+                "tiered_substring_stream: gram store was written flat"
+                " (direct batch-twin mode); the tiered stream registers"
+                " epoch-keyed — use a fresh store directory."
+            )
+        max_epoch = store.agg(F.max("epoch")).first()[0]
+        floor = -1 if committed is None else int(committed)
+        if max_epoch is not None and int(max_epoch) > floor + 1:
+            raise ValueError(
+                f"tiered_substring_stream: store has epoch {int(max_epoch)}"
+                f" but the checkpoint committed only through {floor} — the"
+                " checkpoint and store are from different streams (fresh/"
+                "deleted checkpoint against an existing store?).  Writing"
+                " would silently destroy accepted state; use a fresh store"
+                " or restore the matching checkpoint."
+            )
+        if committed is not None:
+            snapshot = (
+                store.filter(F.col("epoch") <= int(committed))
+                .select("gk")
+                .withColumn("in_hist", F.lit(1))
+                .persist()
+            )
+            snapshot.count()  # materialize once; every batch reuses it
+    marker = 0 if committed is None else int(committed) + 1
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
+    raw = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        word_shingles(text_col, n).alias("__grams"),
+        F.greatest(
+            F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_windows"),
+    ).withColumn("n_grams", F.size("__grams").cast("long"))
+    exploded = raw.select(
+        "doc_id",
+        "n_windows",
+        "n_grams",
+        F.explode_outer("__grams").alias("__g"),
+    ).select(
+        "doc_id",
+        "n_windows",
+        "n_grams",
+        # NULL sentinel discipline as in keyed_substring_stream
+        F.when(F.col("__g").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64("__g"))
+        .alias("gk"),
+    )
+    if snapshot is not None:
+        joined = exploded.join(snapshot, "gk", "left").withColumn(
+            "in_hist", F.coalesce(F.col("in_hist"), F.lit(0))
+        )
+    else:
+        joined = exploded.withColumn("in_hist", F.lit(0))
+    keyed = joined.withColumn(
+        "shard", F.pmod(F.col("gk"), F.lit(int(n_shards))).cast("int")
+    ).withColumn("marker", F.lit(int(marker)).cast("long"))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    flagged = keyed.groupBy("shard").applyInPandasWithState(
+        _tiered_shard_group,
+        outputStructType=_TIERED_OUT_SCHEMA,
+        stateStructType=_TIERED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # Two consumers (stats + registration): materialize once.
+        rows = batch_df.localCheckpoint(eager=True)
+        stats = (
+            rows.groupBy("doc_id")
+            .agg(
+                F.first("n_windows").alias("n_windows"),
+                F.first("n_grams").alias("n_grams"),
+                F.sum(
+                    F.when(F.col("n_grams") > 0, F.col("is_dup")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("n_dup_grams"),
+            )
+            .withColumn(
+                "dup_gram_ppm",
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.expr(
+                        "(n_dup_grams * CAST(1000000 AS BIGINT)) div n_grams"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            .select(
+                "doc_id", "n_windows", "n_grams", "n_dup_grams",
+                "dup_gram_ppm",
+            )
+        )
+        stats.write.mode("overwrite").parquet(
+            f"{stats_dir}/epoch={int(epoch_id)}"
+        )
+        novel = (
+            rows.filter(F.col("novel") == 1)
+            .select("gk")
+            .withColumn("bucket", F.pmod(F.col("gk"), F.lit(N_BUCKETS)))
+        )
+        write_store_partitioned(novel, gram_dir, "bucket", epoch_id)
         if on_batch is not None:
             on_batch(epoch_id)
 

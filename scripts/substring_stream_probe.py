@@ -9,6 +9,14 @@ crossover is measured, not asserted.
 
 Run: ``python scripts/substring_stream_probe.py [n_seed] [n_batch]``.
 Output: one JSON line.
+
+``--tiered`` (r06) probes the LSM-tiered form instead: the corpus is
+seeded in three cumulative sessions (n/3, 2n/3, n) and after each one a
+FRESH session processes an n_batch arrival — so the keyed delta state at
+measurement time holds exactly that batch's session-novel grams.  Records
+per-batch wall, state rows and state bytes at each corpus size: the
+boundedness claim (state ~ batch, not corpus) is the number the keyed
+form cannot produce (its state is the whole corpus membership).
 """
 
 from __future__ import annotations
@@ -31,9 +39,77 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.strea
 from scripts.semdedup_probe import boilerplate_docs  # noqa: E402
 
 
+def _state_op(query) -> dict:
+    """State-operator metrics of the last completed micro-batch."""
+    prog = query.lastProgress or {}
+    ops = prog.get("stateOperators") or []
+    return ops[0] if ops else {}
+
+
+def _tiered_main(n_seed: int, n_batch: int) -> None:
+    """Tiered-form probe: per-batch wall + state size at 3 corpus sizes."""
+    spark = get_spark(app_name="substring-stream-probe-tiered")
+    results: dict = {"form": "tiered", "n_seed": n_seed, "n_batch": n_batch}
+    sizes = [n_seed // 3, 2 * n_seed // 3, n_seed]
+    # Three DISTINCT probe batches (one per corpus size): a re-used batch
+    # would find its own grams already registered the second time.
+    all_docs = boilerplate_docs(spark, n_seed + 3 * n_batch).cache()
+    all_docs.count()
+    schema = "doc_id long, text string"
+
+    tmp = tempfile.mkdtemp(prefix="substr_probe_tiered_")
+    try:
+        src = f"{tmp}/src"
+        gram_d, s_d, ckpt = f"{tmp}/grams", f"{tmp}/stats", f"{tmp}/ckpt"
+        steps = []
+        prev = 0
+        for i, sz in enumerate(sizes):
+            all_docs.filter(
+                f"doc_id >= {prev} AND doc_id < {sz}"
+            ).write.mode("append").parquet(src)
+            prev = sz
+            q = SB.tiered_substring_stream(
+                spark, src, schema, gram_d, s_d, ckpt, n=8
+            )
+            q.awaitTermination()  # seed session for this increment
+            lo = n_seed + i * n_batch
+            all_docs.filter(
+                f"doc_id >= {lo} AND doc_id < {lo + n_batch}"
+            ).write.mode("append").parquet(src)
+            t0 = time.time()
+            q = SB.tiered_substring_stream(
+                spark, src, schema, gram_d, s_d, ckpt, n=8
+            )
+            q.awaitTermination()  # fresh session: state = batch-novel only
+            wall = round(time.time() - t0, 2)
+            op = _state_op(q)
+            steps.append(
+                {
+                    "corpus_docs": sz + i * n_batch,
+                    "store_grams": spark.read.parquet(gram_d).count(),
+                    "batch_sec": wall,
+                    "state_rows": op.get("numRowsTotal"),
+                    "state_bytes": op.get("memoryUsedBytes"),
+                }
+            )
+        results["steps"] = steps
+        flagged = (
+            spark.read.parquet(s_d).filter("n_dup_grams > 0").count()
+        )
+        results["flagged"] = flagged
+        results["expected_flagged"] = (n_seed + 3 * n_batch) // 10
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
-    n_seed = int(sys.argv[1]) if len(sys.argv) > 1 else 900_000
-    n_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_seed = int(args[0]) if len(args) > 0 else 900_000
+    n_batch = int(args[1]) if len(args) > 1 else 100_000
+    if "--tiered" in sys.argv[1:]:
+        _tiered_main(n_seed, n_batch)
+        return
     spark = get_spark(app_name="substring-stream-probe")
     results: dict = {"n_seed": n_seed, "n_batch": n_batch}
 
@@ -70,6 +146,9 @@ def main() -> None:
         )
         q.awaitTermination()
         results["keyed_batch_sec"] = round(time.time() - t0, 2)
+        op = _state_op(q)
+        results["keyed_state_rows"] = op.get("numRowsTotal")
+        results["keyed_state_bytes"] = op.get("memoryUsedBytes")
 
         # correctness cross-check: both forms flag the same planted docs
         sf = spark.read.parquet(s_d)

@@ -1116,3 +1116,167 @@ def test_keyed_substring_stream_kill_resume_exactly_once(spark, tmp_path):
     # and later epochs see the state including the replayed epoch
     assert by_doc[20]["n_dup_grams"] == 1
     assert by_doc[30]["n_dup_grams"] == 1
+
+
+class TestTieredSubstring:
+    """The LSM-tiered stream (streaming/substring.tiered_substring_stream):
+    committed parquet history probed JVM-side + session-bounded keyed
+    delta state."""
+
+    def test_single_batch_equals_batch_operator(self, spark, sf_dir, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            dedup as D,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        src = str(tmp_path / "src")
+        docs.select("doc_id", "text").write.parquet(src)
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+        q = SB.tiered_substring_stream(
+            spark, src, "doc_id long, text string", gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        got = sorted(
+            map(tuple, spark.read.parquet(stats_d).drop("epoch").collect())
+        )
+        want = sorted(map(tuple, D.ngram_dup_stats(docs, n=8).collect()))
+        assert got == want
+
+    def test_cross_session_flags_via_history_and_state_purge(
+        self, spark, tmp_path
+    ):
+        """Session 2 flags a session-1 gram via the HISTORY snapshot (the
+        keyed state from session 1 was purged by the marker advance), and
+        the gram store stays one-row-per-distinct-gram."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "one two three four five six seven eight"
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+
+        spark.createDataFrame(
+            [(1, f"{span} tail-a"), (2, "short")], schema
+        ).write.mode("append").parquet(src)
+        q = SB.tiered_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+
+        spark.createDataFrame(
+            [(3, f"prefix {span} suffix"), (4, "also tiny")], schema
+        ).write.mode("append").parquet(src)
+        q = SB.tiered_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+
+        got = {r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()}
+        assert set(got) == {1, 2, 3, 4}
+        assert got[1]["n_dup_grams"] == 0
+        assert got[3]["n_dup_grams"] == 1  # via history snapshot
+        assert got[2]["n_grams"] == 0 and got[2]["n_dup_grams"] == 0
+        assert got[4]["dup_gram_ppm"] == 0
+        # store distinctness under cross-session registration
+        grams = spark.read.parquet(gram_d).select("gk").collect()
+        assert len(grams) == len({r["gk"] for r in grams})
+
+    def test_kill_resume_exactly_once(self, spark, tmp_path):
+        """Crash after a batch's stats+store writes but before its commit:
+        replay sees the pre-batch state AND a snapshot that excludes the
+        crashed epoch's registrations, so flags and the store's content
+        come out exactly-once."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "alpha beta gamma delta epsilon zeta eta theta"
+        for rows in [
+            [(10, f"{span} one")],
+            [(20, f"prefix {span} suffix")],
+            [(30, f"{span} once more")],
+        ]:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+
+        def crash_on_1(epoch_id: int) -> None:
+            if epoch_id == 1:
+                raise RuntimeError("injected crash after epoch-1 writes")
+
+        q = SB.tiered_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt,
+            n=8, max_files_per_trigger=1, on_batch=crash_on_1,
+        )
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination()
+
+        q = SB.tiered_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt,
+            n=8, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        by_doc = {}
+        for r in spark.read.parquet(stats_d).collect():
+            assert r["doc_id"] not in by_doc, f"doc {r['doc_id']} duplicated"
+            by_doc[r["doc_id"]] = r
+        assert set(by_doc) == {10, 20, 30}
+        assert by_doc[10]["n_dup_grams"] == 0
+        assert by_doc[20]["n_dup_grams"] == 1
+        assert by_doc[30]["n_dup_grams"] == 1
+        # store stayed distinct through the replayed registration
+        grams = spark.read.parquet(gram_d).select("gk").collect()
+        assert len(grams) == len({r["gk"] for r in grams})
+
+    def test_state_rows_bounded_by_session_not_corpus(self, spark, tmp_path):
+        """The boundedness claim itself: a second session re-processing
+        only NEW docs whose grams are all in history keeps ZERO rows in
+        keyed state (all membership answered by the snapshot)."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "red orange yellow green blue indigo violet ultraviolet"
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+
+        spark.createDataFrame([(1, span)], schema).write.mode(
+            "append"
+        ).parquet(src)
+        q = SB.tiered_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        p1 = q.lastProgress["stateOperators"][0]
+        assert p1["numRowsTotal"] >= 1  # session 1 holds its novel gram
+
+        # session 2: same span in a new doc — history answers, state purged
+        spark.createDataFrame([(2, span)], schema).write.mode(
+            "append"
+        ).parquet(src)
+        q = SB.tiered_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        got = {r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()}
+        assert got[2]["n_dup_grams"] == 1
+        p2 = q.lastProgress["stateOperators"][0]
+        # the purge dropped session 1's row and nothing fresh was added
+        assert p2["numRowsUpdated"] >= 1  # the purge rewrite itself
+        assert p2["numRowsTotal"] <= p1["numRowsTotal"]
