@@ -835,6 +835,203 @@ def _parse_encoding(fbody: bytes, objects: dict[int, bytes]) -> dict[int, str] |
     return enc or None
 
 
+# ---------------------------------------------------------------------------
+# Embedded TrueType ``cmap`` fallback for Type0 fonts WITHOUT /ToUnicode
+# (PDF 32000-1 §9.7.4.2 + §9.10.2; OpenType spec, `cmap` table).  Some
+# writers omit the ToUnicode CMap; the reference's extractor (PDFBox, via
+# BlobUploadDetector/.../Function.java:94) still recovers text by
+# consulting the embedded font program: /Identity-H makes code == CID,
+# /CIDToGIDMap (default Identity) makes CID -> glyph id, and INVERTING the
+# font's unicode cmap subtable (glyph id -> unicode) completes
+# code -> text.  Formats 4 (segmented), 12 (grouped), 6 (trimmed) and 0
+# (byte table) cover effectively all unicode subtables in the wild.
+# ---------------------------------------------------------------------------
+
+
+def _u16(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o : o + 2], "big")
+
+
+def _u32(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o : o + 4], "big")
+
+
+_SFNT_MAX_CHARS = 1 << 17  # malformed-table blowup guard
+
+
+def _parse_cmap_subtable(sub: bytes) -> dict[int, int]:
+    """unicode -> glyph id from one cmap subtable (format 0/4/6/12);
+    malformed tables yield whatever prefix parses — extraction is
+    best-effort by contract."""
+    out: dict[int, int] = {}
+    if len(sub) < 4:
+        return out
+    fmt = _u16(sub, 0)
+    try:
+        if fmt == 0:
+            for code, gid in enumerate(sub[6 : 6 + 256]):
+                if gid:
+                    out[code] = gid
+        elif fmt == 4:
+            segx2 = _u16(sub, 6)
+            seg = segx2 // 2
+            ends = [_u16(sub, 14 + 2 * i) for i in range(seg)]
+            starts = [_u16(sub, 16 + segx2 + 2 * i) for i in range(seg)]
+            deltas = [_u16(sub, 16 + 2 * segx2 + 2 * i) for i in range(seg)]
+            ro_base = 16 + 3 * segx2
+            for i in range(seg):
+                s, e = starts[i], ends[i]
+                if s == 0xFFFF:
+                    continue
+                ro = _u16(sub, ro_base + 2 * i)
+                for c in range(s, min(e, 0xFFFE) + 1):
+                    if ro == 0:
+                        gid = (c + deltas[i]) & 0xFFFF
+                    else:
+                        at = ro_base + 2 * i + ro + 2 * (c - s)
+                        if at + 2 > len(sub):
+                            break
+                        gid = _u16(sub, at)
+                        if gid:
+                            gid = (gid + deltas[i]) & 0xFFFF
+                    if gid:
+                        out[c] = gid
+                    if len(out) >= _SFNT_MAX_CHARS:
+                        return out
+        elif fmt == 6:
+            first, count = _u16(sub, 6), _u16(sub, 8)
+            for i in range(min(count, _SFNT_MAX_CHARS)):
+                gid = _u16(sub, 10 + 2 * i)
+                if gid:
+                    out[first + i] = gid
+        elif fmt == 12:
+            ngroups = _u32(sub, 12)
+            for g in range(ngroups):
+                o = 16 + 12 * g
+                if o + 12 > len(sub):
+                    break
+                sc, ec, sg = _u32(sub, o), _u32(sub, o + 4), _u32(sub, o + 8)
+                for k in range(min(ec - sc + 1, _SFNT_MAX_CHARS)):
+                    out[sc + k] = sg + k
+                    if len(out) >= _SFNT_MAX_CHARS:
+                        return out
+    except (IndexError, ValueError):
+        pass
+    return out
+
+
+def _sfnt_unicode_cmap(data: bytes) -> dict[int, int] | None:
+    """unicode -> glyph id from an sfnt font program (TrueType, or
+    OpenType/CFF — the ``cmap`` table is format-identical), preferring the
+    full-repertoire subtables: (3,10)/(0,4+) format 12 over the BMP
+    (3,1)/(0,<=3) format 4."""
+    if len(data) < 12 or data[:4] not in (
+        b"\x00\x01\x00\x00",
+        b"OTTO",
+        b"true",
+    ):
+        return None
+    ntab = _u16(data, 4)
+    cmap_off = None
+    for i in range(ntab):
+        rec = 12 + 16 * i
+        if rec + 16 > len(data):
+            return None
+        if data[rec : rec + 4] == b"cmap":
+            cmap_off = _u32(data, rec + 8)
+            break
+    if cmap_off is None or cmap_off + 4 > len(data):
+        return None
+    tab = data[cmap_off:]
+    n_sub = _u16(tab, 2)
+    best, best_rank = None, -1
+    for i in range(n_sub):
+        o = 4 + 8 * i
+        if o + 8 > len(tab):
+            break
+        plat, enc, off = _u16(tab, o), _u16(tab, o + 2), _u32(tab, o + 4)
+        rank = {
+            (3, 10): 5,
+            (0, 6): 5,
+            (0, 4): 5,
+            (3, 1): 4,
+            (0, 3): 3,
+            (0, 2): 2,
+            (0, 1): 2,
+            (0, 0): 2,
+        }.get((plat, enc), -1)
+        if rank > best_rank and off < len(tab):
+            best, best_rank = off, rank
+    if best is None:
+        return None
+    mapped = _parse_cmap_subtable(tab[best:])
+    return mapped or None
+
+
+def _cid_to_gid_stream(desc: bytes, objects: dict[int, bytes]) -> bytes | None:
+    """The /CIDToGIDMap stream payload (2 big-endian bytes per CID), or
+    None for the default /Identity (or an unreadable stream)."""
+    m = re.search(rb"/CIDToGIDMap\s+(\d+)\s+\d+\s+R", desc)
+    if not m:
+        return None
+    return _stream_of(objects.get(int(m.group(1)), b""))
+
+
+def _type0_embedded_cmap(
+    fbody: bytes, objects: dict[int, bytes]
+) -> dict[int, str] | None:
+    """code -> unicode for a Type0 font without /ToUnicode, recovered from
+    the descendant's embedded font program (see section comment).  Returns
+    None when there is no parseable embedded font — the caller falls back
+    to per-code identity exactly as before."""
+    desc = _dict_value(fbody, b"DescendantFonts", objects)
+    if desc is None:
+        m = re.search(
+            rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", fbody
+        )
+        if not m:
+            return None
+        desc = objects.get(int(m.group(1)))
+    else:
+        m = re.search(rb"^\s*\[?\s*(\d+)\s+\d+\s+R", desc)
+        if m and b"/Type" not in desc[: m.end()]:
+            desc = objects.get(int(m.group(1)), desc)
+    if not desc:
+        return None
+    fd = _dict_value(desc, b"FontDescriptor", objects)
+    if not fd:
+        return None
+    prog = None
+    for key in (b"FontFile2", b"FontFile3"):
+        fm = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", fd)
+        if fm:
+            prog = _stream_of(objects.get(int(fm.group(1)), b""))
+            if prog:
+                break
+    if not prog:
+        return None
+    uni2gid = _sfnt_unicode_cmap(prog)
+    if not uni2gid:
+        return None
+    # Invert deterministically: when several unicodes share a glyph the
+    # LOWEST code point wins (ligature/variant glyphs resolve to the
+    # canonical character).
+    gid2uni: dict[int, str] = {}
+    for uni in sorted(uni2gid):
+        gid = uni2gid[uni]
+        if gid not in gid2uni:
+            gid2uni[gid] = chr(uni)
+    c2g = _cid_to_gid_stream(desc, objects)
+    if c2g is None:
+        return gid2uni
+    out: dict[int, str] = {}
+    for cid in range(len(c2g) // 2):
+        v = gid2uni.get(_u16(c2g, 2 * cid))
+        if v is not None:
+            out[cid] = v
+    return out or None
+
+
 def _page_fonts(
     page_body: bytes, objects: dict[int, bytes]
 ) -> dict[str, _Font]:
@@ -863,6 +1060,12 @@ def _page_fonts(
             data = _stream_of(objects.get(int(tu.group(1)), b""))
             if data:
                 cmap = _parse_tounicode(data)
+        if two_byte and cmap is None:
+            # No ToUnicode: recover code->text from the embedded font
+            # program's unicode cmap (simple fonts keep their /Encoding +
+            # latin-1 fallback — for them the byte code already IS the
+            # standard-encoding character in every non-symbolic layout).
+            cmap = _type0_embedded_cmap(fbody, objects)
         enc = None if two_byte else _parse_encoding(fbody, objects)
         fonts[name] = _Font(two_byte, cmap, enc)
     return fonts
@@ -1417,6 +1620,156 @@ def make_pdf_cid(pages: list[list[str]] | list[str]) -> bytes:
                 ops += b"0 -14 Td\n"
             hexcids = b"".join(b"%04X" % cid_of[ch] for ch in line)
             ops += b"<" + hexcids + b"> Tj\n"
+        ops += b"ET"
+        data = zlib.compress(bytes(ops))
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+def _sfnt_with_cmap4(uni2gid: dict[int, int]) -> bytes:
+    """A minimal TrueType font program whose only table is a ``cmap``
+    with one (3,1) format-4 subtable mapping each unicode to its glyph
+    id.  Structurally a valid sfnt (offset table + table record + table);
+    glyph outlines are irrelevant to text extraction so none are
+    embedded — this is the fixture twin of _sfnt_unicode_cmap, the way
+    make_pdf_encrypted is the twin of _parse_encryption."""
+    # Segments: maximal runs where both unicode and gid advance by 1.
+    unis = sorted(uni2gid)
+    segs: list[tuple[int, int, int]] = []  # (startUni, endUni, startGid)
+    for u in unis:
+        g = uni2gid[u]
+        if segs and u == segs[-1][1] + 1 and g == uni2gid[segs[-1][1]] + 1:
+            segs[-1] = (segs[-1][0], u, segs[-1][2])
+        else:
+            segs.append((u, u, g))
+    segs.append((0xFFFF, 0xFFFF, 0))  # required terminal segment
+    seg_count = len(segs)
+    import math as _math
+
+    sel = max(0, int(_math.log2(seg_count)))
+    search_range = 2 ** (sel + 1)
+    sub = bytearray()
+    sub += (4).to_bytes(2, "big")
+    sub += (16 + 8 * seg_count).to_bytes(2, "big")  # length
+    sub += (0).to_bytes(2, "big")  # language
+    sub += (seg_count * 2).to_bytes(2, "big")
+    sub += search_range.to_bytes(2, "big")
+    sub += sel.to_bytes(2, "big")
+    sub += (seg_count * 2 - search_range).to_bytes(2, "big", signed=True)
+    for _s, e, _g in segs:
+        sub += e.to_bytes(2, "big")
+    sub += b"\x00\x00"  # reservedPad
+    for s, _e, _g in segs:
+        sub += s.to_bytes(2, "big")
+    for s, _e, g in segs[:-1]:
+        sub += ((g - s) & 0xFFFF).to_bytes(2, "big")  # idDelta
+    sub += (1).to_bytes(2, "big")  # terminal segment delta
+    sub += b"\x00\x00" * seg_count  # idRangeOffset: all 0 (delta form)
+
+    cmap = bytearray()
+    cmap += (0).to_bytes(2, "big")  # version
+    cmap += (1).to_bytes(2, "big")  # numTables
+    cmap += (3).to_bytes(2, "big") + (1).to_bytes(2, "big")  # (3,1)
+    cmap += (12).to_bytes(4, "big")  # subtable offset
+    cmap += sub
+
+    font = bytearray()
+    font += b"\x00\x01\x00\x00"  # sfnt version (TrueType)
+    font += (1).to_bytes(2, "big")  # numTables
+    font += (16).to_bytes(2, "big")  # searchRange
+    font += (0).to_bytes(2, "big")  # entrySelector
+    font += (0).to_bytes(2, "big")  # rangeShift
+    font += b"cmap"
+    font += (0).to_bytes(4, "big")  # checksum (unverified by readers)
+    font += (28).to_bytes(4, "big")  # offset: 12 + 16
+    font += len(cmap).to_bytes(4, "big")
+    font += cmap
+    return bytes(font)
+
+
+def make_pdf_type0_embedded(pages: list[list[str]] | list[str]) -> bytes:
+    """Write a Type0/Identity-H PDF with NO /ToUnicode CMap: the only
+    route back to text is the embedded TrueType's (3,1) cmap inside
+    /FontFile2 — the layout this module's _type0_embedded_cmap recovers
+    and PDFBox handles via its font machinery in the reference
+    (BlobUploadDetector/.../Function.java:94).  Glyph ids are assigned
+    sequentially starting at 3 (NOT code points), so an identity fallback
+    would produce garbage — round-tripping genuinely exercises the
+    embedded-cmap path."""
+    norm: list[list[str]] = [
+        p.split("\n") if isinstance(p, str) else list(p) for p in pages
+    ]
+    gid_of: dict[str, int] = {}
+    for lines in norm:
+        for line in lines:
+            for ch in line:
+                if ch not in gid_of:
+                    gid_of[ch] = len(gid_of) + 3
+    font_raw = _sfnt_with_cmap4({ord(ch): g for ch, g in gid_of.items()})
+    font_z = zlib.compress(font_raw)
+
+    n_pages = len(norm)
+    # 1 catalog, 2 pages, 3 Type0 font, 4 descendant, 5 descriptor,
+    # 6 FontFile2, 7.. page+content pairs.
+    kid_nums = [7 + 2 * i for i in range(n_pages)]
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /MiniSans "
+        b"/Encoding /Identity-H /DescendantFonts [4 0 R] >>"
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /MiniSans "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 1000 /CIDToGIDMap /Identity "
+        b"/FontDescriptor 5 0 R >>"
+    )
+    objs.append(
+        b"<< /Type /FontDescriptor /FontName /MiniSans /Flags 4 "
+        b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+        b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile2 6 0 R >>"
+    )
+    objs.append(
+        b"<< /Length %d /Filter /FlateDecode /Length1 %d >>\nstream\n"
+        % (len(font_z), len(font_raw))
+        + font_z
+        + b"\nendstream"
+    )
+    for i, lines in enumerate(norm):
+        content_num = kid_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % content_num
+        )
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                ops += b"0 -14 Td\n"
+            hexgids = b"".join(b"%04X" % gid_of[ch] for ch in line)
+            ops += b"<" + hexgids + b"> Tj\n"
         ops += b"ET"
         data = zlib.compress(bytes(ops))
         objs.append(

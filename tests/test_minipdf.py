@@ -434,3 +434,79 @@ def test_empty_password_files_still_open_with_any_password_arg():
         pdf = MP.make_pdf_encrypted(PAGES, scheme=scheme)
         assert MP.extract_text_pages(pdf) is not None, scheme
         assert MP.extract_text_pages(pdf, password=b"whatever") is not None, scheme
+
+
+# --- embedded-font glyph mapping (Type0 without /ToUnicode) ---------------
+
+
+def test_type0_embedded_cmap_roundtrip():
+    """A Type0/Identity-H PDF with NO /ToUnicode recovers its text from
+    the embedded TrueType's (3,1) cmap; glyph ids start at 3, so the
+    identity fallback would produce control characters, not this."""
+    pdf = MP.make_pdf_type0_embedded(PAGES)
+    assert b"/ToUnicode" not in pdf and b"/FontFile2" in pdf
+    got = MP.extract_text_pages(pdf)
+    assert got == ["alpha line one\nalpha line two", "beta solo"]
+
+
+def test_type0_embedded_cmap_non_latin():
+    """Multi-segment format-4 coverage: non-contiguous code points (ASCII
+    + accents + CJK) force several cmap segments."""
+    pages = [["mañana 中文 text", "déjà vu"]]
+    pdf = MP.make_pdf_type0_embedded(pages)
+    assert MP.extract_text_pages(pdf) == ["mañana 中文 text\ndéjà vu"]
+
+
+def test_sfnt_cmap_formats_parse():
+    """_parse_cmap_subtable handles formats 0, 6 and 12 alongside the
+    format-4 table the fixture emits."""
+    # format 6: firstCode=65, glyphs 10,11,12
+    sub6 = (
+        (6).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + (0).to_bytes(2, "big") + (65).to_bytes(2, "big")
+        + (3).to_bytes(2, "big")
+        + b"".join(g.to_bytes(2, "big") for g in (10, 11, 12))
+    )
+    assert MP._parse_cmap_subtable(sub6) == {65: 10, 66: 11, 67: 12}
+    # format 0: byte table
+    table = bytearray(256)
+    table[65] = 7
+    sub0 = (0).to_bytes(2, "big") + (262).to_bytes(2, "big") \
+        + (0).to_bytes(2, "big") + bytes(table)
+    assert MP._parse_cmap_subtable(sub0) == {65: 7}
+    # format 12: one group, U+1F600..U+1F602 -> 40..42
+    sub12 = (
+        (12).to_bytes(2, "big") + (0).to_bytes(2, "big")
+        + (28).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + (1).to_bytes(4, "big")
+        + (0x1F600).to_bytes(4, "big") + (0x1F602).to_bytes(4, "big")
+        + (40).to_bytes(4, "big")
+    )
+    assert MP._parse_cmap_subtable(sub12) == {
+        0x1F600: 40, 0x1F601: 41, 0x1F602: 42
+    }
+
+
+def test_type0_embedded_corrupt_font_falls_back():
+    """A truncated/garbage font program must not crash — decoding falls
+    back to per-code identity exactly as before this feature."""
+    pdf = MP.make_pdf_type0_embedded([["hi"]])
+    import re as _re
+    import zlib as _z
+
+    # replace the FontFile2 stream payload with garbage of equal length
+    m = _re.search(rb"/Length1 \d+ >>\nstream\n(.*?)\nendstream", pdf, _re.S)
+    assert m
+    garbage = _z.compress(b"\x00\x01" * 8)
+    bad = pdf[: m.start(1)] + garbage + pdf[m.end(1) :]
+    bad = bad.replace(
+        b"/Length %d " % len(m.group(1)), b"/Length %d " % len(garbage), 1
+    )
+    got = MP.extract_text_pages(bad)
+    assert got is not None  # parsed, fallback decoding
+    # ToUnicode stays authoritative when both are present
+    good = MP.make_pdf_cid(PAGES)
+    assert MP.extract_text_pages(good) == [
+        "alpha line one\nalpha line two",
+        "beta solo",
+    ]
