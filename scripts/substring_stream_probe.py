@@ -103,12 +103,88 @@ def _tiered_main(n_seed: int, n_batch: int) -> None:
     print(json.dumps(results))
 
 
+def _count_files(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def _compaction_main(n_seed: int, n_batch: int, n_epochs: int = 16) -> None:
+    """Store-scan form: arrival-batch cost before/after compact_store.
+
+    Seeds the gram store across ``n_epochs`` micro-batches (one source
+    file each -> one epoch dir each, 64 bucket files per epoch — the
+    long-running-stream shape), measures one n_batch arrival, compacts
+    (fold + sort by gk), measures a second equal arrival.  Records the
+    file-count and batch-wall deltas — the compaction lever's value,
+    measured instead of assumed (VERDICT r04 #5 / r05 #7)."""
+    spark = get_spark(app_name="substring-stream-probe-compaction")
+    results: dict = {
+        "form": "store_compaction",
+        "n_seed": n_seed,
+        "n_batch": n_batch,
+        "n_epochs": n_epochs,
+    }
+    all_docs = boilerplate_docs(spark, n_seed + 2 * n_batch).cache()
+    all_docs.count()
+    schema = "doc_id long, text string"
+    tmp = tempfile.mkdtemp(prefix="substr_probe_compact_")
+    try:
+        src = f"{tmp}/src"
+        gram_d, s_d, ckpt = f"{tmp}/grams", f"{tmp}/stats", f"{tmp}/ckpt"
+        per = n_seed // n_epochs
+        for i in range(n_epochs):
+            all_docs.filter(
+                f"doc_id >= {i * per} AND doc_id < {(i + 1) * per}"
+            ).coalesce(1).write.mode("append").parquet(src)
+        q = SB.substring_stream(
+            spark, src, schema, gram_d, s_d, ckpt,
+            n=8, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        results["files_before"] = _count_files(gram_d)
+
+        def arrival(lo: int) -> float:
+            all_docs.filter(
+                f"doc_id >= {lo} AND doc_id < {lo + n_batch}"
+            ).write.mode("append").parquet(src)
+            t0 = time.time()
+            qq = SB.substring_stream(
+                spark, src, schema, gram_d, s_d, ckpt, n=8
+            )
+            qq.awaitTermination()
+            return round(time.time() - t0, 2)
+
+        results["batch_sec_before"] = arrival(n_seed)
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (  # noqa: E501
+            stores,
+        )
+
+        t0 = time.time()
+        results["compact"] = stores.compact_store(
+            spark, gram_d, "bucket", sort_cols=["gk"]
+        )
+        results["compact_sec"] = round(time.time() - t0, 2)
+        results["files_after"] = _count_files(gram_d)
+        results["batch_sec_after"] = arrival(n_seed + n_batch)
+        flagged = spark.read.parquet(s_d).filter("n_dup_grams > 0").count()
+        results["flagged"] = flagged
+        results["expected_flagged"] = (n_seed + 2 * n_batch) // 10
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_seed = int(args[0]) if len(args) > 0 else 900_000
     n_batch = int(args[1]) if len(args) > 1 else 100_000
     if "--tiered" in sys.argv[1:]:
         _tiered_main(n_seed, n_batch)
+        return
+    if "--compaction" in sys.argv[1:]:
+        _compaction_main(n_seed, n_batch)
         return
     spark = get_spark(app_name="substring-stream-probe")
     results: dict = {"n_seed": n_seed, "n_batch": n_batch}
