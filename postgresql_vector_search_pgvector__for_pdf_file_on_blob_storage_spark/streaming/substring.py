@@ -651,10 +651,23 @@ def tiered_substring_stream(
                 " or restore the matching checkpoint."
             )
         if committed is not None:
+            # Persist the snapshot PRE-SHUFFLED and PRE-SORTED on the join
+            # key: the cached InMemoryRelation then reports
+            # HashPartitioning(gk, shuffle.partitions) + per-partition gk
+            # order, so each micro-batch's stream-static sort-merge join
+            # exchanges and sorts ONLY the batch side — the corpus-sized
+            # side is a memory-speed merge scan, no per-batch shuffle.
+            # (Micro-batch plans don't run AQE, so the partition-count
+            # match is stable across batches.)
+            n_part = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
             snapshot = (
                 store.filter(F.col("epoch") <= int(committed))
                 .select("gk")
                 .withColumn("in_hist", F.lit(1))
+                .repartition(n_part, "gk")
+                .sortWithinPartitions("gk")
                 .persist()
             )
             snapshot.count()  # materialize once; every batch reuses it
