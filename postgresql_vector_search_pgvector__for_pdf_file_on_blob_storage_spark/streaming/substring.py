@@ -27,14 +27,18 @@ probe and each batch pays a full distinct-gram-store scan — linear in
 corpus-wide distinct grams (~22.6/doc measured, BASELINE.md).  The
 maintenance lever is ``stores.compact_store`` (run between stream
 sessions): folds the per-epoch small files into one sorted file per
-bucket, which removes the accumulated file-open overhead and gives the
-scan row-group min/max stats.  For genuinely SUB-LINEAR probing use
-:func:`keyed_substring_stream` below (r04, sharded r05): Spark's
-checkpointed state store keyed on a shard of the gram-hash space —
-O(batch·log corpus) probes over per-shard sorted membership arrays,
-replay idempotence from state versioning — at the cost of the membership
-structure living inside the checkpoint instead of a queryable parquet
-table.
+bucket.  Measured (r06 probe, BASELINE.md): 16 seed epochs over 900k
+docs leave 12,800 files; compaction folds them in 17.6 s and cuts the
+next 100k arrival batch 24.0 -> 15.8 s (-34%).  The win is file-open
+amortization + encoding, NOT row-group pruning — the probe key is a
+uniform 64-bit hash, so every row group holds candidates for a large
+batch and min/max or Bloom stats cannot prune.  For genuinely
+SUB-LINEAR per-batch state movement use :func:`keyed_substring_stream`
+below (r04, sharded r05 — O(batch·log corpus) probes, but per-batch
+Arrow state transfer linear in corpus: 209 MB at 1M docs) or the
+:func:`tiered_substring_stream` (r06 — bounded state, measured flat
+44.8 MB across corpus sizes, history probed via a cached pre-shuffled
+snapshot join).
 """
 
 from __future__ import annotations
@@ -250,6 +254,10 @@ def substring_stream(
 # shard is touched, so the byte volume is linear in corpus like the
 # store scan, but at ~8 bytes/gram memcpy speed instead of a
 # parquet-scan + shuffle-join, and the probe CPU is O(batch·log corpus).
+# Measured at the 900k/100k probe (r06, BASELINE.md): 10.3 s/batch with
+# 209 MB of state crossing the Arrow boundary every batch — the linear
+# byte volume is this form's scale ceiling; tiered_substring_stream
+# below bounds it by session ingest instead of corpus.
 # n_shards is fixed per checkpoint (guard below): changing it would
 # re-route grams to shards whose state they were never written to.
 # ---------------------------------------------------------------------------
