@@ -1060,11 +1060,16 @@ def _page_fonts(
             data = _stream_of(objects.get(int(tu.group(1)), b""))
             if data:
                 cmap = _parse_tounicode(data)
-        if two_byte and cmap is None:
-            # No ToUnicode: recover code->text from the embedded font
-            # program's unicode cmap (simple fonts keep their /Encoding +
-            # latin-1 fallback — for them the byte code already IS the
-            # standard-encoding character in every non-symbolic layout).
+        if two_byte and not cmap:
+            # No ToUnicode — or one that parsed to NOTHING (truncated/
+            # malformed CMap stream): recover code->text from the
+            # embedded font program's unicode cmap.  An empty dict holds
+            # zero authoritative mappings, so falling through loses
+            # nothing (per-code empty-string entries, the authoritative
+            # "emit nothing" sentinel, make the dict truthy and are NOT
+            # overridden).  Simple fonts keep their /Encoding + latin-1
+            # fallback — for them the byte code already IS the
+            # standard-encoding character in every non-symbolic layout.
             cmap = _type0_embedded_cmap(fbody, objects)
         enc = None if two_byte else _parse_encoding(fbody, objects)
         fonts[name] = _Font(two_byte, cmap, enc)
@@ -1721,6 +1726,17 @@ def make_pdf_type0_embedded(pages: list[list[str]] | list[str]) -> bytes:
     for lines in norm:
         for line in lines:
             for ch in line:
+                if ord(ch) >= 0xFFFF:
+                    # >=: U+FFFF itself is format 4's terminal-segment
+                    # sentinel — parsers (ours at _parse_cmap_subtable,
+                    # and real ones) skip a segment starting there, so it
+                    # cannot round-trip either.
+                    raise ValueError(
+                        "make_pdf_type0_embedded: non-BMP character"
+                        f" {ch!r} — the format-4 cmap this fixture emits"
+                        " is uint16-coded; use make_pdf_cid (ToUnicode"
+                        " handles surrogate pairs) for such text"
+                    )
                 if ch not in gid_of:
                     gid_of[ch] = len(gid_of) + 3
     font_raw = _sfnt_with_cmap4({ord(ch): g for ch, g in gid_of.items()})

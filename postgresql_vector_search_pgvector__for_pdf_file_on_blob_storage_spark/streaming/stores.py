@@ -79,8 +79,9 @@ def prepare_store(
 
 def write_store_partitioned(
     df: DataFrame, path: str, partition_col: str, epoch_id: int | None
-) -> None:
+) -> bool:
     """Store-registration write shared by the streaming dedup modules.
+    Returns True iff rows were written.
 
     Skips the write entirely when the frame is EMPTY: a partitioned write
     of zero rows produces a directory with no parquet files (only
@@ -90,10 +91,11 @@ def write_store_partitioned(
     Skipping keeps the store genuinely absent until something registers.
     """
     if df.limit(1).count() == 0:
-        return
+        return False
     target = path if epoch_id is None else f"{path}/epoch={int(epoch_id)}"
     mode = "append" if epoch_id is None else "overwrite"
     df.write.partitionBy(partition_col).mode(mode).parquet(target)
+    return True
 
 
 def compact_store(

@@ -325,8 +325,93 @@ def _shard_group(
     )
 
 
+def _sharded_gram_source(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_files_per_trigger: int | None,
+    n_shards: int,
+) -> DataFrame:
+    """Streaming ``(doc_id, n_windows, n_grams, gk, shard)`` frame shared
+    by the keyed and tiered forms: shingle once, explode with a real-NULL
+    sentinel for zero-gram docs — xxhash64(NULL) is a CONSTANT, not NULL,
+    so hashing the sentinel would collide every empty doc into one
+    legitimate-looking gram key.  pmod(NULL) stays NULL, so sentinel docs
+    keep their own NULL-key group and never enter a membership shard."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
+    raw = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        word_shingles(text_col, n).alias("__grams"),
+        F.greatest(
+            F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_windows"),
+    ).withColumn("n_grams", F.size("__grams").cast("long"))
+    return (
+        raw.select(
+            "doc_id",
+            "n_windows",
+            "n_grams",
+            F.explode_outer("__grams").alias("__g"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_grams",
+            F.when(F.col("__g").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.xxhash64("__g"))
+            .alias("gk"),
+        )
+        .withColumn(
+            "shard", F.pmod(F.col("gk"), F.lit(int(n_shards))).cast("int")
+        )
+    )
+
+
+def _per_doc_stats(rows: DataFrame) -> DataFrame:
+    """Fold per-(doc, gram) flag rows to the batch operator's exact
+    per-doc stats contract (shared by the keyed and tiered sinks).  The
+    NULL-key sentinel contributes its single is_dup=0 row; real docs sum
+    one flag per distinct gram."""
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.first("n_windows").alias("n_windows"),
+            F.first("n_grams").alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_grams") > 0, F.col("is_dup")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_gram_ppm",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr(
+                    "(n_dup_grams * CAST(1000000 AS BIGINT)) div n_grams"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(
+            "doc_id", "n_windows", "n_grams", "n_dup_grams", "dup_gram_ppm"
+        )
+    )
+
+
 def _shard_count_guard(
-    spark: SparkSession, checkpoint: str, n_shards: int
+    spark: SparkSession, checkpoint: str, n_shards: int, what: str
 ) -> None:
     """Pin ``n_shards`` to the checkpoint: grams are routed to shards by
     ``pmod(gk, n_shards)``, so resuming with a different value would
@@ -351,7 +436,7 @@ def _shard_count_guard(
         found = [s.getPath().getName() for s in existing]
         if f"_n_shards={int(n_shards)}" not in found:
             raise ValueError(
-                f"keyed_substring_stream: checkpoint {checkpoint} was"
+                f"{what}: checkpoint {checkpoint} was"
                 f" created with {found[0]} but this session asked for"
                 f" n_shards={n_shards}; shard routing is part of the"
                 " state layout and cannot change on resume"
@@ -382,40 +467,10 @@ def keyed_substring_stream(
     over a whole corpus equals ``dedup.ngram_dup_stats(min_docs=2)``
     (pinned by test).  ``n_shards`` is pinned to the checkpoint on first
     start and enforced on resume."""
-    _shard_count_guard(spark, checkpoint, n_shards)
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    docs = reader.parquet(input_dir)
-    raw = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        word_shingles(text_col, n).alias("__grams"),
-        F.greatest(
-            F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_windows"),
-    ).withColumn("n_grams", F.size("__grams").cast("long"))
-    exploded = raw.select(
-        "doc_id",
-        "n_windows",
-        "n_grams",
-        F.explode_outer("__grams").alias("__g"),
-    ).select(
-        "doc_id",
-        "n_windows",
-        "n_grams",
-        # xxhash64(NULL) is a CONSTANT, not NULL — it would collide every
-        # zero-gram sentinel into one legitimate-looking gram key, so the
-        # sentinel must stay a real NULL.
-        F.when(F.col("__g").isNull(), F.lit(None).cast("long"))
-        .otherwise(F.xxhash64("__g"))
-        .alias("gk"),
-    ).withColumn(
-        # pmod(NULL) stays NULL, so zero-gram sentinel docs keep their
-        # own NULL-key group and never enter a membership shard
-        "shard",
-        F.pmod(F.col("gk"), F.lit(int(n_shards))).cast("int"),
+    _shard_count_guard(spark, checkpoint, n_shards, "keyed_substring_stream")
+    exploded = _sharded_gram_source(
+        spark, input_dir, schema, n, text_col, id_col,
+        max_files_per_trigger, n_shards,
     )
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -428,42 +483,7 @@ def keyed_substring_stream(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        stats = (
-            batch_df.groupBy("doc_id")
-            .agg(
-                F.first("n_windows").alias("n_windows"),
-                F.first("n_grams").alias("n_grams"),
-                # the NULL-key sentinel contributes its single is_dup=0
-                # row; real docs sum one flag per distinct gram
-                F.sum(
-                    F.when(F.col("n_grams") > 0, F.col("is_dup")).otherwise(
-                        F.lit(0)
-                    )
-                )
-                .cast("long")
-                .alias("n_dup_grams"),
-            )
-            .withColumn(
-                "dup_gram_ppm",
-                F.when(
-                    F.col("n_grams") > 0,
-                    F.expr(
-                        "(n_dup_grams * CAST(1000000 AS BIGINT)) div n_grams"
-                    ),
-                )
-                .otherwise(F.lit(0))
-                .cast("long"),
-            )
-            .withColumnRenamed("doc_id", "__id")
-            .select(
-                F.col("__id").alias("doc_id"),
-                "n_windows",
-                "n_grams",
-                "n_dup_grams",
-                "dup_gram_ppm",
-            )
-        )
-        stats.write.mode("overwrite").parquet(
+        _per_doc_stats(batch_df).write.mode("overwrite").parquet(
             f"{stats_dir}/epoch={int(epoch_id)}"
         )
         if on_batch is not None:
@@ -598,21 +618,49 @@ def _tiered_shard_group(
     )
 
 
-def _last_committed_epoch(spark: SparkSession, checkpoint: str) -> int | None:
-    """The newest batch id with a commit-log entry, or None if nothing
-    ever committed (fresh or crashed-before-first-commit checkpoint)."""
+def _newest_log_entry(
+    spark: SparkSession, checkpoint: str, subdir: str
+) -> int | None:
+    """The newest numeric entry of a checkpoint log dir (``commits`` =
+    last committed batch; ``offsets`` = last STARTED batch), or None if
+    the dir is absent/empty."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path
-    commits = jpath(f"{checkpoint}/commits")
-    fs = commits.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(commits):
+    d = jpath(f"{checkpoint}/{subdir}")
+    fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(d):
         return None
     best = None
-    for st in fs.listStatus(commits):
+    for st in fs.listStatus(d):
         name = st.getPath().getName()
         if name.isdigit():
             best = int(name) if best is None else max(best, int(name))
     return best
+
+
+_STORE_MARKER = "_store_registered"
+
+
+def _mark_store_written(spark: SparkSession, checkpoint: str) -> None:
+    """Record in the CHECKPOINT that at least one gram was ever
+    registered into the store (empty existence-marker dir, idempotent).
+    Lets a later session distinguish 'no grams ever registered'
+    (snapshot legitimately empty) from 'store deleted behind a kept
+    checkpoint' (silent-miss corruption — must refuse loudly)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    marker = jpath(f"{checkpoint}/{_STORE_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(marker):
+        fs.mkdirs(marker)
+
+
+def _store_marker_exists(spark: SparkSession, checkpoint: str) -> bool:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    marker = jpath(f"{checkpoint}/{_STORE_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(marker))
 
 
 def tiered_substring_stream(
@@ -636,11 +684,25 @@ def tiered_substring_stream(
     (epoch-keyed idempotent).  Same output contract as the sibling
     forms; a single batch over a whole corpus equals
     ``dedup.ngram_dup_stats(min_docs=2)``."""
-    _shard_count_guard(spark, checkpoint, n_shards)
-    committed = _last_committed_epoch(spark, checkpoint)
+    _shard_count_guard(spark, checkpoint, n_shards, "tiered_substring_stream")
+    committed = _newest_log_entry(spark, checkpoint, "commits")
+    started = _newest_log_entry(spark, checkpoint, "offsets")
     store = read_store(spark, gram_dir)
     snapshot = None
-    if store is not None:
+    if store is None:
+        # A checkpoint that ever registered a gram (marker) must find its
+        # store: proceeding with snapshot=None would purge the keyed
+        # state (marker advance) AND treat every known gram as novel —
+        # the silent corpus-history loss read_store's contract forbids.
+        if _store_marker_exists(spark, checkpoint):
+            raise ValueError(
+                f"tiered_substring_stream: checkpoint {checkpoint} has"
+                f" registered grams but the store {gram_dir} is missing"
+                " (deleted or wrong path?).  Continuing would silently"
+                " forget the whole corpus history; restore the store or"
+                " start a fresh checkpoint."
+            )
+    else:
         if "epoch" not in store.columns:
             raise ValueError(
                 "tiered_substring_stream: gram store was written flat"
@@ -649,6 +711,18 @@ def tiered_substring_stream(
             )
         max_epoch = store.agg(F.max("epoch")).first()[0]
         floor = -1 if committed is None else int(committed)
+        if max_epoch is not None and started is None:
+            # A brand-new checkpoint (no batch ever STARTED — offsets are
+            # written before a batch runs, so even a crashed first batch
+            # leaves one) against a store with history: the new stream's
+            # epoch 0 would OVERWRITE the old epoch=0 registrations.
+            raise ValueError(
+                f"tiered_substring_stream: store {gram_dir} has history"
+                f" (epoch {int(max_epoch)}) but checkpoint {checkpoint}"
+                " is brand new — writing would silently destroy accepted"
+                " state; use a fresh store or restore the matching"
+                " checkpoint."
+            )
         if max_epoch is not None and int(max_epoch) > floor + 1:
             raise ValueError(
                 f"tiered_substring_stream: store has epoch {int(max_epoch)}"
@@ -681,32 +755,9 @@ def tiered_substring_stream(
             snapshot.count()  # materialize once; every batch reuses it
     marker = 0 if committed is None else int(committed) + 1
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    docs = reader.parquet(input_dir)
-    raw = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        word_shingles(text_col, n).alias("__grams"),
-        F.greatest(
-            F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_windows"),
-    ).withColumn("n_grams", F.size("__grams").cast("long"))
-    exploded = raw.select(
-        "doc_id",
-        "n_windows",
-        "n_grams",
-        F.explode_outer("__grams").alias("__g"),
-    ).select(
-        "doc_id",
-        "n_windows",
-        "n_grams",
-        # NULL sentinel discipline as in keyed_substring_stream
-        F.when(F.col("__g").isNull(), F.lit(None).cast("long"))
-        .otherwise(F.xxhash64("__g"))
-        .alias("gk"),
+    exploded = _sharded_gram_source(
+        spark, input_dir, schema, n, text_col, id_col,
+        max_files_per_trigger, n_shards,
     )
     if snapshot is not None:
         joined = exploded.join(snapshot, "gk", "left").withColumn(
@@ -714,9 +765,7 @@ def tiered_substring_stream(
         )
     else:
         joined = exploded.withColumn("in_hist", F.lit(0))
-    keyed = joined.withColumn(
-        "shard", F.pmod(F.col("gk"), F.lit(int(n_shards))).cast("int")
-    ).withColumn("marker", F.lit(int(marker)).cast("long"))
+    keyed = joined.withColumn("marker", F.lit(int(marker)).cast("long"))
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -731,36 +780,7 @@ def tiered_substring_stream(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # Two consumers (stats + registration): materialize once.
         rows = batch_df.localCheckpoint(eager=True)
-        stats = (
-            rows.groupBy("doc_id")
-            .agg(
-                F.first("n_windows").alias("n_windows"),
-                F.first("n_grams").alias("n_grams"),
-                F.sum(
-                    F.when(F.col("n_grams") > 0, F.col("is_dup")).otherwise(
-                        F.lit(0)
-                    )
-                )
-                .cast("long")
-                .alias("n_dup_grams"),
-            )
-            .withColumn(
-                "dup_gram_ppm",
-                F.when(
-                    F.col("n_grams") > 0,
-                    F.expr(
-                        "(n_dup_grams * CAST(1000000 AS BIGINT)) div n_grams"
-                    ),
-                )
-                .otherwise(F.lit(0))
-                .cast("long"),
-            )
-            .select(
-                "doc_id", "n_windows", "n_grams", "n_dup_grams",
-                "dup_gram_ppm",
-            )
-        )
-        stats.write.mode("overwrite").parquet(
+        _per_doc_stats(rows).write.mode("overwrite").parquet(
             f"{stats_dir}/epoch={int(epoch_id)}"
         )
         novel = (
@@ -768,13 +788,33 @@ def tiered_substring_stream(
             .select("gk")
             .withColumn("bucket", F.pmod(F.col("gk"), F.lit(N_BUCKETS)))
         )
-        write_store_partitioned(novel, gram_dir, "bucket", epoch_id)
+        if write_store_partitioned(novel, gram_dir, "bucket", epoch_id):
+            _mark_store_written(spark, checkpoint)
         if on_batch is not None:
             on_batch(epoch_id)
 
-    return (
+    query = (
         flagged.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+    if snapshot is not None:
+        # The snapshot cache belongs to THIS session only — release it
+        # when the query ends, or back-to-back sessions in one
+        # SparkSession (the probe; any periodic-ingest app) pin one
+        # corpus-sized InMemoryRelation per session until the app dies.
+        import threading
+
+        def _release(q=query, s=snapshot):
+            try:
+                q.awaitTermination()
+            except Exception:
+                pass  # stream failure still releases the cache
+            finally:
+                s.unpersist()
+
+        threading.Thread(
+            target=_release, name="tiered-snapshot-release", daemon=True
+        ).start()
+    return query

@@ -510,3 +510,32 @@ def test_type0_embedded_corrupt_font_falls_back():
         "alpha line one\nalpha line two",
         "beta solo",
     ]
+
+
+def test_type0_malformed_tounicode_falls_back_to_embedded_cmap():
+    """A ToUnicode stream that parses to NOTHING (garbage CMap body) must
+    not block the embedded-font recovery path."""
+    import re as _re
+    import zlib as _z
+
+    pdf = MP.make_pdf_type0_embedded(PAGES)
+    # graft a garbage ToUnicode stream as a new object referenced by the
+    # Type0 font dict
+    n_objs = len(_re.findall(rb"\d+ 0 obj", pdf))
+    tu_num = n_objs + 1
+    garbage = _z.compress(b"not a cmap at all")
+    tu_obj = (
+        b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (tu_num, len(garbage))
+        + garbage
+        + b"\nendstream\nendobj\n"
+    )
+    pdf2 = pdf.replace(
+        b"/Encoding /Identity-H",
+        b"/Encoding /Identity-H /ToUnicode %d 0 R" % tu_num,
+        1,
+    )
+    # append the object before xref (object scan ignores xref tables)
+    pdf2 = pdf2.replace(b"xref\n", tu_obj + b"xref\n", 1)
+    got = MP.extract_text_pages(pdf2)
+    assert got == ["alpha line one\nalpha line two", "beta solo"]

@@ -1280,3 +1280,62 @@ class TestTieredSubstring:
         # the purge dropped session 1's row and nothing fresh was added
         assert p2["numRowsUpdated"] >= 1  # the purge rewrite itself
         assert p2["numRowsTotal"] <= p1["numRowsTotal"]
+
+    def test_missing_store_behind_checkpoint_refuses(self, spark, tmp_path):
+        """Deleting the gram store while keeping the checkpoint must be a
+        LOUD failure — continuing would silently forget corpus history."""
+        import shutil as _sh
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "uno dos tres cuatro cinco seis siete ocho"
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+        spark.createDataFrame([(1, span)], schema).write.mode(
+            "append"
+        ).parquet(src)
+        q = SB.tiered_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        _sh.rmtree(gram_d)
+        spark.createDataFrame([(2, span)], schema).write.mode(
+            "append"
+        ).parquet(src)
+        with pytest.raises(ValueError, match="store.*missing"):
+            SB.tiered_substring_stream(
+                spark, src, schema, gram_d, stats_d, ckpt, n=8
+            )
+
+    def test_fresh_checkpoint_against_existing_store_refuses(
+        self, spark, tmp_path
+    ):
+        """A brand-new checkpoint pointed at a store with history would
+        overwrite epoch=0 registrations — refuse before starting."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "eins zwei drei vier fuenf sechs sieben acht"
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+        spark.createDataFrame([(1, span)], schema).write.mode(
+            "append"
+        ).parquet(src)
+        q = SB.tiered_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        with pytest.raises(ValueError, match="brand new"):
+            SB.tiered_substring_stream(
+                spark, src, schema, gram_d,
+                str(tmp_path / "stats2"), str(tmp_path / "ckpt2"), n=8
+            )
