@@ -140,6 +140,9 @@ SUITES: dict[str, list[str]] = {
         "ngram_dup_stats",
         "strip_dup_ngrams",
         "simhash_fingerprints",
+        # r6: minhash mechanism parity — md5 hash family restated in SQL
+        # (the simhash convention), closing B5's last oracle gap.
+        "minhash_sigs_md5",
     ],
     "corpus_stats_suite": [
         "lang_distribution",

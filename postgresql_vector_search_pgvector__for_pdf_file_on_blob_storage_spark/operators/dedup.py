@@ -38,6 +38,7 @@ __all__ = [
     "ngram_dup_stats",
     "strip_dup_ngrams",
     "minhash_signature",
+    "minhash_signature_md5",
     "minhash_lsh_pairs",
     "simhash64",
     "connected_components",
@@ -435,6 +436,64 @@ def strip_dup_ngrams(
             "n_removed_tokens"
         ),
     )
+
+
+def minhash_signature_md5(
+    c: Column | str, n: int = 3, num_hashes: int = 16
+) -> Column:
+    """MinHash signature ``array<bigint>`` over word ``n``-shingles with an
+    md5-derived hash family — the DuckDB-twin sibling of
+    :func:`minhash_signature` (which rides Spark's ``xxhash64`` and
+    therefore has no SQL oracle).
+
+    Hash family i over shingle g is the little-endian first 8 md5 bytes of
+    ``g + "\\x1f" + str(i)`` — exactly DuckDB's
+    ``md5_number_upper(g || chr(31) || CAST(i AS VARCHAR))`` — compared as
+    UNSIGNED 64-bit (both engines take the unsigned min), then emitted as
+    the two's-complement signed value so the column is a plain BIGINT both
+    sides.  The ``\\x1f`` unit separator keeps family members from
+    colliding with each other regardless of shingle content (the exact
+    convention is hashed identically on both engines either way).
+
+    This is the mechanism-parity path, not the production path: the
+    production signature (:func:`minhash_signature`) hashes two longs per
+    family member JVM-side, ~10x cheaper than per-string md5.  Docs whose
+    token count is below ``n`` yield an EMPTY array (no shingles — callers
+    explode, so such docs simply emit no rows, matching the oracle's
+    shingle-bearing universe).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _minhash_md5(texts: pd.Series) -> pd.Series:
+        out: list[list[int] | None] = []
+        for text in texts:
+            if not text:
+                out.append([])
+                continue
+            toks = [t for t in text.split() if t]
+            grams = {
+                " ".join(toks[i : i + n])
+                for i in range(max(len(toks) - n + 1, 0))
+            }
+            if not grams:
+                out.append([])
+                continue
+            sig = []
+            for i in range(num_hashes):
+                suffix = ("\x1f" + str(i)).encode("utf-8")
+                mn = min(
+                    int.from_bytes(
+                        hashlib.md5(g.encode("utf-8") + suffix).digest()[:8],
+                        "little",
+                    )
+                    for g in grams
+                )
+                sig.append(mn if mn < 2**63 else mn - 2**64)
+            out.append(sig)
+        return pd.Series(out)
+
+    col = c if isinstance(c, Column) else F.col(c)
+    return _minhash_md5(col)
 
 
 def minhash_signature(c: Column | str, num_hashes: int = 32) -> Column:

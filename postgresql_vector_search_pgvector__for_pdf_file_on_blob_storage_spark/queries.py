@@ -3373,6 +3373,60 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# MinHash-mechanism oracle: the md5 hash family (md5_number_upper of
+# shingle || chr(31) || family-index, unsigned min, two's-complement
+# BIGINT) is restated directly in SQL — the exact convention
+# minhash_signature_md5 computes, so the compare is bit-for-bit.  Docs
+# with fewer than n tokens have no shingles and emit no rows (both
+# engines drop them: posexplode of an empty array / the len(shingles)>0
+# filter).
+_MINHASH_MD5_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks
+  WHERE len(t) >= 3),
+fam AS (SELECT doc_id, shingles, unnest(range(0, 16)) AS hash_idx FROM sh),
+mins AS (
+  SELECT doc_id, hash_idx,
+         list_min(list_transform(shingles,
+                  g -> md5_number_upper(g || chr(31) || CAST(hash_idx AS VARCHAR)))) AS mn
+  FROM fam)
+SELECT doc_id, CAST(hash_idx AS INT) AS hash_idx,
+       CAST(CAST(mn AS HUGEINT)
+            - CASE WHEN mn >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END
+            AS BIGINT) AS sig
+FROM mins
+ORDER BY doc_id, hash_idx
+"""
+
+
+@query("minhash_sigs_md5", _MINHASH_MD5_ORACLE)
+def minhash_sigs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with the md5-derived hash family (SURVEY.md §2B
+    B5) — the minhash MECHANISM's first oracle-backed row.  The production
+    near-dup path (``minhash_lsh_pairs``) stays on xxhash64, which no SQL
+    engine reproduces; this twin swaps ONLY the hash family for DuckDB's
+    ``md5_number_upper`` (the simhash_fingerprints convention) so the
+    min-over-family fold is verified bit-for-bit.  Exploded to one row per
+    (doc, family index) — exact integers, no float canon needed."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                D.minhash_signature_md5("text", n=3, num_hashes=16)
+            ).alias("hash_idx", "sig"),
+        )
+        .orderBy("doc_id", "hash_idx")
+    )
+
+
 @query(
     "embedding_near_dup",
     f"""

@@ -86,6 +86,50 @@ def test_minhash_jaccard_values_are_exact(spark, docs):
         assert exact[k] == pytest.approx(v)
 
 
+def test_minhash_md5_signature_convention(spark, docs):
+    """Pin the md5 hash-family convention (little-endian first 8 md5 bytes
+    of shingle + \\x1f + family index, UNSIGNED min, two's-complement
+    emit) against an independent pure-Python fold, plus the empty-shingle
+    contract (docs under n tokens -> empty array)."""
+    import hashlib as _hl
+
+    rows = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", D.minhash_signature_md5("text", n=3, num_hashes=4).alias("sig")
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def ref(text):
+        toks = [t for t in text.split() if t]
+        grams = {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))}
+        if not grams:
+            return []
+        sig = []
+        for i in range(4):
+            mn = min(
+                int.from_bytes(
+                    _hl.md5((g + "\x1f" + str(i)).encode()).digest()[:8], "little"
+                )
+                for g in grams
+            )
+            sig.append(mn if mn < 2**63 else mn - 2**64)
+        return sig
+
+    for did, sig in rows.items():
+        assert list(sig) == ref(texts[did]), did
+    # identical text -> identical signature; the min is over a SET of
+    # shingles so repeated windows don't shift it
+    assert rows[1] == rows[2]
+    # sub-n-token doc -> empty signature (no shingles)
+    short = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    got = short.select(
+        D.minhash_signature_md5("text", n=3, num_hashes=4).alias("sig")
+    ).collect()[0]["sig"]
+    assert list(got) == []
+
+
 def test_simhash_identical_and_near(spark, docs):
     out = {
         r["doc_id"]: r["sh"]
