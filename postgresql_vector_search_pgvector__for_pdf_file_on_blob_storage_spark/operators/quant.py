@@ -306,6 +306,7 @@ class PQCodebook:
         sample_rows: int = 100_000,
         iters: int = 10,
         seed: int = 42,
+        fit_mode: str = "auto",
     ):
         rows = collect_bounded(
             items,
@@ -325,35 +326,95 @@ class PQCodebook:
         )
         if X.ndim != 2 or X.shape[0] == 0:
             raise ValueError("PQCodebook: no usable vectors in the sample")
+        # Canonical row order BEFORE fitting: the collected sample's row
+        # SET is stable run to run, but its ORDER rides shuffle/cache
+        # task-completion order (collect_bounded's limit over a sampled,
+        # repartitioned input), and k-means++ draws index into X — so an
+        # identical corpus could yield different codebooks per run
+        # (observed as run-to-run IVFPQ recall spread at the 200k x 1536
+        # probe shape).  A bytewise argsort over whole rows is a total,
+        # deterministic order (ties are bit-identical vectors —
+        # interchangeable for k-means), making the fit a pure function
+        # of the sample multiset.  ~10 ms at 90k x 1536.
+        Xc = np.ascontiguousarray(X)
+        X = Xc[
+            np.argsort(
+                Xc.view([("", f"V{Xc.shape[1] * 8}")]).ravel(), kind="stable"
+            )
+        ]
         d = X.shape[1]
         if d % m:
             raise ValueError(f"PQCodebook: dim {d} not divisible by m={m}")
         self.m, self.codes, self.dim = m, codes, d
         self.dsub = d // m
-        # The m sub-space fits are independent k-means problems, so they
-        # run on a driver thread pool: NumPy's matmul/argmin kernels
-        # release the GIL, so the (n, codes) distance work overlaps
-        # across threads (1536-d m=96 build: 875-1057 s serial -> see
-        # quant_probe.py for the pooled number).  Each sub-space derives
-        # its OWN RandomState from (seed, j) — a shared sequential rng
-        # would make results depend on completion order.
-        from concurrent.futures import ThreadPoolExecutor
-
+        # The m sub-space fits are independent k-means problems.  Each
+        # sub-space derives its OWN RandomState from (seed, j) — a shared
+        # sequential rng would make results depend on completion order —
+        # and _kmeans is deterministic for a fixed (slice, rng), so WHERE
+        # a fit runs cannot change its codebook: the three modes below
+        # produce bit-identical books (pinned in test_quant.py).
+        #
+        # - "spark": one executor task per sub-space
+        #   (sc.parallelize(m slices)).  The scale-correct form — the
+        #   driver ships each task its (n, dsub) slice (~11 MB at the 90k
+        #   x 1536 m=96 residual shape) and collects (codes, dsub)
+        #   centroids back; process parallelism also beats the GIL-shared
+        #   thread pool on one host (measured 97 vs 127 s for 32
+        #   probe-shape fits under load — quant_probe.py records the
+        #   end-to-end build delta).
+        # - "threads": driver thread pool (NumPy kernels release the GIL;
+        #   the r5 form).  Fallback when no usable SparkSession.
+        # - "auto": "spark" when the work is heavy enough to amortize a
+        #   job launch (fit matrix >= ~8 MB), else "threads" — unit-test
+        #   fixtures stay in-process, real builds distribute.
+        if fit_mode not in ("auto", "spark", "threads"):
+            raise ValueError(
+                f"PQCodebook: fit_mode must be auto|spark|threads,"
+                f" got {fit_mode!r}"
+            )
         self.books = np.empty((m, codes, self.dsub))
+        dsub = self.dsub
 
-        def fit_sub(j: int) -> None:
-            sub = X[:, j * self.dsub : (j + 1) * self.dsub]
+        def fit_sub(j: int, sub: np.ndarray) -> np.ndarray:
             # Wrap the derived seed: RandomState only accepts [0, 2**32).
-            self.books[j] = _kmeans(
+            return _kmeans(
                 sub,
                 codes,
                 iters,
                 np.random.RandomState((seed * 10_007 + j) % (2**32)),
             )
 
-        workers = min(m, os.cpu_count() or 8)
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(fit_sub, range(m)))
+        spark = items.sparkSession
+        mode = fit_mode
+        if mode == "auto":
+            mode = "spark" if spark is not None and X.nbytes >= 8 << 20 else "threads"
+        if mode == "spark" and spark is None:  # pragma: no cover
+            mode = "threads"
+        if mode == "spark":
+            slices = [
+                (j, np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub]))
+                for j in range(m)
+            ]
+            fitted = dict(
+                spark.sparkContext.parallelize(slices, numSlices=m)
+                .map(lambda t: (t[0], fit_sub(t[0], t[1])))
+                .collect()
+            )
+            for j in range(m):
+                self.books[j] = fitted[j]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(m, os.cpu_count() or 8)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(
+                    pool.map(
+                        lambda j: self.books.__setitem__(
+                            j, fit_sub(j, X[:, j * dsub : (j + 1) * dsub])
+                        ),
+                        range(m),
+                    )
+                )
 
     def _lut(self, q: np.ndarray) -> np.ndarray:
         """The ``(m, codes)`` ADC lookup table for one query (or query
@@ -658,6 +719,7 @@ class IVFPQIndex:
         iters: int = 10,
         fit_fraction: float = 1.0,
         coarse_max_iter: int = 20,
+        fit_mode: str = "auto",
     ):
         from .ann import IVFIndex
 
@@ -676,7 +738,7 @@ class IVFPQIndex:
             sample = sample.sample(False, sample_rows / n * 0.9, seed=seed)
         self.pq = PQCodebook(
             sample, m=m, codes=codes, sample_rows=sample_rows,
-            iters=iters, seed=seed,
+            iters=iters, seed=seed, fit_mode=fit_mode,
         )
         self.indexed = (
             self._residual_codes(resid).repartition("cluster_id").cache()

@@ -91,6 +91,20 @@ def test_pq_codes_shape_and_determinism(spark):
     assert all(len(r["pq_code"]) == 4 for r in first)
 
 
+def test_pq_fit_modes_are_bit_identical(spark):
+    """The executor-distributed fit must produce byte-for-byte the same
+    codebooks as the driver thread pool: _kmeans is deterministic for a
+    fixed (slice, rng), so scheduling cannot leak into results — this is
+    what lets "auto" pick the spark path without re-validating any recall
+    pin."""
+    items = A.synthetic_clustered_vectors(spark, 3000, dim=32, n_centers=16)
+    th = Qz.PQCodebook(items, m=4, codes=16, iters=5, fit_mode="threads")
+    sp = Qz.PQCodebook(items, m=4, codes=16, iters=5, fit_mode="spark")
+    assert np.array_equal(th.books, sp.books)
+    with pytest.raises(ValueError, match="fit_mode"):
+        Qz.PQCodebook(items, m=4, codes=16, iters=5, fit_mode="bogus")
+
+
 def test_pq_adc_matches_numpy(spark):
     """The ADC distance of a code must equal the NumPy-computed distance
     between the query and the code's reconstructed centroids."""
