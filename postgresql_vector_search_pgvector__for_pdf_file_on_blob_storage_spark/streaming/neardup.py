@@ -171,12 +171,22 @@ def neardup_stream(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_files_per_trigger: int | None = None,
+    on_batch=None,
+    compact_every: int | None = None,
 ):
     """Streaming wrapper: parquet-directory source -> per-micro-batch
     :func:`detect_and_register`.  AvailableNow trigger drains the backlog
     and stops; re-starting with the same checkpoint processes only new
     files, and the band/shingle stores carry the accepted state across
-    runs."""
+    runs.
+
+    ``max_files_per_trigger`` / ``on_batch`` / ``compact_every`` follow
+    the substring_stream contract (ingest pacing, post-write crash seam,
+    inline band-store compaction after every K-th epoch — the store is
+    re-read per batch, so the fold is picked up by the next batch's
+    candidate join; the shingle store is epoch-keyed but carries no
+    bucket partition column, so compact_store does not apply to it)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(
@@ -192,10 +202,24 @@ def neardup_stream(
             threshold=threshold,
             epoch_id=epoch_id,
         )
+        if (
+            compact_every is not None
+            and epoch_id > 0
+            and epoch_id % int(compact_every) == 0
+        ):
+            from .stores import compact_store
 
+            compact_store(
+                batch_df.sparkSession, band_dir, "band", sort_cols=["key"]
+            )
+        if on_batch is not None:
+            on_batch(epoch_id)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return (
-        spark.readStream.schema(schema)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -243,6 +243,7 @@ def semdedup_stream(
     max_store_cluster: int = 200_000,
     max_files_per_trigger: int | None = None,
     on_batch=None,
+    compact_every: int | None = None,
 ):
     """Streaming wrapper: parquet-directory source -> per-micro-batch
     :func:`detect_and_register` with epoch-keyed idempotent writes.
@@ -251,7 +252,10 @@ def semdedup_stream(
     carrying accepted state across runs.
 
     ``max_files_per_trigger`` bounds each micro-batch; ``on_batch`` is
-    the post-write crash-injection seam (see substring.substring_stream)."""
+    the post-write crash-injection seam (see substring.substring_stream);
+    ``compact_every=K`` folds the cluster-partitioned vector store inline
+    after every K-th epoch (store re-read per batch, so the next batch's
+    partition-pruned reads hit one file per touched cluster)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(
@@ -265,6 +269,14 @@ def semdedup_stream(
             epoch_id=epoch_id,
             max_store_cluster=max_store_cluster,
         )
+        if (
+            compact_every is not None
+            and epoch_id > 0
+            and epoch_id % int(compact_every) == 0
+        ):
+            from .stores import compact_store
+
+            compact_store(batch_df.sparkSession, store_dir, "cluster_id")
         if on_batch is not None:
             on_batch(epoch_id)
 

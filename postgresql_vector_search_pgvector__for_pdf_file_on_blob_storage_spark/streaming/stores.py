@@ -123,10 +123,13 @@ def compact_store(
     whole corpus history.  Folding into ``max-1`` keeps replay semantics
     and the epoch-monotonicity guard intact (max epoch unchanged).
 
-    MUST run while the stream is stopped (single-writer discipline, same
-    as checkpoint maintenance): the swap — write sibling temp dir,
-    delete old epoch dirs, rename temp in — is not atomic on object
-    stores.  Returns a summary dict.
+    MUST run under single-writer discipline: either while the stream is
+    stopped (manual maintenance window) or from INSIDE the stream's own
+    ``foreachBatch`` callback (``substring_stream(compact_every=K)`` —
+    the stream is the single writer while the callback runs).  The swap
+    — write sibling temp dir, delete old epoch dirs, rename temp in —
+    is not atomic on object stores, so a second concurrent writer could
+    observe a partial store.  Returns a summary dict.
     """
     from pyspark.sql import functions as F  # local alias, matches module
 

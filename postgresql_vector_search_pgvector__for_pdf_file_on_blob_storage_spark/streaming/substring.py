@@ -192,6 +192,7 @@ def substring_stream(
     id_col: str = "doc_id",
     max_files_per_trigger: int | None = None,
     on_batch=None,
+    compact_every: int | None = None,
 ):
     """Streaming wrapper: parquet-directory source -> per-micro-batch
     :func:`detect_and_register` with epoch-keyed idempotent writes;
@@ -202,7 +203,20 @@ def substring_stream(
     ``on_batch(epoch_id)``, if given, runs AFTER the batch's writes —
     the crash-injection seam for restart tests (a raise here simulates
     dying between the state writes and the checkpoint commit, the
-    at-least-once window the epoch-keyed overwrite exists for)."""
+    at-least-once window the epoch-keyed overwrite exists for).
+
+    ``compact_every=K`` runs :func:`stores.compact_store` on the gram
+    store inline after every K-th epoch's writes, folding committed
+    epoch dirs into one sorted file per bucket — the measured 34%
+    arrival-batch cut (BASELINE.md r06) without a manual maintenance
+    window.  Safe inside ``foreachBatch`` because the stream IS the
+    single writer while the callback runs, and compaction never touches
+    the newest epoch: a crash anywhere in the
+    register -> compact -> commit sequence replays the epoch through the
+    same idempotent path (re-register overwrites ``epoch=e``, re-compact
+    re-folds — both idempotent; prepare_store's replay guard only ever
+    drops the replayed epoch's OWN rows, which compaction leaves in
+    place)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(
@@ -214,6 +228,16 @@ def substring_stream(
             id_col=id_col,
             epoch_id=epoch_id,
         )
+        if (
+            compact_every is not None
+            and epoch_id > 0
+            and epoch_id % int(compact_every) == 0
+        ):
+            from .stores import compact_store
+
+            compact_store(
+                batch_df.sparkSession, gram_dir, "bucket", sort_cols=["gk"]
+            )
         if on_batch is not None:
             on_batch(epoch_id)
 

@@ -454,6 +454,58 @@ def test_boundary_miss_measured_and_topm_mitigation(spark):
     assert soft_recall >= 0.97, f"top-2 recall {soft_recall}"
 
 
+def test_semdedup_stream_inline_compaction(spark, tmp_path):
+    """``semdedup_stream(compact_every=2)``: the cluster-partitioned
+    vector store folds from inside foreachBatch; matches equal the
+    non-compacting twin and the store keeps one row per id."""
+    import glob
+    import os
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        semdedup as SS,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    files = [
+        [(10, [1.0, 0.01]), (11, [0.01, 1.0])],
+        [(20, [0.99, 0.02])],
+        [(30, [1.0, 0.0])],
+        [(40, [0.02, 0.98])],
+    ]
+
+    def run(root, compact_every=None):
+        src = str(root / "src")
+        os.makedirs(src)
+        for rows in files:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        SS.semdedup_stream(
+            spark, src, schema, cents, str(root / "store"),
+            str(root / "m"), str(root / "ckpt"), eps=0.05,
+            max_files_per_trigger=1, compact_every=compact_every,
+        ).awaitTermination()
+        return sorted(
+            (r["new_id"], r["matched_id"])
+            for r in spark.read.parquet(str(root / "m")).collect()
+        )
+
+    plain_root, comp_root = tmp_path / "plain", tmp_path / "comp"
+    os.makedirs(plain_root)
+    os.makedirs(comp_root)
+    want = run(plain_root)
+    got = run(comp_root, compact_every=2)
+    assert got == want == sorted(
+        [(20, 10), (30, 10), (30, 20), (40, 11)]
+    )
+    st = spark.read.parquet(str(comp_root / "store"))
+    assert st.count() == st.select("id").distinct().count() == 5
+    assert len(glob.glob(str(comp_root / "store" / "epoch=*"))) < len(
+        glob.glob(str(plain_root / "store" / "epoch=*"))
+    )
+
+
 def test_semdedup_stream_kill_resume_exactly_once(spark, tmp_path):
     """Kill a real semdedup_stream after a batch's state writes but
     before its checkpoint commit, resume from the checkpoint, and assert

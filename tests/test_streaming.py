@@ -609,6 +609,59 @@ def test_neardup_stream_restarts_with_store(spark, tmp_path):
     assert {(r["new_id"], r["matched_id"]) for r in rows} == {(2, 1)}
 
 
+def test_neardup_stream_inline_compaction(spark, tmp_path):
+    """``neardup_stream(compact_every=2)``: the band store folds from
+    inside foreachBatch and later batches still match via it — matches
+    equal the non-compacting twin, band store stays distinct, committed
+    epoch dirs consolidate."""
+    import glob
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        neardup as ND,
+    )
+
+    schema = "doc_id long, text string"
+    base = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen"
+    )
+    files = [
+        [(1, base)],
+        [(2, "totally unrelated words about parquet files and buckets")],
+        [(3, "fresh vocabulary in the third arrival nothing shared")],
+        [(4, base + " seventeen")],  # matches 1 via the (folded) store
+    ]
+
+    def run(root, compact_every=None):
+        src = str(root / "src")
+        os.makedirs(src)
+        for rows in files:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        ND.neardup_stream(
+            spark, src, schema, str(root / "b"), str(root / "sh"),
+            str(root / "m"), str(root / "ckpt"),
+            max_files_per_trigger=1, compact_every=compact_every,
+        ).awaitTermination()
+        return sorted(
+            (r["new_id"], r["matched_id"])
+            for r in spark.read.parquet(str(root / "m")).collect()
+        )
+
+    plain_root, comp_root = tmp_path / "plain", tmp_path / "comp"
+    os.makedirs(plain_root)
+    os.makedirs(comp_root)
+    want = run(plain_root)
+    got = run(comp_root, compact_every=2)
+    assert got == want == [(4, 1)]
+    b = spark.read.parquet(str(comp_root / "b"))
+    assert b.count() == b.dropDuplicates(["band", "key", "id"]).count()
+    assert len(glob.glob(str(comp_root / "b" / "epoch=*"))) < len(
+        glob.glob(str(plain_root / "b" / "epoch=*"))
+    )
+
+
 def test_neardup_detect_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-running the same epoch of the
     incremental near-dup pass must rewrite its own output, never append
@@ -893,6 +946,85 @@ def test_compact_store_preserves_content_and_replay_safety(spark, tmp_path):
     got = {r["doc_id"]: r["n_dup_grams"]
            for r in spark.read.parquet(stats_d).collect()}
     assert got[9] == 1  # epoch-0 gram found via the compacted dir
+
+
+def test_substring_stream_inline_compaction(spark, tmp_path):
+    """``substring_stream(compact_every=2)`` folds the gram store from
+    inside foreachBatch.  Stats must equal the non-compacting twin over
+    the same arrivals, the store must end consolidated, and a crash
+    injected right AFTER a compacting epoch (state written + folded,
+    checkpoint commit lost) must replay exactly-once — the
+    register -> compact -> commit sequence is idempotent end to end."""
+    import glob
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        substring as SB,
+    )
+
+    schema = "doc_id long, text string"
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    files = [
+        [(10, f"{span} one"), (11, "totally unique words here only")],
+        [(20, "all fresh vocabulary nothing shared at all")],
+        [(30, f"prefix {span} suffix")],
+        [(40, f"{span} again repeated")],
+        [(50, "closing batch of wholly new words never seen before now")],
+    ]
+
+    def run(root, on_batch=None, compact_every=None, resume=False):
+        src = str(root / "src")
+        if not resume:
+            os.makedirs(src)
+            for rows in files:
+                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+        q = SB.substring_stream(
+            spark, src, schema, str(root / "g"), str(root / "s"),
+            str(root / "ckpt"), max_files_per_trigger=1,
+            on_batch=on_batch, compact_every=compact_every,
+        )
+        return q
+
+    # Twin A: plain run.
+    plain = tmp_path / "plain"
+    os.makedirs(plain)
+    run(plain).awaitTermination()
+    want = sorted(
+        map(tuple, spark.read.parquet(str(plain / "s")).collect())
+    )
+
+    # Twin B: compacting run with a crash after epoch 2 (a compacting
+    # epoch: 2 % 2 == 0, so the fold ran before the injected death).
+    comp = tmp_path / "comp"
+    os.makedirs(comp)
+
+    def crash_on_2(epoch_id: int) -> None:
+        if epoch_id == 2:
+            raise RuntimeError("injected crash after epoch-2 compaction")
+
+    q = run(comp, on_batch=crash_on_2, compact_every=2)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    run(comp, compact_every=2, resume=True).awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(str(comp / "s")).collect()))
+    assert got == want
+    # store content identical to the plain twin, no replay duplicates
+    g_plain = {
+        (r["gk"], r["bucket"])
+        for r in spark.read.parquet(str(plain / "g")).collect()
+    }
+    g_comp_df = spark.read.parquet(str(comp / "g"))
+    assert {(r["gk"], r["bucket"]) for r in g_comp_df.collect()} == g_plain
+    assert g_comp_df.count() == g_comp_df.select("gk").distinct().count()
+    # compaction actually consolidated: committed history sits in at most
+    # one folded dir + the epochs after the last fold (4 on resume).
+    assert len(glob.glob(str(comp / "g" / "epoch=*"))) < len(
+        glob.glob(str(plain / "g" / "epoch=*"))
+    )
 
 
 def test_compact_store_single_epoch_noop_and_flat_raises(spark, tmp_path):
