@@ -86,3 +86,34 @@ def test_driver_registry_respects_entry_cap():
                 DR.build()
     finally:
         DR.ROWS_ONLY = old
+
+
+def test_parity_suite_table_matches_registry():
+    """PARITY.md's driver-consolidation section is generated from
+    driver_registry (the source of truth); this pin keeps it from
+    drifting when suites gain or lose members."""
+    import re
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        driver_registry as R,
+    )
+
+    parity = open(os.path.join(REPO, "PARITY.md")).read()
+    documented = {}
+    for line in parity.splitlines():
+        m = re.match(r"\| `(\w+)`( \(rows-only\))? \| (.*) \|$", line)
+        if m and m.group(1) in (R.SUITES | R.ROWS_ONLY_SUITES):
+            documented[m.group(1)] = re.findall(r"`(\w+)`", m.group(3))
+    want = {**R.SUITES, **R.ROWS_ONLY_SUITES}
+    assert documented == want, (
+        "PARITY.md suite table out of sync with driver_registry — "
+        "regenerate it (see the section header)"
+    )
+    # entry counts in the prose stay current too
+    n_ent = (
+        len(R.SUITES)
+        + len(R.ROWS_ONLY_SUITES)
+        + len(R.INDIVIDUAL)
+        + len(R.ROWS_ONLY)
+    )
+    assert f"**{n_ent} entries**" in parity
