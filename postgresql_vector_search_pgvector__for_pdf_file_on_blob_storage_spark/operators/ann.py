@@ -22,6 +22,9 @@ the exact oracle-checked path (they are not registered with a DuckDB twin).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,7 +32,55 @@ from ..functions import vector as V
 from ..utils import spread
 from . import knn as K
 
-__all__ = ["IVFIndex", "lsh_similarity_join", "synthetic_clustered_vectors"]
+__all__ = [
+    "IVFIndex",
+    "lsh_similarity_join",
+    "nearest_centroid_col",
+    "synthetic_clustered_vectors",
+]
+
+
+def nearest_centroid_col(centroids, vec_col: str):
+    """Column expression: index of the nearest centroid (squared L2) for
+    ``vec_col``, ties to the lowest index — the model-free assignment
+    IVFIndex/IVFPQIndex use for loaded indexes, incremental adds, and
+    the canonical coarse fit.
+
+    Two implementations by ``dim * k`` size: native expressions
+    (centroids inlined as array literals, whole-stage codegen) below
+    ~16k inlined values; an Arrow-batched pandas UDF (one float64 GEMM
+    per batch against the closure-captured centroid matrix) above — at
+    the reference's 1536-d x 64 clusters the literal form emits a ~100k
+    element expression tree that splinters codegen (the SQ8 params
+    failure mode) and dominated the canonical 200k x 1536 build
+    wall-clock, where the GEMM form takes seconds (BASELINE.md r06).
+    Both paths break ties to the first (lowest) index."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.size <= 16_384:
+        dists = F.array(
+            *[
+                V.squared_l2_distance(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                )
+                for c in centroids
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    c_norms = (cents * cents).sum(1)
+
+    @F.pandas_udf("int")
+    def _nearest(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if X.ndim != 2:  # empty batch
+            return pd.Series([], dtype="int32")
+        # argmin of ||x||^2 - 2 x.C^T + ||c||^2; the ||x||^2 term is
+        # constant per row, so it drops out of the argmin.
+        d2 = -2.0 * (X @ cents.T) + c_norms[None, :]
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    return _nearest(F.col(vec_col))
 
 
 def synthetic_clustered_vectors(
@@ -89,33 +140,87 @@ class IVFIndex:
         seed: int = 42,
         fit_fraction: float = 1.0,
         max_iter: int = 20,
+        fit_impl: str = "ml",
+        sample_rows: int = 100_000,
     ):
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
+        if fit_impl not in ("ml", "canonical"):
+            raise ValueError(
+                f"IVFIndex: fit_impl must be ml|canonical, got {fit_impl!r}"
+            )
         self.id_col, self.vec_col = id_col, vec_col
-        feat = spread(items).withColumn(
-            "__features", array_to_vector(F.col(vec_col))
-        )
         # fit_fraction < 1 fits centroids on a seeded Bernoulli sample —
         # each k-means iteration then scans the sample, not the corpus,
         # and only the final assignment pass reads everything (the same
         # corpus-scale split as semdedup.cluster_assign; at the
         # reference's 1536-d the full fit dominated the IVFPQ build).
-        fit_src = (
-            feat
-            if fit_fraction >= 1.0
-            else feat.sample(fit_fraction, seed=seed)
-        )
-        km = KMeans(
-            k=k_clusters, seed=seed, featuresCol="__features",
-            maxIter=max_iter,
-        )
-        self.model = km.fit(fit_src)
-        self.centroids = [list(map(float, c)) for c in self.model.clusterCenters()]
-        assigned = self.model.transform(feat).withColumnRenamed(
-            "prediction", "cluster_id"
-        )
+        if fit_impl == "canonical":
+            # Deterministic coarse fit: bounded sample collected to the
+            # driver, rows canonically ordered (bytewise — same rationale
+            # as PQCodebook), then the seeded k-means++ _kmeans kernel.
+            # Rebuilding over the same corpus yields byte-identical
+            # centroids — unlike pyspark.ml KMeans, whose distributed
+            # aggregation order varies run to run (measured as IVFPQ
+            # recall spread in BASELINE.md).  The trade: the fit sees at
+            # most ``sample_rows`` rows (ample for k<=few-hundred coarse
+            # centroids) and runs on one machine; "ml" stays the default
+            # for fits that must scan more than a bounded sample.
+            import numpy as np
+
+            from ..utils import collect_bounded
+            from .quant import _kmeans
+
+            src = spread(items).select(vec_col)
+            if fit_fraction < 1.0:
+                src = src.sample(fraction=fit_fraction, seed=seed)
+            n = src.count()
+            if n > sample_rows:
+                src = src.sample(False, sample_rows / n * 0.9, seed=seed)
+            rows = collect_bounded(
+                src, [vec_col], sample_rows, "IVFIndex(canonical)",
+                "Lower fit_fraction or sample_rows — the coarse fit only"
+                " needs a bounded representative sample.",
+            )
+            X = np.asarray(
+                [r[0] for r in rows if r[0] is not None], dtype=np.float64
+            )
+            if X.ndim != 2 or X.shape[0] == 0:
+                raise ValueError("IVFIndex: no usable vectors in the sample")
+            Xc = np.ascontiguousarray(X)
+            X = Xc[
+                np.argsort(
+                    Xc.view([("", f"V{Xc.shape[1] * 8}")]).ravel(),
+                    kind="stable",
+                )
+            ]
+            centers = _kmeans(
+                X, k_clusters, max_iter, np.random.RandomState(seed)
+            )
+            self.model = None
+            self.centroids = [list(map(float, c)) for c in centers]
+            assigned = self.assign(spread(items))
+        else:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            feat = spread(items).withColumn(
+                "__features", array_to_vector(F.col(vec_col))
+            )
+            fit_src = (
+                feat
+                if fit_fraction >= 1.0
+                else feat.sample(fraction=fit_fraction, seed=seed)
+            )
+            km = KMeans(
+                k=k_clusters, seed=seed, featuresCol="__features",
+                maxIter=max_iter,
+            )
+            self.model = km.fit(fit_src)
+            self.centroids = [
+                list(map(float, c)) for c in self.model.clusterCenters()
+            ]
+            assigned = self.model.transform(feat).withColumnRenamed(
+                "prediction", "cluster_id"
+            )
         # Repartition by cluster: a probe's candidate set is co-located.
         # (Cluster deployment: .write.bucketBy(k, "cluster_id") instead.)
         # All original columns ride along so search results project like
@@ -162,22 +267,13 @@ class IVFIndex:
         return self
 
     def assign(self, items: DataFrame) -> DataFrame:
-        """Assign each row its nearest-centroid ``cluster_id`` with native
-        expressions only (centroids inlined as array literals — no k-means
-        model, so it works on a :meth:`load`-ed index and never touches
-        Python workers).  Ties break to the lowest cluster id, matching
-        k-means transform."""
-        dists = F.array(
-            *[
-                V.squared_l2_distance(
-                    F.col(self.vec_col),
-                    F.array(*[F.lit(x) for x in c]),
-                )
-                for c in self.centroids
-            ]
+        """Assign each row its nearest-centroid ``cluster_id`` without a
+        k-means model (works on a :meth:`load`-ed index).  Ties break to
+        the lowest cluster id, matching k-means transform.  Dispatch in
+        :func:`nearest_centroid_col`."""
+        return items.withColumn(
+            "cluster_id", nearest_centroid_col(self.centroids, self.vec_col)
         )
-        cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        return items.withColumn("cluster_id", cid)
 
     def add(self, new_items: DataFrame) -> None:
         """Incrementally insert vectors: assign to the EXISTING centroids

@@ -720,13 +720,21 @@ class IVFPQIndex:
         fit_fraction: float = 1.0,
         coarse_max_iter: int = 20,
         fit_mode: str = "auto",
+        coarse_fit_impl: str = "ml",
     ):
         from .ann import IVFIndex
 
         self.id_col, self.vec_col = id_col, vec_col
+        # coarse_fit_impl="canonical" + the (always-canonical) PQ fits
+        # make the WHOLE build deterministic: rebuilding over the same
+        # corpus reproduces centroids, codebooks, and recall tiers
+        # byte-for-byte (the "ml" coarse fit's distributed aggregation
+        # order varies run to run — BASELINE.md records the measured
+        # recall spread).
         self.base = IVFIndex(
             items, k_clusters=k_clusters, id_col=id_col, vec_col=vec_col,
             seed=seed, fit_fraction=fit_fraction, max_iter=coarse_max_iter,
+            fit_impl=coarse_fit_impl, sample_rows=sample_rows,
         )
         self.centroids = np.asarray(self.base.centroids, dtype=np.float64)
         resid = self._residuals(self.base.indexed)
@@ -771,23 +779,16 @@ class IVFPQIndex:
         )
 
     def _assign(self, items: DataFrame) -> DataFrame:
-        """Nearest-centroid ``cluster_id`` via native expressions (works
-        on loaded indexes too — no k-means model needed)."""
+        """Nearest-centroid ``cluster_id`` without a k-means model (works
+        on loaded indexes too); literal-vs-GEMM dispatch in
+        :func:`ann.nearest_centroid_col`."""
         if self.base is not None:
             return self.base.assign(items)
-        from ..functions import vector as V
+        from .ann import nearest_centroid_col
 
-        dists = F.array(
-            *[
-                V.squared_l2_distance(
-                    F.col(self.vec_col),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                )
-                for c in self.centroids
-            ]
+        return items.withColumn(
+            "cluster_id", nearest_centroid_col(self.centroids, self.vec_col)
         )
-        cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        return items.withColumn("cluster_id", cid)
 
     def add(self, new_items: DataFrame) -> None:
         """Incrementally insert vectors against the FROZEN coarse

@@ -86,7 +86,7 @@ def _fit_kmeans(
         k=k_clusters, seed=seed, featuresCol="__features", maxIter=max_iter
     )
     fit_on = (
-        feat if fit_fraction >= 1.0 else feat.sample(fit_fraction, seed=seed)
+        feat if fit_fraction >= 1.0 else feat.sample(fraction=fit_fraction, seed=seed)
     )
     return km.fit(fit_on), feat
 

@@ -41,11 +41,16 @@ def main() -> None:
     # real embedding dimensionality (text-embedding-ada-002, README) —
     # the r04 BASELINE row runs `quant_probe.py 200000 1536`.
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    # --canonical: deterministic coarse fit (IVFIndex fit_impl=
+    # "canonical") so back-to-back probe runs reproduce the IVFPQ recall
+    # tiers exactly (BASELINE.md r06 — the default ml.KMeans coarse fit's
+    # aggregation order varies per run).
+    canonical = "--canonical" in sys.argv
     # PQ subquantizers must divide dim; keep 8 dims/subspace at 64-d
     # (m=8) and the standard 16 dims/subspace at high dim (1536 -> m=96).
     m_pq = 8 if dim <= 128 else dim // 16
     spark = get_spark(app_name="quant-probe")
-    results: dict = {"n": n, "dim": dim, "m_pq": m_pq}
+    results: dict = {"n": n, "dim": dim, "m_pq": m_pq, "coarse_fit": "canonical" if canonical else "ml"}
 
     vecs = (
         A.synthetic_clustered_vectors(spark, n, dim=dim, n_centers=64)
@@ -136,6 +141,7 @@ def main() -> None:
         vecs, k_clusters=64, m=m_pq, codes=256, iters=10,
         fit_fraction=1.0 if dim <= 128 else 0.1,
         coarse_max_iter=20 if dim <= 128 else 10,
+        coarse_fit_impl="canonical" if canonical else "ml",
     )
     ivfpq.indexed.count()
     results["ivfpq_build_sec"] = round(time.time() - t0, 2)

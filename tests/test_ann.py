@@ -277,3 +277,106 @@ def test_ivf_recall_on_clustered_data(spark):
     # is reported but unasserted (k-means may split a true center).
     mean4 = sum(recalls[4]) / len(recalls[4])
     assert mean4 >= 0.8, f"clustered recall@5 nprobe=4 = {recalls}"
+
+
+def test_ivf_canonical_fit_is_deterministic_and_searchable(spark):
+    """fit_impl="canonical": two builds over the same corpus produce
+    byte-identical centroids (the ml path's distributed aggregation order
+    does not guarantee this — BASELINE.md records the measured IVFPQ
+    recall spread), and search still clears the clustered-recall bound."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        knn as K,
+    )
+
+    vecs = A.synthetic_clustered_vectors(
+        spark, 10_000, dim=32, n_centers=16, noise=0.05
+    ).drop("center").cache()
+    vecs.count()
+    a = A.IVFIndex(vecs, k_clusters=16, fit_impl="canonical")
+    b = A.IVFIndex(vecs, k_clusters=16, fit_impl="canonical")
+    assert np.array_equal(np.asarray(a.centroids), np.asarray(b.centroids))
+    # sampled canonical fit is deterministic too — BOTH sampling stages:
+    # fit_fraction exercises the stage that silently dropped its seed
+    # when called as sample(frac, seed=...) (positional-float fraction
+    # ignores the seed kwarg — found when canonical probe builds failed
+    # to reproduce), sample_rows the second-stage cap.
+    c = A.IVFIndex(
+        vecs, k_clusters=16, fit_impl="canonical", fit_fraction=0.6,
+        sample_rows=2_000,
+    )
+    d = A.IVFIndex(
+        vecs, k_clusters=16, fit_impl="canonical", fit_fraction=0.6,
+        sample_rows=2_000,
+    )
+    assert np.array_equal(np.asarray(c.centroids), np.asarray(d.centroids))
+
+    probe_row = vecs.filter(F.col("vec_id") == 7).collect()[0]
+    probe = [float(x) for x in probe_row["embedding"]]
+    exact = {
+        r["vec_id"]
+        for r in K.knn(vecs, probe, k=5, tie_cols=("vec_id",)).collect()
+    }
+    approx = {r["vec_id"] for r in a.search(probe, k=5, nprobe=4).collect()}
+    assert len(exact & approx) / 5.0 >= 0.8
+    vecs.unpersist()
+    with pytest.raises(ValueError, match="fit_impl"):
+        A.IVFIndex(vecs, k_clusters=4, fit_impl="bogus")
+
+
+def test_ivfpq_canonical_coarse_build_reproduces_exactly(spark):
+    """coarse_fit_impl="canonical" + the canonical PQ fits: rebuilding the
+    IVFPQ index over the same corpus reproduces centroids, codebooks, and
+    search results byte-for-byte."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        quant as Qz,
+    )
+
+    vecs = A.synthetic_clustered_vectors(
+        spark, 6_000, dim=32, n_centers=8, noise=0.05
+    ).drop("center").cache()
+    vecs.count()
+
+    def build():
+        return Qz.IVFPQIndex(
+            vecs, k_clusters=8, m=4, codes=16, iters=5,
+            coarse_fit_impl="canonical",
+        )
+
+    i1, i2 = build(), build()
+    assert np.array_equal(i1.centroids, i2.centroids)
+    assert np.array_equal(i1.pq.books, i2.pq.books)
+    probe = [float(x) for x in vecs.filter("vec_id = 3").collect()[0]["embedding"]]
+    r1 = [(r["vec_id"],) for r in i1.search(probe, k=5, nprobe=2).collect()]
+    r2 = [(r["vec_id"],) for r in i2.search(probe, k=5, nprobe=2).collect()]
+    assert r1 == r2
+    vecs.unpersist()
+
+
+def test_nearest_centroid_gemm_path_matches_literal_path(spark):
+    """nearest_centroid_col dispatches to an Arrow-batched GEMM above
+    ~16k inlined centroid values (the literal expression tree splinters
+    codegen at the reference's 1536-d — BASELINE.md r06).  Both paths
+    must agree row-for-row; the probe threshold is forced by a 2048-d
+    fixture so the GEMM branch is actually exercised (the original
+    implementation shipped a pandas-UDF signature bug precisely because
+    no fixture crossed the threshold)."""
+    vecs = A.synthetic_clustered_vectors(
+        spark, 500, dim=2048, n_centers=10, parts=4
+    ).drop("center")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in vecs.filter(F.col("vec_id") < 10).collect()
+    ]
+    assert len(cents) * len(cents[0]) > 16_384  # GEMM branch engaged
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in vecs.withColumn(
+            "cluster_id", A.nearest_centroid_col(cents, "embedding")
+        ).collect()
+    }
+    # reference: plain numpy argmin over exact squared L2
+    C = np.asarray(cents)
+    for r in vecs.collect():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        want = int(((x[None, :] - C) ** 2).sum(1).argmin())
+        assert got[r["vec_id"]] == want, r["vec_id"]
