@@ -69,16 +69,29 @@ def nearest_centroid_col(centroids, vec_col: str):
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     c_norms = (cents * cents).sum(1)
+    dim = cents.shape[1]
 
     @F.pandas_udf("int")
     def _nearest(vecs: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if X.ndim != 2:  # empty batch
-            return pd.Series([], dtype="int32")
-        # argmin of ||x||^2 - 2 x.C^T + ||c||^2; the ||x||^2 term is
-        # constant per row, so it drops out of the argmin.
-        d2 = -2.0 * (X @ cents.T) + c_norms[None, :]
-        return pd.Series(d2.argmin(1).astype("int32"))
+        # Null / wrong-dimension vectors map to null, matching the
+        # literal branch (null distances -> null array_position); a
+        # blanket np.asarray would either raise on None or coerce a
+        # ragged batch to an object array and mis-shape the GEMM.
+        if len(vecs) == 0:
+            return pd.Series([], dtype="Int32")
+        rows = [np.asarray(v, dtype=np.float64) if v is not None else None
+                for v in vecs]
+        ok = np.array(
+            [r is not None and r.shape == (dim,) for r in rows], dtype=bool
+        )
+        out = np.full(len(rows), None, dtype=object)
+        if ok.any():
+            X = np.asarray([r for r, k in zip(rows, ok) if k])
+            # argmin of ||x||^2 - 2 x.C^T + ||c||^2; the ||x||^2 term
+            # is constant per row, so it drops out of the argmin.
+            d2 = -2.0 * (X @ cents.T) + c_norms[None, :]
+            out[ok] = d2.argmin(1).astype("int32")
+        return pd.Series(out, dtype="Int32")
 
     return _nearest(F.col(vec_col))
 
@@ -157,10 +170,15 @@ class IVFIndex:
             # Deterministic coarse fit: bounded sample collected to the
             # driver, rows canonically ordered (bytewise — same rationale
             # as PQCodebook), then the seeded k-means++ _kmeans kernel.
-            # Rebuilding over the same corpus yields byte-identical
-            # centroids — unlike pyspark.ml KMeans, whose distributed
-            # aggregation order varies run to run (measured as IVFPQ
-            # recall spread in BASELINE.md).  The trade: the fit sees at
+            # Rebuilding yields byte-identical centroids PROVIDED the
+            # corpus presents the same partition layout (Spark's seeded
+            # Bernoulli sample is partition-dependent; a cached or
+            # identically-partitioned source — as the bit-identity test
+            # exercises — qualifies; fit_fraction=1 with n<=sample_rows
+            # is layout-independent).  pyspark.ml KMeans never qualifies:
+            # its distributed aggregation order varies run to run even
+            # at fixed layout (measured as IVFPQ recall spread in
+            # BASELINE.md).  The trade: the fit sees at
             # most ``sample_rows`` rows (ample for k<=few-hundred coarse
             # centroids) and runs on one machine; "ml" stays the default
             # for fits that must scan more than a bounded sample.
@@ -193,7 +211,10 @@ class IVFIndex:
                 )
             ]
             centers = _kmeans(
-                X, k_clusters, max_iter, np.random.RandomState(seed)
+                # % 2**32: RandomState accepts only 32-bit seeds; same
+                # wrap as PQCodebook.fit_sub so any user seed works in
+                # both paths.
+                X, k_clusters, max_iter, np.random.RandomState(seed % 2**32)
             )
             self.model = None
             self.centroids = [list(map(float, c)) for c in centers]

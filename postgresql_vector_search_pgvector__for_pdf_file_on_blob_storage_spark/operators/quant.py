@@ -416,6 +416,33 @@ class PQCodebook:
                     )
                 )
 
+    @classmethod
+    def from_books(cls, books) -> "PQCodebook":
+        """Construct a codebook from pre-fitted sub-codebooks — shape
+        ``(m, codes, dsub)`` — skipping the k-means fit entirely.
+
+        This is the deserialization half of persisting a fitted codebook
+        (ship ``pq.books`` however you like, rebuild with
+        ``from_books``), and the fixed-codebook seam the ADC oracle
+        query (queries.pq_adc_fixed_codebook) uses to make the
+        encode/ADC path DuckDB-checkable independent of k-means."""
+        b = np.ascontiguousarray(np.asarray(books, dtype=np.float64))
+        if b.ndim != 3:
+            raise ValueError(
+                f"PQCodebook.from_books: books must be (m, codes, dsub),"
+                f" got shape {b.shape}"
+            )
+        if not 2 <= b.shape[1] <= 256:
+            raise ValueError(
+                f"PQCodebook.from_books: codes must be in [2, 256], got"
+                f" {b.shape[1]}"
+            )
+        self = cls.__new__(cls)
+        self.m, self.codes, self.dsub = map(int, b.shape)
+        self.dim = self.m * self.dsub
+        self.books = b
+        return self
+
     def _lut(self, q: np.ndarray) -> np.ndarray:
         """The ``(m, codes)`` ADC lookup table for one query (or query
         residual): squared L2 between each subvector of ``q`` and every

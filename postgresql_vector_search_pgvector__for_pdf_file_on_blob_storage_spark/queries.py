@@ -280,6 +280,107 @@ def sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pq_adc_fixed_codebook",
+    """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+jc AS (SELECT j, c FROM range(0, 2) t1(j), range(0, 8) t2(c)),
+d AS (
+  SELECT e.vec_id, jc.j, jc.c,
+    list_sum(list_transform(range(0, 32), i ->
+        (((jc.c*31 + i*17 + jc.j*7) % 19 - 9) / 9.0)
+      * (((jc.c*31 + i*17 + jc.j*7) % 19 - 9) / 9.0)))
+    - 2 * list_sum(list_transform(range(0, 32), i ->
+        CAST(e.embedding[jc.j*32 + i + 1] AS DOUBLE)
+      * (((jc.c*31 + i*17 + jc.j*7) % 19 - 9) / 9.0))) AS d2
+  FROM e, jc
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM d) WHERE rn = 1
+),
+lut AS (
+  SELECT jc.j, jc.c,
+    list_sum(list_transform(range(0, 32), i ->
+        (((jc.c*31 + i*17 + jc.j*7) % 19 - 9) / 9.0)
+      * (((jc.c*31 + i*17 + jc.j*7) % 19 - 9) / 9.0)))
+    - 2 * list_sum(list_transform(range(0, 32), i ->
+        ((((jc.j*32 + i)*13) % 17 - 8) / 9.0)
+      * (((jc.c*31 + i*17 + jc.j*7) % 19 - 9) / 9.0)))
+    + list_sum(list_transform(range(0, 32), i ->
+        ((((jc.j*32 + i)*13) % 17 - 8) / 9.0)
+      * ((((jc.j*32 + i)*13) % 17 - 8) / 9.0))) AS ld
+  FROM jc
+)
+SELECT c0.vec_id,
+       CAST(c0.c AS INTEGER) AS code0,
+       CAST(c1.c AS INTEGER) AS code1,
+       round(l0.ld + l1.ld, 4) AS adc_dist
+FROM codes c0
+JOIN codes c1 ON c0.vec_id = c1.vec_id AND c0.j = 0 AND c1.j = 1
+JOIN lut l0 ON l0.j = 0 AND l0.c = c0.c
+JOIN lut l1 ON l1.j = 1 AND l1.c = c1.c
+ORDER BY c0.vec_id
+""",
+)
+def pq_adc_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC distance through the REAL quantizer paths
+    (operators/quant.PQCodebook.encode / .search, SURVEY.md §2B B16)
+    with FIXED formula-generated codebooks (``from_books`` — skipping
+    k-means), so the argmin-encode and the asymmetric-distance lookup
+    scan are DuckDB-expressible: the same move that gave SQ8 its oracle
+    row (VERDICT r6 next-round #2).  Per item: both logical sub-space
+    codes (integer-exact) and the full ADC distance to a fixed query
+    (both sides compute the identical expanded form b.b - 2 v.b [+ q.q];
+    round(4) absorbs the <=1e-12 summation-order delta).  ``search`` is
+    driven with k = n so its mapInPandas partial-top-k scan emits every
+    item — the oracle checks the whole scan, not just a boundary-stable
+    prefix."""
+    import numpy as np
+
+    from .operators import quant as Qz
+
+    m, codes, dim = 2, 8, 64
+    dsub = dim // m
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    books = np.array(
+        [
+            [
+                [
+                    ((c * 31 + i * 17 + j * 7) % 19 - 9) / 9.0
+                    for i in range(dsub)
+                ]
+                for c in range(codes)
+            ]
+            for j in range(m)
+        ]
+    )
+    pq = Qz.PQCodebook.from_books(books)
+    enc = pq.encode(emb).cache()
+    q = [((i * 13) % 17 - 8) / 9.0 for i in range(dim)]
+    n = enc.count()
+    hits = pq.search(enc, q, k=n, dist_col="adc_dist")
+    code_cols = enc.select(
+        "vec_id",
+        (F.element_at("pq_code", 1).cast("int") + 128).alias("code0"),
+        (F.element_at("pq_code", 2).cast("int") + 128).alias("code1"),
+    )
+    return (
+        code_cols.join(hits, "vec_id")
+        .select(
+            "vec_id", "code0", "code1",
+            F.round("adc_dist", 4).alias("adc_dist"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity scalar ops & listings (SURVEY.md §2A rows 7-12, 15-16, 25)
 # ---------------------------------------------------------------------------

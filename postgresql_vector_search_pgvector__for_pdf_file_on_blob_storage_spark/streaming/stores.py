@@ -98,6 +98,50 @@ def write_store_partitioned(
     return True
 
 
+def _recover_interrupted_compaction(spark: SparkSession, path: str) -> None:
+    """Repair the store after a process death inside a previous
+    :func:`compact_store` swap, BEFORE the store is re-read.
+
+    The swap renames the target epoch dir aside to
+    ``<path>.compact_old_epoch=K`` before renaming the consolidated temp
+    dir into its place, so exactly three interrupted states exist:
+
+    - temp dir only (died before the aside rename): store untouched —
+      drop the stale temp dir.
+    - aside present, ``epoch=K`` missing (died between aside and
+      rename-in): the live tree is missing the target epoch — rename the
+      aside back, restoring the exact pre-compaction store, then drop
+      the temp dir (it will be rebuilt from the restored store).
+    - aside present, ``epoch=K`` present (died after rename-in): the
+      folded dir already contains every aside row — drop the aside;
+      stale older epochs are harmless duplicates the resumed compaction
+      folds again.
+
+    Without this, the next compaction would rebuild the temp dir with
+    ``mode("overwrite")`` from a store that is MISSING the target epoch,
+    destroying the only surviving copies — permanent silent membership
+    loss."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    fs = jpath(base).getFileSystem(hconf)
+    prefix = base + ".compact_old_epoch="
+    for st in fs.globStatus(jpath(prefix + "*")) or []:
+        aside = st.getPath()
+        epoch = int(str(aside.getName()).rsplit("=", 1)[1])
+        live = jpath(f"{base}/epoch={epoch}")
+        if fs.exists(live):
+            fs.delete(aside, True)
+        elif not fs.rename(aside, live):
+            raise IOError(
+                f"compact_store recovery: could not restore {aside} to"
+                f" {live}; refusing to compact — the aside dir holds the"
+                " only copy of that epoch's rows"
+            )
+    fs.delete(jpath(base + ".compact_tmp"), True)
+
+
 def compact_store(
     spark: SparkSession,
     path: str,
@@ -127,12 +171,22 @@ def compact_store(
     stopped (manual maintenance window) or from INSIDE the stream's own
     ``foreachBatch`` callback (``substring_stream(compact_every=K)`` —
     the stream is the single writer while the callback runs).  The swap
-    — write sibling temp dir, delete old epoch dirs, rename temp in —
-    is not atomic on object stores, so a second concurrent writer could
-    observe a partial store.  Returns a summary dict.
+    is crash-safe under single-writer: the target epoch dir is renamed
+    ASIDE (``<path>.compact_old_epoch=K``) rather than deleted, so at
+    every instant the target epoch's rows exist in at least one of
+    {live dir, aside dir + temp dir}; entry-time recovery
+    (:func:`_recover_interrupted_compaction`) restores the aside dir if
+    a previous run died mid-swap, BEFORE the store is re-read — the
+    failure mode where a later run rebuilds the temp dir from an
+    incomplete store (permanently losing the target epoch's membership
+    rows) cannot occur.  Renames are not atomic on object stores, so a
+    second CONCURRENT writer could still observe a partial store —
+    single-writer is the contract, crash-with-restart is handled.
+    Returns a summary dict.
     """
     from pyspark.sql import functions as F  # local alias, matches module
 
+    _recover_interrupted_compaction(spark, path)
     store = read_store(spark, path)
     if store is None:
         return {"compacted": False, "reason": "store missing"}
@@ -159,20 +213,34 @@ def compact_store(
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path
     fs = jpath(path).getFileSystem(hconf)
-    # Swap ordering minimizes the unreadable window: delete ONLY the
-    # target epoch dir, rename tmp (which holds the full folded history)
-    # into its place, then delete the remaining old epoch dirs.  A crash
-    # before the rename loses only epoch=target from the live tree (full
-    # history still in .compact_tmp); a crash after the rename leaves
-    # folded history PLUS stale old epochs — harmless duplicates for a
-    # membership store, cleaned up by re-running compaction.
-    fs.delete(jpath(f"{path}/epoch={int(target_epoch)}"), True)
-    ok = fs.rename(jpath(tmp), jpath(f"{path}/epoch={int(target_epoch)}"))
-    if not ok:
+    # Crash-safe swap: rename the target epoch dir ASIDE (not delete),
+    # rename tmp (which holds the full folded history) into its place,
+    # then drop the aside dir and the remaining old epoch dirs.  At no
+    # point is the ONLY copy of the target epoch a dir that a later run
+    # overwrites: a crash before the rename-in leaves the aside dir,
+    # which entry-time recovery renames back before the store is read;
+    # a crash after leaves folded history plus stale old epochs —
+    # harmless duplicates for a membership store, folded again by the
+    # next compaction.
+    target_dir = jpath(f"{path}/epoch={int(target_epoch)}")
+    aside = jpath(
+        path.rstrip("/") + f".compact_old_epoch={int(target_epoch)}"
+    )
+    had_target = fs.exists(target_dir)
+    if had_target and not fs.rename(target_dir, aside):
+        raise IOError(
+            f"compact_store: could not move {target_dir} aside —"
+            " store untouched; folded history is in the temp dir"
+        )
+    if not fs.rename(jpath(tmp), target_dir):
+        if had_target:
+            fs.rename(aside, target_dir)  # roll back to pre-swap state
         raise IOError(
             f"compact_store: rename of {tmp} into the store failed —"
-            " history is preserved in the temp dir; restore manually"
+            " store rolled back; folded history preserved in the temp dir"
         )
+    if had_target:
+        fs.delete(aside, True)
     # Delete every folded epoch EXCEPT the target.  Epochs need not be
     # contiguous (write_store_partitioned skips empty frames), so the
     # target dir is not necessarily epochs[-2] — a positional slice here

@@ -216,7 +216,11 @@ def substring_stream(
     same idempotent path (re-register overwrites ``epoch=e``, re-compact
     re-folds — both idempotent; prepare_store's replay guard only ever
     drops the replayed epoch's OWN rows, which compaction leaves in
-    place)."""
+    place).  A crash INSIDE compact_store's swap itself is repaired by
+    its entry-time recovery (the target epoch dir is renamed aside, not
+    deleted, so no state exists where the only copy of an epoch's rows
+    is a dir the next run overwrites — stores.py
+    ``_recover_interrupted_compaction``)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(
@@ -765,9 +769,16 @@ def tiered_substring_stream(
             # side is a memory-speed merge scan, no per-batch shuffle.
             # (Micro-batch plans don't run AQE, so the partition-count
             # match is stable across batches.)
-            n_part = int(
-                spark.conf.get("spark.sql.shuffle.partitions", "200")
-            )
+            # Some runtimes set this conf to a non-numeric value (e.g.
+            # "auto" under auto-optimized shuffle); any partition count
+            # is CORRECT here — it only sizes the snapshot's hash
+            # layout — so fall back rather than fail startup.
+            try:
+                n_part = int(
+                    spark.conf.get("spark.sql.shuffle.partitions", "200")
+                )
+            except ValueError:
+                n_part = max(store.rdd.getNumPartitions(), 32)
             snapshot = (
                 store.filter(F.col("epoch") <= int(committed))
                 .select("gk")

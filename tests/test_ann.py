@@ -380,3 +380,54 @@ def test_nearest_centroid_gemm_path_matches_literal_path(spark):
         x = np.asarray(r["embedding"], dtype=np.float64)
         want = int(((x[None, :] - C) ** 2).sum(1).argmin())
         assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_nearest_centroid_both_paths_null_to_null(spark):
+    """Malformed input contract (ADVICE r6): null and wrong-dimension
+    vectors map to null cluster_id in BOTH dispatch branches — the GEMM
+    branch originally raised on None (np.asarray) and returned an empty
+    Series for ragged batches (a confusing UDF length-mismatch error),
+    diverging from the literal branch's null->null semantics."""
+    rows = [
+        (1, [1.0, 0.0]), (2, None), (3, [0.0]), (4, [0.0, 1.0, 2.0]),
+        (5, [0.0, 1.0]),
+    ]
+    small = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit_cents = [[1.0, 0.0], [0.0, 1.0]]
+    want_small = {1: 0, 2: None, 3: None, 4: None, 5: 1}
+    got_lit = {
+        r["vec_id"]: r["c"]
+        for r in small.withColumn(
+            "c", A.nearest_centroid_col(lit_cents, "embedding")
+        ).collect()
+    }
+    assert got_lit == want_small
+
+    # GEMM branch: same fixture padded to a dim that crosses the 16k
+    # dispatch threshold (9 centroids x 2048 dims).
+    dim = 2048
+    big_rows = [
+        (i, ([float(i)] * dim if ok else ([0.0] * 3 if i == 4 else None)))
+        for i, ok in [(1, True), (2, False), (4, False), (5, True)]
+    ]
+    big = spark.createDataFrame(
+        big_rows, "vec_id long, embedding array<double>"
+    )
+    big_cents = [[float(c)] * dim for c in range(9)]
+    assert len(big_cents) * dim > 16_384
+    got_gemm = {
+        r["vec_id"]: r["c"]
+        for r in big.withColumn(
+            "c", A.nearest_centroid_col(big_cents, "embedding")
+        ).collect()
+    }
+    assert got_gemm == {1: 1, 2: None, 4: None, 5: 5}
+    # all-null batch must not crash either
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    assert [
+        r["c"] for r in allnull.withColumn(
+            "c", A.nearest_centroid_col(big_cents, "embedding")
+        ).collect()
+    ] == [None, None]

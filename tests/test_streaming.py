@@ -1027,6 +1027,92 @@ def test_substring_stream_inline_compaction(spark, tmp_path):
     )
 
 
+def test_compact_store_recovers_interrupted_swap(spark, tmp_path):
+    """A process death INSIDE compact_store's swap must never lose
+    membership rows (ADVICE r6, medium): the target epoch dir is renamed
+    aside rather than deleted, and entry-time recovery repairs each of
+    the three interruptible states BEFORE the store is re-read, so the
+    rebuilt temp dir can never be derived from a store missing the
+    target epoch."""
+    import glob
+    import os
+    import shutil
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        stores as ST,
+        substring as SB,
+    )
+
+    gram_d, stats_d = str(tmp_path / "g"), str(tmp_path / "s")
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta eta theta one")],
+        [(2, "unique words for the second doc here now today ok")],
+        [(3, "third batch text with fully fresh terms appearing only")],
+        [(4, "fourth batch also uses novel words entirely of its own")],
+    ]
+    for e, rows in enumerate(batches):
+        SB.detect_and_register(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            gram_d, stats_d, n=8, epoch_id=e,
+        )
+    before = {
+        (r["gk"], r["bucket"])
+        for r in spark.read.parquet(gram_d).collect()
+    }
+
+    # State 1 — died after writing the temp dir, before the aside
+    # rename: store untouched, stale temp must be dropped (NOT trusted).
+    os.makedirs(gram_d + ".compact_tmp/bucket=0", exist_ok=True)
+    out = ST.compact_store(spark, gram_d, "bucket", sort_cols=["gk"])
+    assert out["compacted"] and out["target_epoch"] == 2
+    assert not os.path.exists(gram_d + ".compact_tmp")
+    assert {(r["gk"], r["bucket"])
+            for r in spark.read.parquet(gram_d).collect()} == before
+
+    # State 3 — died after the rename-in: folded dir live, aside is a
+    # duplicate subset.  Recovery drops the aside, content unchanged.
+    some_bucket = glob.glob(f"{gram_d}/epoch=2/bucket=*")[0]
+    aside = gram_d + ".compact_old_epoch=2"
+    shutil.copytree(some_bucket, f"{aside}/{os.path.basename(some_bucket)}")
+    SB.detect_and_register(  # new epoch so there is history to fold
+        spark.createDataFrame(
+            [(5, "fifth batch brings more novel words of its very own")],
+            "doc_id long, text string",
+        ),
+        gram_d, stats_d, n=8, epoch_id=4,
+    )
+    before = {
+        (r["gk"], r["bucket"])
+        for r in spark.read.parquet(gram_d).collect()
+    }
+    out = ST.compact_store(spark, gram_d, "bucket", sort_cols=["gk"])
+    assert out["compacted"]
+    assert not os.path.exists(aside)
+    assert {(r["gk"], r["bucket"])
+            for r in spark.read.parquet(gram_d).collect()} == before
+
+    # State 2 — died between the aside rename and the rename-in: the
+    # live tree is MISSING the target epoch; the only copies are the
+    # aside dir and the temp dir.  This is exactly the pre-fix data-loss
+    # window: without recovery, the next compaction rebuilds the temp
+    # dir from the incomplete store with mode("overwrite"), destroying
+    # both surviving copies.  Recovery must restore the aside first.
+    target = sorted(
+        int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{gram_d}/epoch=*")
+    )[-2]
+    os.rename(f"{gram_d}/epoch={target}",
+              gram_d + f".compact_old_epoch={target}")
+    os.makedirs(gram_d + ".compact_tmp/bucket=0", exist_ok=True)
+    assert {(r["gk"], r["bucket"])  # live tree really is incomplete now
+            for r in spark.read.parquet(gram_d).collect()} != before
+    out = ST.compact_store(spark, gram_d, "bucket", sort_cols=["gk"])
+    assert out["compacted"]
+    assert not os.path.exists(gram_d + f".compact_old_epoch={target}")
+    assert not os.path.exists(gram_d + ".compact_tmp")
+    assert {(r["gk"], r["bucket"])
+            for r in spark.read.parquet(gram_d).collect()} == before
+
+
 def test_compact_store_single_epoch_noop_and_flat_raises(spark, tmp_path):
     from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
         stores as ST,
