@@ -77,6 +77,10 @@ SUITES: dict[str, list[str]] = {
         # r6: SQ8 encode/decode roundtrip — the quantization tier's first
         # oracle-backed row (VERDICT r5 next-round #3).
         "sq8_roundtrip",
+        # r7: PQ argmin-encode + ADC scan with fixed formula codebooks
+        # (VERDICT r6 next-round #2) — closes the last rows-only
+        # quantization surface.
+        "pq_adc_fixed_codebook",
     ],
     # reference listing / scalar-transform shapes over documents
     "doc_listing_suite": [

@@ -327,6 +327,30 @@ def test_pq_codes_beyond_one_byte_raises(spark):
         Qz.PQCodebook(items, m=4, codes=512)
 
 
+def test_pq_from_books_fixed_codebook_encode(spark):
+    """PQCodebook.from_books skips the fit and drives encode/search with
+    caller-supplied codebooks — the seam the pq_adc_fixed_codebook
+    oracle uses.  Encode against axis-aligned books is hand-checkable;
+    shape/validation errors are loud."""
+    books = np.zeros((2, 4, 2))
+    books[:, :, 0] = [[0.0, 1.0, 2.0, 3.0]] * 2  # centroid c at x=c
+    pq = Qz.PQCodebook.from_books(books)
+    assert (pq.m, pq.codes, pq.dsub, pq.dim) == (2, 4, 2, 4)
+    items = spark.createDataFrame(
+        [(1, [0.1, 0.0, 2.9, 0.0]), (2, [3.2, 0.0, 1.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: list(np.array(r["pq_code"], dtype=np.int16) + 128)
+        for r in pq.encode(items).collect()
+    }
+    assert got == {1: [0, 3], 2: [3, 1]}
+    with pytest.raises(ValueError, match="m, codes, dsub"):
+        Qz.PQCodebook.from_books(np.zeros((4, 2)))
+    with pytest.raises(ValueError, match=r"\[2, 256\]"):
+        Qz.PQCodebook.from_books(np.zeros((2, 300, 2)))
+
+
 def test_search_many_empty_probes_returns_empty(spark):
     """An empty probe table must yield an empty result, not crash on a
     zero-row NumPy reshape."""
