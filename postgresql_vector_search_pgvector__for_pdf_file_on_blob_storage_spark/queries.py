@@ -4693,3 +4693,45 @@ def streaming_substring_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("epoch")
         .orderBy("doc_id")
     )
+
+
+@query("streaming_substring_bloom")
+def streaming_substring_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-MEMORY substring-dedup stream (r07,
+    streaming/substring.bloom_substring_stream): history stays in
+    gk-sorted on-disk runs, a memory-capped Bloom bitmap (built once per
+    session, broadcast) screens batch grams, and only the sparse
+    positive set is verified by parquet row-group point lookups —
+    per-batch wall and executor memory bounded regardless of corpus
+    size (the fix for the tiered form's corpus-sized cached snapshot).
+    Driven over the documents fixture split into two sessions so the
+    second session exercises the Bloom + point-lookup path; rows-only,
+    with single-batch == ngram_dup_stats equivalence, false-positive
+    exactness, kill/resume exactly-once, and the explicit memory cap
+    pinned in pytest (tests/test_streaming.py::TestBloomSubstring)."""
+    from .streaming import substring as SB
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    tmp = _gallery_scratch("substr_bloom_q_")
+    src = f"{tmp}/src"
+    gram_d, s_d, ckpt = f"{tmp}/grams", f"{tmp}/stats", f"{tmp}/ckpt"
+    docs.filter(F.col("doc_id") <= mid).write.mode("append").parquet(src)
+    q = SB.bloom_substring_stream(
+        spark, src, "doc_id long, text string", gram_d, s_d, ckpt, n=8
+    )
+    q.awaitTermination()
+    docs.filter(F.col("doc_id") > mid).write.mode("append").parquet(src)
+    q = SB.bloom_substring_stream(
+        spark, src, "doc_id long, text string", gram_d, s_d, ckpt, n=8
+    )
+    q.awaitTermination()
+    return (
+        _lazy_parquet_or_empty(
+            spark, s_d,
+            "doc_id bigint, n_windows bigint, n_grams bigint,"
+            " n_dup_grams bigint, dup_gram_ppm bigint",
+        )
+        .drop("epoch")
+        .orderBy("doc_id")
+    )

@@ -38,7 +38,16 @@ below (r04, sharded r05 — O(batch·log corpus) probes, but per-batch
 Arrow state transfer linear in corpus: 209 MB at 1M docs) or the
 :func:`tiered_substring_stream` (r06 — bounded state, measured flat
 44.8 MB across corpus sizes, history probed via a cached pre-shuffled
-snapshot join).
+snapshot join).  For bounded MEMORY as well — history on disk, a
+memory-capped Bloom screen, and row-group point lookups for the sparse
+verify set — use :func:`bloom_substring_stream` (r07), the form whose
+per-batch wall and executor memory do not grow with the corpus.
+
+Choosing a form by corpus size: the store-scan form is simplest and
+fine while the store scan is cheap; keyed is fastest on wall up to
+~1M-doc corpora but moves corpus-linear state bytes every batch; tiered
+bounds state but caches a corpus-sized snapshot; bloom bounds both and
+is the 100 TB shape.
 """
 
 from __future__ import annotations
@@ -61,6 +70,7 @@ __all__ = [
     "substring_stream",
     "keyed_substring_stream",
     "tiered_substring_stream",
+    "bloom_substring_stream",
 ]
 
 N_BUCKETS = 64
@@ -691,6 +701,68 @@ def _store_marker_exists(spark: SparkSession, checkpoint: str) -> bool:
     return bool(fs.exists(marker))
 
 
+def _session_history_guards(
+    spark: SparkSession, checkpoint: str, gram_dir: str, what: str
+) -> Tuple[int | None, "DataFrame | None"]:
+    """Session-start consistency guards shared by the history-tier stream
+    forms (tiered, bloom): returns ``(committed, store)`` where
+    ``committed`` is the checkpoint's last committed batch (None for a
+    fresh checkpoint) and ``store`` the opened gram store (None if
+    absent).  Refuses loudly on every checkpoint/store mismatch that
+    would otherwise silently destroy or forget accepted corpus history:
+
+    - store missing behind a checkpoint that ever registered a gram;
+    - flat (non-epoch) store layout under an epoch-keyed stream;
+    - brand-new checkpoint (no batch ever STARTED — offsets are written
+      before a batch runs, so even a crashed first batch leaves one)
+      against a store with history: the new stream's epoch 0 would
+      OVERWRITE the old epoch=0 registrations;
+    - store epochs ahead of what the checkpoint committed + the one
+      replayable batch: the pair is from different streams."""
+    committed = _newest_log_entry(spark, checkpoint, "commits")
+    started = _newest_log_entry(spark, checkpoint, "offsets")
+    store = read_store(spark, gram_dir)
+    if store is None:
+        # A checkpoint that ever registered a gram (marker) must find its
+        # store: proceeding would treat every known gram as novel — the
+        # silent corpus-history loss read_store's contract forbids.
+        if _store_marker_exists(spark, checkpoint):
+            raise ValueError(
+                f"{what}: checkpoint {checkpoint} has"
+                f" registered grams but the store {gram_dir} is missing"
+                " (deleted or wrong path?).  Continuing would silently"
+                " forget the whole corpus history; restore the store or"
+                " start a fresh checkpoint."
+            )
+        return committed, None
+    if "epoch" not in store.columns:
+        raise ValueError(
+            f"{what}: gram store was written flat"
+            " (direct batch-twin mode); this stream registers"
+            " epoch-keyed — use a fresh store directory."
+        )
+    max_epoch = store.agg(F.max("epoch")).first()[0]
+    floor = -1 if committed is None else int(committed)
+    if max_epoch is not None and started is None:
+        raise ValueError(
+            f"{what}: store {gram_dir} has history"
+            f" (epoch {int(max_epoch)}) but checkpoint {checkpoint}"
+            " is brand new — writing would silently destroy accepted"
+            " state; use a fresh store or restore the matching"
+            " checkpoint."
+        )
+    if max_epoch is not None and int(max_epoch) > floor + 1:
+        raise ValueError(
+            f"{what}: store has epoch {int(max_epoch)}"
+            f" but the checkpoint committed only through {floor} — the"
+            " checkpoint and store are from different streams (fresh/"
+            "deleted checkpoint against an existing store?).  Writing"
+            " would silently destroy accepted state; use a fresh store"
+            " or restore the matching checkpoint."
+        )
+    return committed, store
+
+
 def tiered_substring_stream(
     spark: SparkSession,
     input_dir: str,
@@ -713,53 +785,11 @@ def tiered_substring_stream(
     forms; a single batch over a whole corpus equals
     ``dedup.ngram_dup_stats(min_docs=2)``."""
     _shard_count_guard(spark, checkpoint, n_shards, "tiered_substring_stream")
-    committed = _newest_log_entry(spark, checkpoint, "commits")
-    started = _newest_log_entry(spark, checkpoint, "offsets")
-    store = read_store(spark, gram_dir)
+    committed, store = _session_history_guards(
+        spark, checkpoint, gram_dir, "tiered_substring_stream"
+    )
     snapshot = None
-    if store is None:
-        # A checkpoint that ever registered a gram (marker) must find its
-        # store: proceeding with snapshot=None would purge the keyed
-        # state (marker advance) AND treat every known gram as novel —
-        # the silent corpus-history loss read_store's contract forbids.
-        if _store_marker_exists(spark, checkpoint):
-            raise ValueError(
-                f"tiered_substring_stream: checkpoint {checkpoint} has"
-                f" registered grams but the store {gram_dir} is missing"
-                " (deleted or wrong path?).  Continuing would silently"
-                " forget the whole corpus history; restore the store or"
-                " start a fresh checkpoint."
-            )
-    else:
-        if "epoch" not in store.columns:
-            raise ValueError(
-                "tiered_substring_stream: gram store was written flat"
-                " (direct batch-twin mode); the tiered stream registers"
-                " epoch-keyed — use a fresh store directory."
-            )
-        max_epoch = store.agg(F.max("epoch")).first()[0]
-        floor = -1 if committed is None else int(committed)
-        if max_epoch is not None and started is None:
-            # A brand-new checkpoint (no batch ever STARTED — offsets are
-            # written before a batch runs, so even a crashed first batch
-            # leaves one) against a store with history: the new stream's
-            # epoch 0 would OVERWRITE the old epoch=0 registrations.
-            raise ValueError(
-                f"tiered_substring_stream: store {gram_dir} has history"
-                f" (epoch {int(max_epoch)}) but checkpoint {checkpoint}"
-                " is brand new — writing would silently destroy accepted"
-                " state; use a fresh store or restore the matching"
-                " checkpoint."
-            )
-        if max_epoch is not None and int(max_epoch) > floor + 1:
-            raise ValueError(
-                f"tiered_substring_stream: store has epoch {int(max_epoch)}"
-                f" but the checkpoint committed only through {floor} — the"
-                " checkpoint and store are from different streams (fresh/"
-                "deleted checkpoint against an existing store?).  Writing"
-                " would silently destroy accepted state; use a fresh store"
-                " or restore the matching checkpoint."
-            )
+    if store is not None:
         if committed is not None:
             # Persist the snapshot PRE-SHUFFLED and PRE-SORTED on the join
             # key: the cached InMemoryRelation then reports
@@ -853,3 +883,432 @@ def tiered_substring_stream(
             target=_release, name="tiered-snapshot-release", daemon=True
         ).start()
     return query
+
+
+# ---------------------------------------------------------------------------
+# Bloom-screened variant (r07): bounded-MEMORY history — the 100 TB form.
+#
+# The tiered form above bounds keyed STATE by session ingest, but still
+# loads the committed gram history as a corpus-sized cached DataFrame and
+# merge-scans it every micro-batch (VERDICT r06 "what's wrong #1"): at
+# 100 TB the distinct-gram store exceeds executor RAM and the memory-speed
+# merge degrades to a spilled-cache scan.  This variant keeps the history
+# ON DISK and answers membership the way an LSM tree serves point reads:
+#
+# - **History tier** (disk): the epoch-keyed, bucket-partitioned gram
+#   store, with each registration written gk-SORTED within its bucket
+#   files — sorted runs.  Never cached, never scanned wholesale.
+# - **Bloom screen** (memory, EXPLICITLY CAPPED): one bitmap of
+#   ``bloom_bytes`` built once per session from a single store pass and
+#   broadcast.  A negative answer is definite — the overwhelmingly common
+#   novel-gram case costs ZERO history I/O.  At a fixed cap the false-
+#   positive rate grows with corpus grams (classic Bloom: more verify
+#   lookups, never wrong flags) — graceful, observable degradation
+#   instead of an OOM.
+# - **Exact verify** (disk point lookups): only Bloom-POSITIVE grams that
+#   the session delta cannot answer are checked against the sorted runs,
+#   by reading ONLY the parquet row groups whose min/max gk range covers
+#   a probe (a broadcast run index built from the file footers at session
+#   start).  Probe keys are uniform hashes, so min/max pruning is useless
+#   for a FULL batch (BASELINE.md r06 — every row group holds candidates)
+#   but the verify set here is SPARSE (true duplicates + Bloom false
+#   positives), which is exactly when row-group statistics do prune:
+#   I/O per batch is O(verify_gks × row-group), not O(corpus).
+# - **Session delta** (disk, session-bounded): grams registered by THIS
+#   session's committed epochs live in their own small epoch dirs, probed
+#   with a plain per-batch join — the same session-novel bound as the
+#   tiered form's keyed state, without the state machinery.
+#
+# Exactly-once rides the same epoch bookkeeping as the sibling forms: the
+# history cut is pinned to epochs <= the checkpoint's last committed batch
+# at session start, stats/registration writes are epoch-keyed idempotent
+# overwrites, and the session delta excludes the current epoch — so a
+# replayed batch sees byte-identical membership answers.
+#
+# Per-session one-time costs (amortized over the session's batches): one
+# metadata count + one full-store column scan to build the bitmap, and one
+# footer pass to build the run index.  Per-batch memory is the bitmap
+# (capped) + one row group of gks at a time per verify task; the run
+# index is ~24 bytes per history row group (three orders below the data).
+# ``stores.compact_store`` (between sessions) folds the runs to one
+# sorted file per bucket — fewer, tighter row groups, directly fewer
+# verify reads.  Correctness never depends on the runs being sorted or
+# the Bloom being roomy: unsorted legacy files only widen row-group
+# ranges (more reads), and an undersized bitmap only raises the verify
+# rate — both are performance knobs, pinned by the tiny-bitmap test.
+# ---------------------------------------------------------------------------
+
+_SPLITMIX_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SPLITMIX_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain constant set) — derives the
+    second Bloom hash stream from the already-uniform xxhash64 gram key.
+    uint64 wraparound arithmetic throughout."""
+    z = x + _SPLITMIX_C1
+    z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C2
+    z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C3
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(
+    gk: np.ndarray, m_bits: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Byte indices + bit masks of the ``k`` Bloom bits for each gram key
+    (Kirsch–Mitzenmacher double hashing: h1 + i*h2 mod m).  Returns
+    ``(byte_idx, mask)`` flattened over all k probes."""
+    h1 = gk.astype(np.int64).view(np.uint64)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    m = np.uint64(m_bits)
+    pos = np.concatenate(
+        [(h1 + np.uint64(i) * h2) % m for i in range(k)]
+    )
+    return (pos >> np.uint64(3)).astype(np.int64), (
+        np.uint64(1) << (pos & np.uint64(7))
+    ).astype(np.uint8)
+
+
+def _bloom_probe(gk: np.ndarray, bitmap: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized membership test: True iff ALL k bits are set (maybe in
+    set); False is definite absence."""
+    if gk.size == 0:
+        return np.zeros(0, dtype=bool)
+    byte_idx, mask = _bloom_positions(gk, bitmap.size * 8, k)
+    hits = (bitmap[byte_idx] & mask) != 0
+    return hits.reshape(k, gk.size).all(axis=0)
+
+
+def _build_bloom_bitmap(
+    hist: DataFrame, m_bytes: int, k: int
+) -> np.ndarray:
+    """One distributed pass over the committed history's gram keys: each
+    task folds its rows into a local ``m_bytes`` bitmap, the driver ORs
+    the per-task bitmaps.  Task count is capped so the driver receives a
+    bounded number of partial bitmaps (at real scale this final OR is a
+    treeReduce; the cap keeps it a footnote here)."""
+    m_bits = m_bytes * 8
+
+    def fold(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = np.zeros(m_bytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in it:
+            g = pdf["gk"].to_numpy(dtype=np.int64)
+            if g.size:
+                any_rows = True
+                byte_idx, mask = _bloom_positions(g, m_bits, k)
+                np.bitwise_or.at(local, byte_idx, mask)
+        if any_rows:
+            yield pd.DataFrame({"bm": [local.tobytes()]})
+
+    src = hist.select("gk")
+    if src.rdd.getNumPartitions() > 32:
+        src = src.coalesce(32)
+    bitmap = np.zeros(m_bytes, dtype=np.uint8)
+    for row in src.mapInPandas(fold, "bm binary").collect():
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return bitmap
+
+
+def _history_run_index(
+    spark: SparkSession, gram_dir: str, committed: int
+) -> dict:
+    """Per-bucket run index of the COMMITTED history: for every parquet
+    file under ``epoch<=committed``, the per-row-group (min, max) gk
+    statistics from its footer — the structure verify tasks binary-search
+    instead of scanning the store.  ~24 bytes per row group; built once
+    per session, broadcast.  Footer reads go through pyarrow on the
+    driver-visible filesystem (the point-lookup tier's reach; object
+    stores need a pyarrow-readable path — the same seam as the verify
+    reads themselves)."""
+    import pyarrow.parquet as pq
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(gram_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    pattern = jpath(f"{gram_dir}/epoch=*/bucket=*/*.parquet")
+    index: dict = {}
+    for st in fs.globStatus(pattern) or []:
+        p = st.getPath()
+        bucket_dir = p.getParent()
+        epoch_dir = bucket_dir.getParent()
+        epoch = int(str(epoch_dir.getName()).split("=", 1)[1])
+        if epoch > committed:
+            continue
+        bucket = int(str(bucket_dir.getName()).split("=", 1)[1])
+        local = p.toUri().getPath()
+        pf = pq.ParquetFile(local)
+        gk_i = pf.schema_arrow.get_field_index("gk")
+        mins, maxs = [], []
+        have_stats = True
+        for rg in range(pf.metadata.num_row_groups):
+            stats = pf.metadata.row_group(rg).column(gk_i).statistics
+            if stats is None or not stats.has_min_max:
+                have_stats = False
+                break
+            mins.append(stats.min)
+            maxs.append(stats.max)
+        entry = (
+            (local, np.asarray(mins, np.int64), np.asarray(maxs, np.int64))
+            if have_stats
+            else (local, None, None)  # no stats -> every row group is a
+            # candidate (correct, just unpruned)
+        )
+        index.setdefault(bucket, []).append(entry)
+    return index
+
+
+def bloom_substring_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    gram_dir: str,
+    stats_dir: str,
+    checkpoint: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    on_batch=None,
+    bloom_bytes: int | None = None,
+    bits_per_gram: float = 10.0,
+    max_bloom_bytes: int = 256 * 1024 * 1024,
+    metrics: dict | None = None,
+):
+    """Streaming substring-dedup stats with BOUNDED-MEMORY history (see
+    section comment): a memory-capped Bloom bitmap screens batch grams,
+    only positives are verified by row-group point lookups into the
+    sorted on-disk runs, session-novel grams are answered by the
+    session's own epoch dirs.  Same output contract as the sibling
+    forms; a single batch over a whole corpus equals
+    ``dedup.ngram_dup_stats(min_docs=2)``.
+
+    ``bloom_bytes`` is the EXPLICIT memory cap for the screen; when None
+    it is sized at ``bits_per_gram`` bits per committed history gram,
+    clamped to ``max_bloom_bytes`` (10 bits/gram ~ 1% false positives at
+    the sized corpus; a store that outgrows the cap degrades to a higher
+    verify rate, never to wrong answers or more memory).  ``metrics``,
+    if given, receives one dict per epoch (bloom/verify/row-group
+    counters) — the probe's observability hook."""
+    committed, store = _session_history_guards(
+        spark, checkpoint, gram_dir, "bloom_substring_stream"
+    )
+    sc = spark.sparkContext
+    bitmap_bc = index_bc = None
+    m_bytes = k_hashes = 0
+    n_hist = 0
+    if store is not None and committed is not None:
+        hist = store.filter(F.col("epoch") <= int(committed))
+        # Parquet metadata count — footer-speed, sizes the bitmap.
+        n_hist = hist.count()
+    if n_hist > 0:
+        if bloom_bytes is None:
+            m_bytes = int(n_hist * bits_per_gram / 8) + 1
+            m_bytes = max(1024, min(m_bytes, int(max_bloom_bytes)))
+        else:
+            m_bytes = max(64, int(bloom_bytes))
+        # Optimal k = (m/n) ln 2, clamped to a sane band.
+        k_hashes = max(1, min(12, round(m_bytes * 8 / n_hist * 0.693)))
+        bitmap_bc = sc.broadcast(
+            _build_bloom_bitmap(hist, m_bytes, k_hashes).tobytes()
+        )
+        index_bc = sc.broadcast(
+            _history_run_index(spark, gram_dir, int(committed))
+        )
+    session_epochs: set[int] = set()
+    rg_reads = sc.accumulator(0)
+    n_verify_parts = max(1, min(N_BUCKETS, sc.defaultParallelism))
+
+    def verify(pairs: DataFrame) -> DataFrame:
+        """Exact in-history flags for the (sparse) Bloom-positive gram
+        set: per bucket, binary-search the run index for candidate row
+        groups, read only those, membership by searchsorted."""
+        k = k_hashes  # close over plain ints, not the session objects
+
+        def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow.parquet as pq
+
+            idx = index_bc.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                for b, grp in pdf.groupby("bucket"):
+                    probes = np.unique(grp["gk"].to_numpy(np.int64))
+                    hit = np.zeros(probes.size, dtype=bool)
+                    for path, mins, maxs in idx.get(int(b), []):
+                        if hit.all():
+                            break
+                        if mins is None:
+                            pf = pq.ParquetFile(path)
+                            cand = np.arange(pf.metadata.num_row_groups)
+                        else:
+                            lo = np.searchsorted(probes, mins, "left")
+                            hi = np.searchsorted(probes, maxs, "right")
+                            cand = np.nonzero(hi > lo)[0]
+                            pf = (
+                                pq.ParquetFile(path) if cand.size else None
+                            )
+                        for rg in cand:
+                            col = (
+                                pf.read_row_group(int(rg), columns=["gk"])
+                                .column("gk")
+                                .to_numpy()
+                            )
+                            hit |= np.isin(probes, col)
+                        rg_reads.add(int(cand.size))
+                    yield pd.DataFrame(
+                        {"gk": probes, "in_hist": hit.astype(np.int32)}
+                    )
+
+        return pairs.repartition(n_verify_parts, "bucket").mapInPandas(
+            probe, "gk long, in_hist int"
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        raw = spread(batch_df).select(
+            F.col(id_col).cast("long").alias("id"),
+            word_shingles(text_col, n).alias("grams"),
+            F.greatest(
+                F.size(X.word_tokens(text_col)) - F.lit(n - 1), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_windows"),
+        )
+        base = raw.select(
+            "id", "n_windows", F.size("grams").cast("long").alias("n_grams")
+        ).localCheckpoint(eager=True)
+        g = (
+            raw.select("id", F.explode("grams").alias("__g"))
+            .select("id", F.xxhash64("__g").alias("gk"))
+            .withColumn("bucket", F.pmod(F.col("gk"), F.lit(N_BUCKETS)))
+            .localCheckpoint(eager=True)
+        )
+        batch_dup = (
+            g.groupBy("gk")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= 2)
+            .select("gk")
+        )
+        batch_gk = g.select("gk", "bucket").distinct()
+        # Session delta: grams registered by THIS session's earlier
+        # epochs (exact, session-bounded).  The current epoch is never in
+        # the set, so a replayed batch cannot see its own earlier write.
+        delta_paths = [
+            f"{gram_dir}/epoch={e}"
+            for e in sorted(session_epochs)
+            if e < int(epoch_id)
+        ]
+        if delta_paths:
+            delta = (
+                spark.read.parquet(*delta_paths).select("gk").distinct()
+            )
+            flagged = batch_gk.join(
+                delta.withColumn("in_delta", F.lit(1)), "gk", "left"
+            ).withColumn("in_delta", F.coalesce("in_delta", F.lit(0)))
+        else:
+            flagged = batch_gk.withColumn("in_delta", F.lit(0))
+        if bitmap_bc is not None:
+            bm_bc, kh = bitmap_bc, k_hashes
+
+            @F.pandas_udf("int")
+            def bloom_pos(s: pd.Series) -> pd.Series:
+                bm = np.frombuffer(bm_bc.value, dtype=np.uint8)
+                return pd.Series(
+                    _bloom_probe(
+                        s.to_numpy(dtype=np.int64), bm, kh
+                    ).astype(np.int32)
+                )
+
+            flagged = flagged.withColumn("bloom_pos", bloom_pos("gk"))
+        else:
+            flagged = flagged.withColumn("bloom_pos", F.lit(0))
+        flagged = flagged.localCheckpoint(eager=True)
+        to_verify = flagged.filter(
+            (F.col("bloom_pos") == 1) & (F.col("in_delta") == 0)
+        ).select("gk", "bucket")
+        if bitmap_bc is not None:
+            known = flagged.join(verify(to_verify), "gk", "left").withColumn(
+                "in_hist", F.coalesce("in_hist", F.lit(0))
+            )
+        else:
+            known = flagged.withColumn("in_hist", F.lit(0))
+        known = known.localCheckpoint(eager=True)
+        dup_keys = (
+            batch_dup.unionByName(
+                known.filter(
+                    (F.col("in_delta") == 1) | (F.col("in_hist") == 1)
+                ).select("gk")
+            )
+            .distinct()
+        )
+        per_doc = (
+            g.join(dup_keys, "gk", "left_semi")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_dup_grams"))
+        )
+        stats = (
+            base.join(per_doc, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                "n_windows",
+                "n_grams",
+                F.coalesce("n_dup_grams", F.lit(0))
+                .cast("long")
+                .alias("n_dup_grams"),
+            )
+            .withColumn(
+                "dup_gram_ppm",
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.expr(
+                        "(n_dup_grams * CAST(1000000 AS BIGINT))"
+                        " div n_grams"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+        )
+        stats.write.mode("overwrite").parquet(
+            f"{stats_dir}/epoch={int(epoch_id)}"
+        )
+        # Register novel grams as SORTED runs: repartition puts each
+        # bucket in exactly one task, the sort makes every output file a
+        # gk-sorted run — tight disjoint row-group ranges for later
+        # sessions' point lookups.
+        novel = (
+            known.filter(
+                (F.col("in_hist") == 0) & (F.col("in_delta") == 0)
+            )
+            .select("gk", "bucket")
+            .repartition(n_verify_parts, "bucket")
+            .sortWithinPartitions("bucket", "gk")
+        )
+        if write_store_partitioned(novel, gram_dir, "bucket", epoch_id):
+            _mark_store_written(spark, checkpoint)
+            session_epochs.add(int(epoch_id))
+        if metrics is not None:
+            metrics[int(epoch_id)] = {
+                "bloom_bytes": m_bytes,
+                "k_hashes": k_hashes,
+                "hist_grams": n_hist,
+                "batch_gks": flagged.count(),
+                "verify_gks": to_verify.count(),
+                "rg_reads_total": rg_reads.value,
+            }
+        if on_batch is not None:
+            on_batch(epoch_id)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    return (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

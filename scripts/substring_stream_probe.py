@@ -17,6 +17,12 @@ measurement time holds exactly that batch's session-novel grams.  Records
 per-batch wall, state rows and state bytes at each corpus size: the
 boundedness claim (state ~ batch, not corpus) is the number the keyed
 form cannot produce (its state is the whole corpus membership).
+
+``--bloom`` (r07) probes the bounded-MEMORY form the same way: per-batch
+wall, session-setup cost (bitmap + run index), the explicit bloom-bitmap
+cap, verify-set size and parquet row-group reads at each corpus size —
+the numbers that show per-batch history cost does not grow with the
+corpus (no cached snapshot, no corpus-sized state anywhere).
 """
 
 from __future__ import annotations
@@ -90,6 +96,71 @@ def _tiered_main(n_seed: int, n_batch: int) -> None:
                     "batch_sec": wall,
                     "state_rows": op.get("numRowsTotal"),
                     "state_bytes": op.get("memoryUsedBytes"),
+                }
+            )
+        results["steps"] = steps
+        flagged = (
+            spark.read.parquet(s_d).filter("n_dup_grams > 0").count()
+        )
+        results["flagged"] = flagged
+        results["expected_flagged"] = (n_seed + 3 * n_batch) // 10
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(results))
+
+
+def _bloom_main(n_seed: int, n_batch: int) -> None:
+    """Bounded-memory form probe: per-batch wall, the EXPLICIT memory cap
+    (bloom bitmap bytes), verify-set size and row-group reads at 3 corpus
+    sizes — the numbers that show history cost does NOT grow with the
+    corpus (VERDICT r06 next-round #1).  Session setup (bitmap + run
+    index, one store pass) is timed separately from the arrival batch."""
+    spark = get_spark(app_name="substring-stream-probe-bloom")
+    results: dict = {"form": "bloom", "n_seed": n_seed, "n_batch": n_batch}
+    sizes = [n_seed // 3, 2 * n_seed // 3, n_seed]
+    all_docs = boilerplate_docs(spark, n_seed + 3 * n_batch).cache()
+    all_docs.count()
+    schema = "doc_id long, text string"
+
+    tmp = tempfile.mkdtemp(prefix="substr_probe_bloom_")
+    try:
+        src = f"{tmp}/src"
+        gram_d, s_d, ckpt = f"{tmp}/grams", f"{tmp}/stats", f"{tmp}/ckpt"
+        steps = []
+        prev = 0
+        for i, sz in enumerate(sizes):
+            all_docs.filter(
+                f"doc_id >= {prev} AND doc_id < {sz}"
+            ).write.mode("append").parquet(src)
+            prev = sz
+            q = SB.bloom_substring_stream(
+                spark, src, schema, gram_d, s_d, ckpt, n=8
+            )
+            q.awaitTermination()  # seed session for this increment
+            lo = n_seed + i * n_batch
+            all_docs.filter(
+                f"doc_id >= {lo} AND doc_id < {lo + n_batch}"
+            ).write.mode("append").parquet(src)
+            metrics: dict = {}
+            t0 = time.time()
+            q = SB.bloom_substring_stream(
+                spark, src, schema, gram_d, s_d, ckpt, n=8, metrics=metrics
+            )
+            setup = round(time.time() - t0, 2)
+            q.awaitTermination()
+            wall = round(time.time() - t0 - setup, 2)
+            (m,) = metrics.values()
+            steps.append(
+                {
+                    "corpus_docs": sz + i * n_batch,
+                    "store_grams": m["hist_grams"],
+                    "setup_sec": setup,
+                    "batch_sec": wall,
+                    "bloom_bytes": m["bloom_bytes"],
+                    "k_hashes": m["k_hashes"],
+                    "batch_gks": m["batch_gks"],
+                    "verify_gks": m["verify_gks"],
+                    "rg_reads": m["rg_reads_total"],
                 }
             )
         results["steps"] = steps
@@ -182,6 +253,9 @@ def main() -> None:
     n_batch = int(args[1]) if len(args) > 1 else 100_000
     if "--tiered" in sys.argv[1:]:
         _tiered_main(n_seed, n_batch)
+        return
+    if "--bloom" in sys.argv[1:]:
+        _bloom_main(n_seed, n_batch)
         return
     if "--compaction" in sys.argv[1:]:
         _compaction_main(n_seed, n_batch)

@@ -1557,3 +1557,243 @@ class TestTieredSubstring:
                 spark, src, schema, gram_d,
                 str(tmp_path / "stats2"), str(tmp_path / "ckpt2"), n=8
             )
+
+
+class TestBloomSubstring:
+    """The bounded-memory stream (streaming/substring.bloom_substring_stream):
+    on-disk sorted-run history, a memory-capped Bloom screen, row-group
+    point-lookup verification, session-delta epoch dirs."""
+
+    def test_single_batch_equals_batch_operator(self, spark, sf_dir, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            dedup as D,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        src = str(tmp_path / "src")
+        docs.select("doc_id", "text").write.parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, "doc_id long, text string",
+            str(tmp_path / "grams"), str(tmp_path / "stats"),
+            str(tmp_path / "ckpt"), n=8,
+        )
+        q.awaitTermination()
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(str(tmp_path / "stats"))
+                .drop("epoch")
+                .collect(),
+            )
+        )
+        want = sorted(map(tuple, D.ngram_dup_stats(docs, n=8).collect()))
+        assert got == want
+
+    def test_cross_session_flags_and_sparse_verify(self, spark, tmp_path):
+        """Session 2 flags a session-1 gram via Bloom screen + exact
+        verify; a mostly-novel batch verifies only the sparse positive
+        set (true dups + Bloom false positives), not the whole batch."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "one two three four five six seven eight"
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+
+        spark.createDataFrame(
+            [(1, f"{span} tail-a"), (2, "short")], schema
+        ).write.mode("append").parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+
+        novel_tail = " ".join(f"w{i}" for i in range(40))
+        m2: dict = {}
+        spark.createDataFrame(
+            [(3, f"prefix {span} suffix"), (4, f"fresh {novel_tail}")],
+            schema,
+        ).write.mode("append").parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8, metrics=m2
+        )
+        q.awaitTermination()
+
+        got = {r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()}
+        assert set(got) == {1, 2, 3, 4}
+        assert got[1]["n_dup_grams"] == 0
+        assert got[3]["n_dup_grams"] == 1  # via bloom + point lookup
+        assert got[2]["n_grams"] == 0 and got[2]["n_dup_grams"] == 0
+        assert got[4]["n_dup_grams"] == 0  # all-novel doc untouched
+        (m,) = m2.values()
+        # sparse verify: far fewer lookups than batch grams (1 true dup +
+        # possible FPs), and the bitmap is the sized cap, not the corpus
+        assert m["verify_gks"] < m["batch_gks"]
+        assert m["bloom_bytes"] >= 1024  # floor clamp at tiny corpora
+        grams = spark.read.parquet(gram_d).select("gk").collect()
+        assert len(grams) == len({r["gk"] for r in grams})
+
+    def test_tiny_bloom_false_positives_stay_exact(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A deliberately undersized bitmap (64 B for ~23k grams — FP
+        rate near 1) floods the verify path with false positives but the
+        FLAGS stay exact: the screen is an optimization, never an
+        answer.  This is the memory-cap degradation contract."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+            dedup as D,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        half = docs.filter("doc_id % 2 = 0")
+        rest = docs.filter("doc_id % 2 = 1")
+        src = str(tmp_path / "src")
+        half.write.mode("append").parquet(src)
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+        q = SB.bloom_substring_stream(
+            spark, src, "doc_id long, text string", gram_d, stats_d, ckpt,
+            n=8, bloom_bytes=64,
+        )
+        q.awaitTermination()
+        m2: dict = {}
+        rest.write.mode("append").parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, "doc_id long, text string", gram_d, stats_d, ckpt,
+            n=8, bloom_bytes=64, metrics=m2,
+        )
+        q.awaitTermination()
+        (m,) = m2.values()
+        assert m["bloom_bytes"] == 64  # explicit cap honored
+        assert m["verify_gks"] > m["batch_gks"] // 2  # FP flood engaged
+        # exactness despite the flood: union run == batch operator
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(stats_d).drop("epoch").collect(),
+            )
+        )
+        # batch twin: session-2 docs judged against session-1 history +
+        # themselves == one-shot operator over the union ONLY for grams;
+        # easiest exact oracle is an uninterrupted single-session run
+        gram2, stats2, ckpt2 = (
+            str(tmp_path / "g2"), str(tmp_path / "s2"), str(tmp_path / "c2")
+        )
+        src2 = str(tmp_path / "src2")
+        half.write.mode("append").parquet(src2)
+        q = SB.bloom_substring_stream(
+            spark, src2, "doc_id long, text string", gram2, stats2, ckpt2,
+            n=8,  # roomy bitmap
+        )
+        q.awaitTermination()
+        rest.write.mode("append").parquet(src2)
+        q = SB.bloom_substring_stream(
+            spark, src2, "doc_id long, text string", gram2, stats2, ckpt2,
+            n=8,
+        )
+        q.awaitTermination()
+        want = sorted(
+            map(
+                tuple,
+                spark.read.parquet(stats2).drop("epoch").collect(),
+            )
+        )
+        assert got == want
+
+    def test_kill_resume_exactly_once(self, spark, tmp_path):
+        """Crash after a batch's stats+store writes but before its
+        commit: the replay excludes the crashed epoch from the session
+        delta and the history cut, so flags and store content come out
+        exactly-once."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "alpha beta gamma delta epsilon zeta eta theta"
+        for rows in [
+            [(10, f"{span} one")],
+            [(20, f"prefix {span} suffix")],
+            [(30, f"{span} once more")],
+        ]:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+
+        def crash_on_1(epoch_id: int) -> None:
+            if epoch_id == 1:
+                raise RuntimeError("injected crash after epoch-1 writes")
+
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt,
+            n=8, max_files_per_trigger=1, on_batch=crash_on_1,
+        )
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination()
+
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt,
+            n=8, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        by_doc = {}
+        for r in spark.read.parquet(stats_d).collect():
+            assert r["doc_id"] not in by_doc, f"doc {r['doc_id']} duplicated"
+            by_doc[r["doc_id"]] = r
+        assert set(by_doc) == {10, 20, 30}
+        assert by_doc[10]["n_dup_grams"] == 0
+        assert by_doc[20]["n_dup_grams"] == 1
+        assert by_doc[30]["n_dup_grams"] == 1
+        grams = spark.read.parquet(gram_d).select("gk").collect()
+        assert len(grams) == len({r["gk"] for r in grams})
+
+    def test_guards_shared_with_history_forms(self, spark, tmp_path):
+        """Missing store behind a marked checkpoint and a brand-new
+        checkpoint against a store with history both refuse loudly
+        (shared _session_history_guards)."""
+        import shutil as _sh
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "uno dos tres cuatro cinco seis siete ocho"
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+        spark.createDataFrame([(1, span)], schema).write.mode(
+            "append"
+        ).parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        with pytest.raises(ValueError, match="brand new"):
+            SB.bloom_substring_stream(
+                spark, src, schema, gram_d,
+                str(tmp_path / "stats2"), str(tmp_path / "ckpt2"), n=8
+            )
+        _sh.rmtree(gram_d)
+        spark.createDataFrame([(2, span)], schema).write.mode(
+            "append"
+        ).parquet(src)
+        with pytest.raises(ValueError, match="store.*missing"):
+            SB.bloom_substring_stream(
+                spark, src, schema, gram_d, stats_d, ckpt, n=8
+            )
