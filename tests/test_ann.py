@@ -431,3 +431,41 @@ def test_nearest_centroid_both_paths_null_to_null(spark):
             "c", A.nearest_centroid_col(big_cents, "embedding")
         ).collect()
     ] == [None, None]
+
+
+def test_recall_report_tier_floors_are_pinned(spark):
+    """Hard per-tier recall floors for the driver-visible
+    ``ann_recall_report`` (VERDICT r06 next-round #6): a recall drift in
+    any quantization/pruning tier fails CI instead of waiting for a
+    human to read BASELINE.md between rounds (that is how r5's
+    pq_refine 0.96 -> 0.95 drift was caught).  The report is
+    deterministic per fixture (seeded k-means), so these are regression
+    pins with measured margin, not statistical claims: measured means at
+    sf0.001 / sf0.01 are sq8 1.0/1.0, sq8_1536d 1.0/1.0, pq_refine
+    0.9188/0.9188 (shortlist 50), ivf 0.694/0.663 (nprobe 2 of 8),
+    ivfpq 0.681/0.650 (nprobe 2, shortlist 50), pq 0.431/0.525 (raw ADC,
+    the by-design weak tier).  Floors hold at BOTH fixtures; any seeded-
+    kernel change must re-validate them with a seed sweep
+    (BASELINE.md discipline)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        queries as Q,
+    )
+
+    report = Q.QUERIES["ann_recall_report"](spark, "/root/testdata/sf0.001")
+    means = {
+        r["method"]: r["recall_at_5"]
+        for r in report.filter("probe_id = -1").collect()
+    }
+    floors = {
+        "sq8": 0.99,
+        "sq8_1536d": 0.99,
+        "pq_refine": 0.90,
+        "ivf": 0.60,
+        "ivfpq": 0.60,
+        "pq": 0.40,
+    }
+    assert set(means) == set(floors), f"tiers changed: {sorted(means)}"
+    bad = {m: v for m, v in means.items() if v < floors[m]}
+    assert not bad, f"recall floor violations (floor -> got): " + ", ".join(
+        f"{m}: {floors[m]} -> {v:.4f}" for m, v in bad.items()
+    )
