@@ -968,6 +968,323 @@ def _sfnt_unicode_cmap(data: bytes) -> dict[int, int] | None:
     return mapped or None
 
 
+# ---------------------------------------------------------------------------
+# Bare-CFF charset fallback (Adobe CFF spec, TN #5176) — the last common
+# text-recovery miss vs PDFBox's font machinery (reference
+# BlobUploadDetector/.../Function.java:94): an embedded /FontFile3 that is
+# a BARE CFF (PDF stream /Subtype /Type1C or /CIDFontType0C) has NO sfnt
+# wrapper and therefore no ``cmap`` table at all, and an OpenType/CFF may
+# legally omit the unicode subtables.  For NAME-KEYED CFFs the font's own
+# ``charset`` maps every glyph id to a glyph-name SID and its ``Encoding``
+# maps byte codes to glyph ids — composing them with the Adobe-Glyph-List
+# table above recovers text with no unicode table anywhere.  CID-keyed
+# CFFs (Top DICT carries ROS) put CIDs, not names, in the charset — no
+# names to recover, so they keep the identity fallback.
+# ---------------------------------------------------------------------------
+
+# CFF standard strings, SIDs 0-228 (spec Appendix A) — the text-bearing
+# core (ISOAdobe charset).  SIDs 229-390 are the Expert set (small-caps /
+# oldstyle figure variants with no direct unicode in _GLYPH_NAMES), left
+# unmapped on purpose: they fall through exactly like any other unknown
+# glyph name.  Custom strings start at SID 391.
+_CFF_STD_STRINGS: tuple[str, ...] = (
+    ".notdef", "space", "exclam", "quotedbl", "numbersign", "dollar",
+    "percent", "ampersand", "quoteright", "parenleft", "parenright",
+    "asterisk", "plus", "comma", "hyphen", "period", "slash",
+    "zero", "one", "two", "three", "four", "five", "six", "seven",
+    "eight", "nine", "colon", "semicolon", "less", "equal", "greater",
+    "question", "at",
+    *list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+    "bracketleft", "backslash", "bracketright", "asciicircum",
+    "underscore", "quoteleft",
+    *list("abcdefghijklmnopqrstuvwxyz"),
+    "braceleft", "bar", "braceright", "asciitilde", "exclamdown", "cent",
+    "sterling", "fraction", "yen", "florin", "section", "currency",
+    "quotesingle", "quotedblleft", "guillemotleft", "guilsinglleft",
+    "guilsinglright", "fi", "fl", "endash", "dagger", "daggerdbl",
+    "periodcentered", "paragraph", "bullet", "quotesinglbase",
+    "quotedblbase", "quotedblright", "guillemotright", "ellipsis",
+    "perthousand", "questiondown", "grave", "acute", "circumflex",
+    "tilde", "macron", "breve", "dotaccent", "dieresis", "ring",
+    "cedilla", "hungarumlaut", "ogonek", "caron", "emdash", "AE",
+    "ordfeminine", "Lslash", "Oslash", "OE", "ordmasculine", "ae",
+    "dotlessi", "lslash", "oslash", "oe", "germandbls", "onesuperior",
+    "logicalnot", "mu", "trademark", "Eth", "onehalf", "plusminus",
+    "Thorn", "onequarter", "divide", "brokenbar", "degree", "thorn",
+    "threequarters", "twosuperior", "registered", "minus", "eth",
+    "multiply", "threesuperior", "copyright", "Aacute", "Acircumflex",
+    "Adieresis", "Agrave", "Aring", "Atilde", "Ccedilla", "Eacute",
+    "Ecircumflex", "Edieresis", "Egrave", "Iacute", "Icircumflex",
+    "Idieresis", "Igrave", "Ntilde", "Oacute", "Ocircumflex",
+    "Odieresis", "Ograve", "Otilde", "Scaron", "Uacute", "Ucircumflex",
+    "Udieresis", "Ugrave", "Yacute", "Ydieresis", "Zcaron", "aacute",
+    "acircumflex", "adieresis", "agrave", "aring", "atilde", "ccedilla",
+    "eacute", "ecircumflex", "edieresis", "egrave", "iacute",
+    "icircumflex", "idieresis", "igrave", "ntilde", "oacute",
+    "ocircumflex", "odieresis", "ograve", "otilde", "scaron", "uacute",
+    "ucircumflex", "udieresis", "ugrave", "yacute", "ydieresis",
+    "zcaron",
+)
+
+
+def _cff_index(data: bytes, off: int) -> tuple[list[bytes], int] | None:
+    """Parse one CFF INDEX at ``off``: (items, offset-past-the-INDEX), or
+    None on a malformed structure (caller falls through)."""
+    if off + 2 > len(data):
+        return None
+    count = _u16(data, off)
+    if count == 0:
+        return [], off + 2
+    if off + 3 > len(data):
+        return None
+    osz = data[off + 2]
+    if not 1 <= osz <= 4:
+        return None
+    p = off + 3
+    if p + (count + 1) * osz > len(data):
+        return None
+    offs = []
+    for _ in range(count + 1):
+        v = 0
+        for b in data[p : p + osz]:
+            v = (v << 8) | b
+        offs.append(v)
+        p += osz
+    base = p - 1
+    if offs[0] != 1 or any(
+        offs[i] > offs[i + 1] for i in range(count)
+    ) or base + offs[-1] > len(data):
+        return None
+    items = [data[base + offs[i] : base + offs[i + 1]] for i in range(count)]
+    return items, base + offs[-1]
+
+
+def _cff_dict(data: bytes) -> dict[int, list[float]]:
+    """CFF DICT -> {operator: operands}; two-byte escape operators are
+    keyed as 1200+b1.  Real-number operands parse loosely (this module
+    only consumes integer offsets)."""
+    out: dict[int, list[float]] = {}
+    operands: list[float] = []
+    i = 0
+    while i < len(data):
+        b0 = data[i]
+        if b0 <= 21:
+            op, i = b0, i + 1
+            if b0 == 12:
+                if i >= len(data):
+                    break
+                op, i = 1200 + data[i], i + 1
+            out[op] = operands
+            operands = []
+        elif b0 == 28 and i + 3 <= len(data):
+            operands.append(int.from_bytes(data[i + 1 : i + 3], "big", signed=True))
+            i += 3
+        elif b0 == 29 and i + 5 <= len(data):
+            operands.append(int.from_bytes(data[i + 1 : i + 5], "big", signed=True))
+            i += 5
+        elif b0 == 30:
+            i += 1
+            s = ""
+            while i < len(data):
+                hi, lo = data[i] >> 4, data[i] & 15
+                i += 1
+                done = False
+                for nib in (hi, lo):
+                    if nib <= 9:
+                        s += str(nib)
+                    elif nib == 10:
+                        s += "."
+                    elif nib == 11:
+                        s += "E"
+                    elif nib == 12:
+                        s += "E-"
+                    elif nib == 14:
+                        s += "-"
+                    elif nib == 15:
+                        done = True
+                        break
+                if done:
+                    break
+            try:
+                operands.append(float(s or "0"))
+            except ValueError:
+                operands.append(0.0)
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250 and i + 2 <= len(data):
+            operands.append((b0 - 247) * 256 + data[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254 and i + 2 <= len(data):
+            operands.append(-(b0 - 251) * 256 - data[i + 1] - 108)
+            i += 2
+        else:
+            i += 1  # reserved byte: skip, stay robust
+    return out
+
+
+def _cff_charset_sids(
+    data: bytes, off: int, nglyphs: int
+) -> list[int] | None:
+    """gid -> SID from the charset at ``off`` (formats 0/1/2).  Offset 0
+    is the predefined ISOAdobe charset (SID i for gid i); the Expert
+    predefined charsets (1/2) carry no recoverable text names here."""
+    if off == 0:
+        return list(range(min(nglyphs, len(_CFF_STD_STRINGS))))
+    if off in (1, 2) or off >= len(data):
+        return None
+    fmt = data[off]
+    sids = [0]  # gid 0 is always .notdef
+    p = off + 1
+    if fmt == 0:
+        while len(sids) < nglyphs:
+            if p + 2 > len(data):
+                return None
+            sids.append(_u16(data, p))
+            p += 2
+    elif fmt in (1, 2):
+        step = 3 if fmt == 1 else 4
+        while len(sids) < nglyphs:
+            if p + step > len(data):
+                return None
+            first = _u16(data, p)
+            nleft = data[p + 2] if fmt == 1 else _u16(data, p + 2)
+            p += step
+            for k in range(nleft + 1):
+                if len(sids) >= nglyphs:
+                    break
+                sids.append(first + k)
+    else:
+        return None
+    return sids
+
+
+def _cff_encoding_codes(data: bytes, off: int) -> dict[int, int] | None:
+    """code -> gid from a CUSTOM Encoding at ``off`` (formats 0/1).
+    Predefined encodings (offset 0 Standard / 1 Expert) return None —
+    for them the existing /Encoding + latin-1 fall-through already
+    matches the ASCII core, and overriding it would change decoded
+    bytes for classic fixtures.  Supplement entries (high bit of the
+    format byte) map extra codes by SID, not gid — skipped; those codes
+    keep the fall-through behavior."""
+    if off in (0, 1) or off >= len(data):
+        return None
+    fmt = data[off] & 0x7F
+    out: dict[int, int] = {}
+    p = off + 1
+    if fmt == 0:
+        if p >= len(data):
+            return None
+        ncodes = data[p]
+        p += 1
+        for gid in range(1, ncodes + 1):
+            if p >= len(data):
+                return None
+            out[data[p]] = gid
+            p += 1
+    elif fmt == 1:
+        if p >= len(data):
+            return None
+        nranges = data[p]
+        p += 1
+        gid = 1
+        for _ in range(nranges):
+            if p + 2 > len(data):
+                return None
+            first, nleft = data[p], data[p + 1]
+            p += 2
+            for k in range(nleft + 1):
+                out[first + k] = gid
+                gid += 1
+    else:
+        return None
+    return out or None
+
+
+def _cff_maps(
+    prog: bytes,
+) -> tuple[dict[int, str], dict[int, str]] | None:
+    """(gid -> unicode, code -> unicode) recovered from a bare CFF font
+    program's charset (+ custom Encoding).  None for CID-keyed CFFs
+    (charset holds CIDs, not names) and anything malformed — callers
+    fall through to the identity behavior."""
+    if len(prog) < 4 or prog[0] != 1:
+        return None
+    r = _cff_index(prog, prog[2])  # Name INDEX at hdrSize
+    if r is None:
+        return None
+    _names, p = r
+    r = _cff_index(prog, p)  # Top DICT INDEX
+    if r is None:
+        return None
+    tds, p = r
+    if not tds:
+        return None
+    top = _cff_dict(tds[0])
+    r = _cff_index(prog, p)  # String INDEX
+    if r is None:
+        return None
+    strings, _ = r
+    if 1230 in top:  # ROS -> CID-keyed
+        return None
+    if 17 not in top or not top[17]:
+        return None
+    r = _cff_index(prog, int(top[17][0]))  # CharStrings INDEX
+    if r is None:
+        return None
+    charstrings, _ = r
+    nglyphs = len(charstrings)
+    ch_off = int(top.get(15, [0])[0]) if top.get(15) else 0
+    sids = _cff_charset_sids(prog, ch_off, nglyphs)
+    if sids is None:
+        return None
+
+    def sid_name(s: int) -> str | None:
+        if s < len(_CFF_STD_STRINGS):
+            return _CFF_STD_STRINGS[s]
+        cu = s - 391
+        if 0 <= cu < len(strings):
+            return strings[cu].decode("latin-1")
+        return None
+
+    gid2uni: dict[int, str] = {}
+    for g, s in enumerate(sids):
+        nm = sid_name(s)
+        ch = _glyph_char(nm) if nm else None
+        if ch is not None:
+            gid2uni[g] = ch
+    code2uni: dict[int, str] = {}
+    enc_off = int(top.get(16, [0])[0]) if top.get(16) else 0
+    code2gid = _cff_encoding_codes(prog, enc_off)
+    if code2gid:
+        for c, g in code2gid.items():
+            ch = gid2uni.get(g)
+            if ch is not None:
+                code2uni[c] = ch
+    return gid2uni, code2uni
+
+
+def _sfnt_table(data: bytes, tag: bytes) -> bytes | None:
+    """Payload of one sfnt table (used to pull ``CFF `` out of an
+    OpenType/CFF whose cmap is absent)."""
+    if len(data) < 12 or data[:4] not in (
+        b"\x00\x01\x00\x00",
+        b"OTTO",
+        b"true",
+    ):
+        return None
+    for i in range(_u16(data, 4)):
+        rec = 12 + 16 * i
+        if rec + 16 > len(data):
+            return None
+        if data[rec : rec + 4] == tag:
+            off, ln = _u32(data, rec + 8), _u32(data, rec + 12)
+            if off + ln <= len(data):
+                return data[off : off + ln]
+            return None
+    return None
+
+
 def _cid_to_gid_stream(desc: bytes, objects: dict[int, bytes]) -> bytes | None:
     """The /CIDToGIDMap stream payload (2 big-endian bytes per CID), or
     None for the default /Identity (or an unreadable stream)."""
@@ -1011,16 +1328,24 @@ def _type0_embedded_cmap(
     if not prog:
         return None
     uni2gid = _sfnt_unicode_cmap(prog)
-    if not uni2gid:
-        return None
-    # Invert deterministically: when several unicodes share a glyph the
-    # LOWEST code point wins (ligature/variant glyphs resolve to the
-    # canonical character).
-    gid2uni: dict[int, str] = {}
-    for uni in sorted(uni2gid):
-        gid = uni2gid[uni]
-        if gid not in gid2uni:
-            gid2uni[gid] = chr(uni)
+    if uni2gid:
+        # Invert deterministically: when several unicodes share a glyph
+        # the LOWEST code point wins (ligature/variant glyphs resolve to
+        # the canonical character).
+        gid2uni: dict[int, str] = {}
+        for uni in sorted(uni2gid):
+            gid = uni2gid[uni]
+            if gid not in gid2uni:
+                gid2uni[gid] = chr(uni)
+    else:
+        # No sfnt cmap: a bare CFF (/Type1C — FontFile3 carries no sfnt
+        # wrapper at all) or an OpenType/CFF without unicode subtables.
+        # Recover glyph names from the CFF charset instead (section
+        # comment above _CFF_STD_STRINGS).
+        maps = _cff_maps(_sfnt_table(prog, b"CFF ") or prog)
+        if maps is None or not maps[0]:
+            return None
+        gid2uni = maps[0]
     c2g = _cid_to_gid_stream(desc, objects)
     if c2g is None:
         return gid2uni
@@ -1030,6 +1355,29 @@ def _type0_embedded_cmap(
         if v is not None:
             out[cid] = v
     return out or None
+
+
+def _simple_font_cff_encoding(
+    fbody: bytes, objects: dict[int, bytes]
+) -> dict[int, str] | None:
+    """code -> unicode for a SIMPLE font with neither /ToUnicode nor a
+    usable /Encoding, recovered from its embedded bare-CFF program's own
+    Encoding + charset (/FontFile3, /Subtype /Type1C) — the symbolic-
+    Type1C case where byte codes are font-private and the latin-1
+    fall-through is wrong for every remapped code."""
+    fd = _dict_value(fbody, b"FontDescriptor", objects)
+    if not fd:
+        return None
+    fm = re.search(rb"/FontFile3\s+(\d+)\s+\d+\s+R", fd)
+    if not fm:
+        return None
+    prog = _stream_of(objects.get(int(fm.group(1)), b""))
+    if not prog:
+        return None
+    maps = _cff_maps(_sfnt_table(prog, b"CFF ") or prog)
+    if maps is None:
+        return None
+    return maps[1] or None
 
 
 def _page_fonts(
@@ -1072,6 +1420,13 @@ def _page_fonts(
             # standard-encoding character in every non-symbolic layout.
             cmap = _type0_embedded_cmap(fbody, objects)
         enc = None if two_byte else _parse_encoding(fbody, objects)
+        if not two_byte and cmap is None and enc is None:
+            # Simple font with no ToUnicode and no /Encoding: its
+            # embedded Type1C program may carry its own code->glyph
+            # Encoding + charset (custom/symbolic layouts where latin-1
+            # is wrong).  A PDF-side /Encoding, when present, keeps
+            # precedence per PDF 32000-1 §9.6.6.
+            enc = _simple_font_cff_encoding(fbody, objects)
         fonts[name] = _Font(two_byte, cmap, enc)
     return fonts
 
@@ -1786,6 +2141,163 @@ def make_pdf_type0_embedded(pages: list[list[str]] | list[str]) -> bytes:
                 ops += b"0 -14 Td\n"
             hexgids = b"".join(b"%04X" % gid_of[ch] for ch in line)
             ops += b"<" + hexgids + b"> Tj\n"
+        ops += b"ET"
+        data = zlib.compress(bytes(ops))
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _make_cff(glyph_names: list[str], codes: list[int]) -> bytes:
+    """Assemble a minimal name-keyed bare CFF: charset format 0 mapping
+    gid i+1 to ``glyph_names[i]`` (standard SIDs where the name is a CFF
+    standard string, custom strings otherwise), Encoding format 0 mapping
+    ``codes[i]`` to gid i+1, and dummy single-op charstrings (parsers
+    here only need the glyph COUNT)."""
+    std_sid = {n: i for i, n in enumerate(_CFF_STD_STRINGS)}
+    custom: list[bytes] = []
+    sids: list[int] = []
+    for nm in glyph_names:
+        if nm in std_sid:
+            sids.append(std_sid[nm])
+        else:
+            sids.append(391 + len(custom))
+            custom.append(nm.encode("latin-1"))
+
+    def ix(items: list[bytes]) -> bytes:
+        if not items:
+            return b"\x00\x00"
+        data = b"".join(items)
+        osz = 1 if len(data) + 1 <= 0xFF else 2
+        out = len(items).to_bytes(2, "big") + bytes([osz])
+        off = 1
+        offs = [off]
+        for it in items:
+            off += len(it)
+            offs.append(off)
+        out += b"".join(o.to_bytes(osz, "big") for o in offs)
+        return out + data
+
+    n = len(glyph_names)
+    header = b"\x01\x00\x04\x01"
+    name_ix = ix([b"MiniCFF"])
+    # Top DICT: three 5-byte integer operands (byte 29) + 1-byte ops
+    # 15/16/17 -> fixed 18-byte DICT, so offsets resolve in one pass.
+    top_data_len = 18
+    top_ix_len = 2 + 1 + 2 + top_data_len
+    str_ix = ix(custom)
+    gsubr_ix = b"\x00\x00"
+    pos_enc = 4 + len(name_ix) + top_ix_len + len(str_ix) + len(gsubr_ix)
+    enc = bytes([0, n]) + bytes(codes)
+    pos_charset = pos_enc + len(enc)
+    charset = b"\x00" + b"".join(s.to_bytes(2, "big") for s in sids)
+    pos_cs = pos_charset + len(charset)
+    charstrings = ix([b"\x0e"] * (n + 1))  # gid 0 (.notdef) + n glyphs
+
+    def i5(v: int) -> bytes:
+        return b"\x1d" + v.to_bytes(4, "big")
+
+    top_data = (
+        i5(pos_charset) + b"\x0f" + i5(pos_enc) + b"\x10" + i5(pos_cs)
+        + b"\x11"
+    )
+    assert len(top_data) == top_data_len
+    top_ix = b"\x00\x01\x01" + bytes([1, 1 + top_data_len]) + top_data
+    return (
+        header + name_ix + top_ix + str_ix + gsubr_ix + enc + charset
+        + charstrings
+    )
+
+
+def make_pdf_cff_simple(pages: list[list[str]] | list[str]) -> bytes:
+    """Write a SIMPLE-font PDF whose only route back to text is the
+    embedded bare CFF's own Encoding + charset: /FontFile3 (/Type1C), NO
+    /ToUnicode, NO /Encoding, and byte codes assigned sequentially from
+    128 (NOT character codes — the latin-1 fall-through would produce
+    accented garbage).  Glyph names mix CFF standard strings (letters,
+    digits, punctuation) with custom ``uniXXXX`` strings, so both SID
+    ranges are exercised.  The layout PDFBox survives via its font
+    machinery in the reference (Function.java:94)."""
+    norm: list[list[str]] = [
+        p.split("\n") if isinstance(p, str) else list(p) for p in pages
+    ]
+    gid_of: dict[str, int] = {}
+    for lines in norm:
+        for line in lines:
+            for ch in line:
+                if ch not in gid_of:
+                    gid_of[ch] = len(gid_of) + 1
+    if len(gid_of) > 120:
+        raise ValueError(
+            "make_pdf_cff_simple: too many distinct characters for the"
+            " single-byte code space this fixture assigns from 128"
+        )
+    rev_std: dict[str, str] = {}
+    for nm in _CFF_STD_STRINGS:
+        ch = _glyph_char(nm)
+        if ch is not None and len(ch) == 1 and ch not in rev_std:
+            rev_std[ch] = nm
+    by_gid = sorted(gid_of, key=gid_of.get)
+    names = [rev_std.get(ch, "uni%04X" % ord(ch)) for ch in by_gid]
+    codes = [128 + i for i in range(len(by_gid))]
+    code_of = {ch: 128 + gid_of[ch] - 1 for ch in gid_of}
+    font_raw = _make_cff(names, codes)
+    font_z = zlib.compress(font_raw)
+
+    n_pages = len(norm)
+    kid_nums = [6 + 2 * i for i in range(n_pages)]
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = b" ".join(b"%d 0 R" % k for k in kid_nums)
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /MiniCFF "
+        b"/FontDescriptor 4 0 R >>"
+    )
+    objs.append(
+        b"<< /Type /FontDescriptor /FontName /MiniCFF /Flags 4 "
+        b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+        b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile3 5 0 R >>"
+    )
+    objs.append(
+        b"<< /Length %d /Filter /FlateDecode /Subtype /Type1C >>\nstream\n"
+        % len(font_z)
+        + font_z
+        + b"\nendstream"
+    )
+    for i, lines in enumerate(norm):
+        content_num = kid_nums[i] + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % content_num
+        )
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                ops += b"0 -14 Td\n"
+            hexcodes = b"".join(b"%02X" % code_of[ch] for ch in line)
+            ops += b"<" + hexcodes + b"> Tj\n"
         ops += b"ET"
         data = zlib.compress(bytes(ops))
         objs.append(

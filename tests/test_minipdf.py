@@ -539,3 +539,122 @@ def test_type0_malformed_tounicode_falls_back_to_embedded_cmap():
     pdf2 = pdf2.replace(b"xref\n", tu_obj + b"xref\n", 1)
     got = MP.extract_text_pages(pdf2)
     assert got == ["alpha line one\nalpha line two", "beta solo"]
+
+
+# --- bare-CFF charset fallback (simple /Type1C without /Encoding) ---------
+
+
+def test_cff_simple_roundtrip():
+    """A simple font whose ONLY route back to text is the embedded bare
+    CFF's Encoding + charset: no /ToUnicode, no /Encoding, byte codes
+    assigned from 128 so the latin-1 fall-through would yield accented
+    garbage."""
+    pdf = MP.make_pdf_cff_simple(PAGES)
+    assert b"/ToUnicode" not in pdf and b"/Encoding" not in pdf
+    assert b"/FontFile3" in pdf
+    assert MP.extract_text_pages(pdf) == [
+        "alpha line one\nalpha line two",
+        "beta solo",
+    ]
+
+
+def test_cff_simple_custom_strings():
+    """Non-ASCII glyphs resolve through CUSTOM strings (SID >= 391,
+    uniXXXX names) alongside standard-SID letters."""
+    pages = [["café déjà — naïve"]]
+    assert MP.extract_text_pages(MP.make_pdf_cff_simple(pages)) == [
+        "café déjà — naïve"
+    ]
+
+
+def test_cff_corrupt_font_falls_back():
+    """A truncated/garbage Type1C program must not crash — decoding
+    falls back to latin-1 exactly as before this feature."""
+    import re as _re
+    import zlib as _z
+
+    pdf = MP.make_pdf_cff_simple([["hi"]])
+    m = _re.search(
+        rb"/Subtype /Type1C >>\nstream\n(.*?)\nendstream", pdf, _re.S
+    )
+    assert m
+    garbage = _z.compress(b"\xff\xfe" * 8)
+    bad = pdf[: m.start(1)] + garbage + pdf[m.end(1) :]
+    bad = bad.replace(
+        b"/Length %d " % len(m.group(1)), b"/Length %d " % len(garbage), 1
+    )
+    got = MP.extract_text_pages(bad)
+    assert got is not None  # parsed; fallback (garbled) decoding
+
+
+def test_cff_pdf_side_encoding_keeps_precedence():
+    """When the font dict DOES carry /Encoding, it wins over the CFF's
+    built-in encoding (PDF 32000-1 §9.6.6) — the fallback only fills the
+    no-Encoding gap."""
+    pdf = MP.make_pdf_cff_simple([["AB"]])
+    # graft an explicit /Encoding with /Differences remapping the two
+    # fixture codes (128, 129) to swapped glyph names
+    pdf2 = pdf.replace(
+        b"/BaseFont /MiniCFF /FontDescriptor",
+        b"/BaseFont /MiniCFF /Encoding << /Differences [128 /B /A] >>"
+        b" /FontDescriptor",
+        1,
+    )
+    assert MP.extract_text_pages(pdf2) == ["BA"]
+
+
+def test_cff_charset_and_encoding_range_formats():
+    """Range-coded charset (format 1/2) and Encoding (format 1) parse to
+    the same maps as the array forms."""
+    # (offsets 0/1/2 are the predefined-charset sentinels, so the
+    # synthetic tables are padded to start at a real offset)
+    pad = b"\x00\x00\x00"
+    # charset format 1: gid 1..4 -> SIDs 34,35,36,37 (A,B,C,D)
+    cs1 = pad + b"\x01" + (34).to_bytes(2, "big") + b"\x03"
+    assert MP._cff_charset_sids(cs1, 3, 5) == [0, 34, 35, 36, 37]
+    cs2 = pad + b"\x02" + (66).to_bytes(2, "big") + (1).to_bytes(2, "big")
+    assert MP._cff_charset_sids(cs2, 3, 3) == [0, 66, 67]
+    # encoding format 1: codes 40..42 -> gids 1..3
+    enc1 = pad + b"\x01\x01" + bytes([40, 2])
+    assert MP._cff_encoding_codes(enc1, 3) == {40: 1, 41: 2, 42: 3}
+    # predefined encodings are left to the existing fall-through
+    assert MP._cff_encoding_codes(b"", 0) is None
+    assert MP._cff_encoding_codes(b"", 1) is None
+
+
+def test_cff_maps_rejects_cid_keyed_and_garbage():
+    """CID-keyed CFFs (ROS in the Top DICT) and malformed programs map
+    to None — identity fallback unchanged."""
+    assert MP._cff_maps(b"") is None
+    assert MP._cff_maps(b"\x02\x00\x04\x01" + b"\x00" * 32) is None
+    # build a valid name-keyed CFF, then rewrite its Top DICT to carry
+    # ROS (12 30): operands 391 391 0 + escape op
+    good = MP._make_cff(["A"], [65])
+    maps = MP._cff_maps(good)
+    assert maps is not None and maps[0][1] == "A" and maps[1][65] == "A"
+    ros_op = (
+        b"\x1d" + (391).to_bytes(4, "big")
+        + b"\x1d" + (391).to_bytes(4, "big")
+        + b"\x1d" + (0).to_bytes(4, "big")
+    )
+    # swap the 18-byte dict body for ROS operands + escape operator
+    # (12 30) + a CharStrings op so the length stays parseable
+    top_start = good.index(b"\x00\x01\x01") + 5
+    cid_dict = ros_op[:13] + b"\x0c\x1e" + b"\x1d" + good[
+        top_start + 13 : top_start + 17
+    ]
+    assert len(cid_dict) == 20
+    bad = bytearray(good)
+    bad[good.index(b"\x00\x01\x01") : top_start + 18] = (
+        b"\x00\x01\x01" + bytes([1, 21]) + cid_dict
+    )
+    assert MP._cff_maps(bytes(bad)) is None
+
+
+def test_cff_pdf_through_spark_pipeline(spark, tmp_path):
+    d = tmp_path / "pdfs_cff"
+    d.mkdir()
+    (d / "t1c.pdf").write_bytes(MP.make_pdf_cff_simple([["type1c text"]]))
+    pages = B.extract_pages(B.read_binary_dir(spark, str(d), glob="*.pdf"))
+    rows = {r["pageNumber"]: r["text"] for r in pages.collect()}
+    assert rows[1] == "type1c text"
