@@ -43,11 +43,16 @@ memory-capped Bloom screen, and row-group point lookups for the sparse
 verify set — use :func:`bloom_substring_stream` (r07), the form whose
 per-batch wall and executor memory do not grow with the corpus.
 
-Choosing a form by corpus size: the store-scan form is simplest and
-fine while the store scan is cheap; keyed is fastest on wall up to
-~1M-doc corpora but moves corpus-linear state bytes every batch; tiered
-bounds state but caches a corpus-sized snapshot; bloom bounds both and
-is the 100 TB shape.
+Choosing a form by corpus size (measured, BASELINE.md r07 crossover
+probe at 2M/4.1M docs): the store-scan form is simplest and fine while
+the store scan is cheap; keyed is fastest on RAW WALL through at least
+4M docs on local[32] (11-17 s/arrival) but round-trips ~225 MB of Arrow
+state per 1M corpus docs EVERY batch (910 MB at 4M — structurally dead
+an order of magnitude later); tiered bounds state by session ingest but
+caches a corpus-sized snapshot per session; bloom bounds both wall and
+memory (flat 9-12 s/batch, capped bitmap) at the cost of a per-session
+setup scan, and is the 100 TB shape.  Steady-state ingest (one session,
+many batches) -> bloom; ad-hoc small corpora -> keyed.
 """
 
 from __future__ import annotations

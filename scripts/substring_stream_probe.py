@@ -164,11 +164,115 @@ def _bloom_main(n_seed: int, n_batch: int) -> None:
                 }
             )
         results["steps"] = steps
+        # Compaction folds the accumulated per-epoch runs to ONE sorted
+        # run per bucket; row-group reads per verify are proportional to
+        # run count, so the post-compaction arrival shows the floor.
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (  # noqa: E501
+            stores,
+        )
+
+        t0 = time.time()
+        results["compact"] = stores.compact_store(
+            spark, gram_d, "bucket", sort_cols=["gk"]
+        )
+        results["compact_sec"] = round(time.time() - t0, 2)
+        lo = n_seed + 3 * n_batch
+        boilerplate_docs(spark, lo + n_batch).filter(
+            f"doc_id >= {lo}"
+        ).write.mode("append").parquet(src)
+        metrics2: dict = {}
+        t0 = time.time()
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, s_d, ckpt, n=8, metrics=metrics2
+        )
+        setup = round(time.time() - t0, 2)
+        q.awaitTermination()
+        (m2,) = metrics2.values()
+        results["post_compact_step"] = {
+            "setup_sec": setup,
+            "batch_sec": round(time.time() - t0 - setup, 2),
+            "verify_gks": m2["verify_gks"],
+            "rg_reads": m2["rg_reads_total"],
+        }
         flagged = (
             spark.read.parquet(s_d).filter("n_dup_grams > 0").count()
         )
         results["flagged"] = flagged
-        results["expected_flagged"] = (n_seed + 3 * n_batch) // 10
+        results["expected_flagged"] = (n_seed + 4 * n_batch) // 10
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(results))
+
+
+def _crossover_main(n_seed: int, n_batch: int) -> None:
+    """Keyed vs tiered vs bloom at LARGE corpora (VERDICT r06 next-round
+    #5): the keyed form was still ~1.5x faster on wall at ~1M docs
+    despite its corpus-linear per-batch Arrow state transfer; this probe
+    measures all three forms' arrival-batch wall at n_seed/2 and n_seed
+    docs (cumulative seeding, fresh session per arrival, own store/
+    checkpoint per form) to record where the bounded forms win outright.
+    Run: ``python scripts/substring_stream_probe.py 4000000 100000
+    --crossover``."""
+    spark = get_spark(app_name="substring-stream-probe-crossover")
+    results: dict = {
+        "form": "crossover", "n_seed": n_seed, "n_batch": n_batch,
+    }
+    sizes = [n_seed // 2, n_seed]
+    all_docs = boilerplate_docs(spark, n_seed + 2 * n_batch).cache()
+    all_docs.count()
+    schema = "doc_id long, text string"
+
+    def run(form: str, tmp: str, lo_probe: int) -> dict:
+        src = f"{tmp}/{form}/src"
+        gram_d = f"{tmp}/{form}/grams"
+        s_d, ckpt = f"{tmp}/{form}/stats", f"{tmp}/{form}/ckpt"
+        t0 = time.time()
+        if form == "keyed":
+            q = SB.keyed_substring_stream(spark, src, schema, s_d, ckpt, n=8)
+        elif form == "tiered":
+            q = SB.tiered_substring_stream(
+                spark, src, schema, gram_d, s_d, ckpt, n=8
+            )
+        else:
+            q = SB.bloom_substring_stream(
+                spark, src, schema, gram_d, s_d, ckpt, n=8
+            )
+        q.awaitTermination()
+        step = {"session_sec": round(time.time() - t0, 2)}
+        op = _state_op(q)
+        if op:
+            step["state_bytes"] = op.get("memoryUsedBytes")
+        return step
+
+    steps = []
+    prev = 0
+    tmp = tempfile.mkdtemp(prefix="substr_probe_xover_")
+    try:
+        for i, sz in enumerate(sizes):
+            inc = all_docs.filter(f"doc_id >= {prev} AND doc_id < {sz}")
+            for form in ("keyed", "tiered", "bloom"):
+                inc.write.mode("append").parquet(f"{tmp}/{form}/src")
+            prev = sz
+            for form in ("keyed", "tiered", "bloom"):
+                run(form, tmp, 0)  # seed session for this increment
+            lo = n_seed + i * n_batch
+            probe = all_docs.filter(
+                f"doc_id >= {lo} AND doc_id < {lo + n_batch}"
+            )
+            entry = {"corpus_docs": sz + i * n_batch}
+            for form in ("keyed", "tiered", "bloom"):
+                probe.write.mode("append").parquet(f"{tmp}/{form}/src")
+                entry[form] = run(form, tmp, lo)
+            steps.append(entry)
+        results["steps"] = steps
+        flagged = {
+            form: spark.read.parquet(f"{tmp}/{form}/stats")
+            .filter("n_dup_grams > 0")
+            .count()
+            for form in ("keyed", "tiered", "bloom")
+        }
+        results["flagged"] = flagged
+        results["expected_flagged"] = (n_seed + 2 * n_batch) // 10
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(results))
@@ -256,6 +360,9 @@ def main() -> None:
         return
     if "--bloom" in sys.argv[1:]:
         _bloom_main(n_seed, n_batch)
+        return
+    if "--crossover" in sys.argv[1:]:
+        _crossover_main(n_seed, n_batch)
         return
     if "--compaction" in sys.argv[1:]:
         _compaction_main(n_seed, n_batch)
