@@ -658,3 +658,65 @@ def test_cff_pdf_through_spark_pipeline(spark, tmp_path):
     pages = B.extract_pages(B.read_binary_dir(spark, str(d), glob="*.pdf"))
     rows = {r["pageNumber"]: r["text"] for r in pages.collect()}
     assert rows[1] == "type1c text"
+
+
+def test_type3_font_decodes_via_differences():
+    """Type3 fonts carry a MANDATORY /Encoding with /Differences (PDF
+    32000-1 §9.6.4) mapping codes to glyph names; the simple-font
+    /Encoding machinery decodes them with no Type3-specific code — this
+    pin proves the claim with glyph procs present and codes deliberately
+    not equal to character codes."""
+    import zlib as _z
+
+    text = "Type3 works"
+    chars = sorted(set(text))
+    code_of = {ch: 64 + i for i, ch in enumerate(chars)}
+    rev = {}
+    for nm, ch in MP._GLYPH_NAMES.items():
+        rev.setdefault(ch, nm)
+    diffs = b" ".join(
+        b"%d /%s" % (
+            code_of[ch],
+            (rev.get(ch) or "uni%04X" % ord(ch)).encode(),
+        )
+        for ch in chars
+    )
+    glyph_proc = _z.compress(b"0 0 d0")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10] "
+        b"/FontMatrix [0.01 0 0 0.01 0 0] /CharProcs 4 0 R "
+        b"/Encoding << /Type /Encoding /Differences [" + diffs + b"] >> "
+        b"/FirstChar 64 /LastChar 90 >>",
+        b"<< /g1 7 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 6 0 R >>",
+        None,  # content, filled below
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(glyph_proc)
+        + glyph_proc
+        + b"\nendstream",
+    ]
+    ops = b"BT /F1 12 Tf 72 720 Td <" + b"".join(
+        b"%02X" % code_of[ch] for ch in text
+    ) + b"> Tj ET"
+    data = _z.compress(ops)
+    objs[5] = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1) + b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    assert MP.extract_text_pages(bytes(out)) == [text]
