@@ -186,7 +186,13 @@ def neardup_stream(
     inline band-store compaction after every K-th epoch — the store is
     re-read per batch, so the fold is picked up by the next batch's
     candidate join; the shingle store is epoch-keyed but carries no
-    bucket partition column, so compact_store does not apply to it)."""
+    bucket partition column, so compact_store does not apply to it).
+    A restart after a mid-swap death repairs the store at session start,
+    before the replayed batch's first probe reads it."""
+    if compact_every is not None:
+        from .stores import recover_store
+
+        recover_store(spark, band_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(

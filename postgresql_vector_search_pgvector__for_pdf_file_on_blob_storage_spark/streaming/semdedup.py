@@ -255,7 +255,13 @@ def semdedup_stream(
     the post-write crash-injection seam (see substring.substring_stream);
     ``compact_every=K`` folds the cluster-partitioned vector store inline
     after every K-th epoch (store re-read per batch, so the next batch's
-    partition-pruned reads hit one file per touched cluster)."""
+    partition-pruned reads hit one file per touched cluster).  A restart
+    after a mid-swap death repairs the store at session start, before
+    the replayed batch's first probe reads it."""
+    if compact_every is not None:
+        from .stores import recover_store
+
+        recover_store(spark, store_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(

@@ -142,11 +142,21 @@ def _recover_interrupted_compaction(spark: SparkSession, path: str) -> None:
     fs.delete(jpath(base + ".compact_tmp"), True)
 
 
+def recover_store(spark: SparkSession, path: str) -> None:
+    """Public session-start hook: repair an interrupted compaction swap
+    BEFORE anything reads the store.  compact_store already recovers on
+    entry, but a stream that crashed mid-swap is restarted as a NEW
+    session whose first reads happen before its next compaction — this
+    closes that window (no-op when no swap was interrupted)."""
+    _recover_interrupted_compaction(spark, path)
+
+
 def compact_store(
     spark: SparkSession,
     path: str,
     partition_col: str,
     sort_cols: list[str] | None = None,
+    below_epoch: int | None = None,
 ) -> dict:
     """Maintenance compaction for an epoch-keyed streaming store.
 
@@ -183,6 +193,14 @@ def compact_store(
     second CONCURRENT writer could still observe a partial store —
     single-writer is the contract, crash-with-restart is handled.
     Returns a summary dict.
+
+    ``below_epoch``, when given, bounds the fold to epochs STRICTLY
+    BELOW it (into ``below_epoch - 1``) instead of everything below the
+    newest.  This is how a stream compacts its own store mid-session:
+    passing the session floor folds only PRE-SESSION history, leaving
+    every session-registered epoch dir (which the stream may still read
+    as its delta, and which a replayed batch overwrites) untouched.
+    Clamped to the newest epoch — the default behavior — when larger.
     """
     from pyspark.sql import functions as F  # local alias, matches module
 
@@ -201,8 +219,21 @@ def compact_store(
     if len(epochs) < 2:
         return {"compacted": False, "reason": "single epoch"}
     max_epoch = epochs[-1]
-    target_epoch = max_epoch - 1
-    hist = store.filter(F.col("epoch") < max_epoch).drop("epoch")
+    bound = (
+        max_epoch
+        if below_epoch is None
+        else min(int(below_epoch), int(max_epoch))
+    )
+    folded = [e for e in epochs if int(e) < bound]
+    # Default mode folds even a single below-max epoch (consolidating
+    # its many per-batch files is the point); the bounded mode is called
+    # REPEATEDLY from inside a stream, where re-folding an already-
+    # consolidated single run would rewrite the whole history for
+    # nothing — require two runs there.
+    if len(folded) < (1 if below_epoch is None else 2):
+        return {"compacted": False, "reason": "nothing to fold below bound"}
+    target_epoch = bound - 1
+    hist = store.filter(F.col("epoch") < int(bound)).drop("epoch")
     tmp = path.rstrip("/") + ".compact_tmp"
     writer = hist.repartition(F.col(partition_col))
     if sort_cols:
@@ -246,11 +277,11 @@ def compact_store(
     # target dir is not necessarily epochs[-2] — a positional slice here
     # would leave a stale epoch dir whose duplicate rows a re-run of
     # compaction folds permanently into the consolidated file.
-    for e in epochs[:-1]:
+    for e in folded:
         if int(e) != int(target_epoch):
             fs.delete(jpath(f"{path}/epoch={int(e)}"), True)
     return {
         "compacted": True,
-        "epochs_folded": len(epochs) - 1,
+        "epochs_folded": len(folded),
         "target_epoch": int(target_epoch),
     }

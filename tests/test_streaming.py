@@ -1797,3 +1797,79 @@ class TestBloomSubstring:
             SB.bloom_substring_stream(
                 spark, src, schema, gram_d, stats_d, ckpt, n=8
             )
+
+    def test_inline_compaction_folds_history_and_stays_exact(
+        self, spark, sf_dir, tmp_path
+    ):
+        """compact_every folds only PRE-SESSION history runs (below the
+        session floor) and rebuilds the run index; flags match an
+        uncompacted twin bit-for-bit, and a crash right after a
+        compacting epoch resumes exactly-once."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        third = docs.count() // 3
+        parts = [
+            docs.filter(f"doc_id % 3 = {i}").coalesce(1) for i in range(3)
+        ]
+        schema = "doc_id long, text string"
+
+        def run(base: str, compact_every=None, crash_epoch=None):
+            src = str(tmp_path / base / "src")
+            gram_d = str(tmp_path / base / "grams")
+            s_d = str(tmp_path / base / "stats")
+            ckpt = str(tmp_path / base / "ckpt")
+            # three seed SESSIONS -> three history epochs (runs)
+            for p in parts[:2]:
+                p.write.mode("append").parquet(src)
+                q = SB.bloom_substring_stream(
+                    spark, src, schema, gram_d, s_d, ckpt, n=8
+                )
+                q.awaitTermination()
+            parts[2].write.mode("append").parquet(src)
+
+            def crash(epoch_id: int) -> None:
+                if crash_epoch is not None and epoch_id == crash_epoch:
+                    raise RuntimeError("injected crash after compaction")
+
+            q = SB.bloom_substring_stream(
+                spark, src, schema, gram_d, s_d, ckpt, n=8,
+                compact_every=compact_every, on_batch=crash,
+            )
+            if crash_epoch is not None:
+                with pytest.raises(Exception, match="injected crash"):
+                    q.awaitTermination()
+                q = SB.bloom_substring_stream(
+                    spark, src, schema, gram_d, s_d, ckpt, n=8,
+                    compact_every=compact_every,
+                )
+            q.awaitTermination()
+            rows = sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(s_d).drop("epoch").collect(),
+                )
+            )
+            import os as _os
+
+            epochs = sorted(
+                d for d in _os.listdir(gram_d) if d.startswith("epoch=")
+            )
+            return rows, epochs
+
+        plain_rows, plain_epochs = run("plain")
+        assert len(plain_epochs) == 3  # one run per session, unfolded
+        # session 3 = epoch 2 -> 2 % 2 == 0 triggers the inline fold
+        comp_rows, comp_epochs = run("comp", compact_every=2)
+        assert comp_rows == plain_rows
+        # history epochs 0,1 folded into epoch=1; session epoch 2 kept
+        assert comp_epochs == ["epoch=1", "epoch=2"]
+        # crash AFTER the compacting epoch's writes -> resume exactly-once
+        crash_rows, _ = run(
+            "crash", compact_every=2, crash_epoch=2
+        )
+        assert crash_rows == plain_rows
