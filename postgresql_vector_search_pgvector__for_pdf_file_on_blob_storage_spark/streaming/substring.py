@@ -1022,6 +1022,31 @@ def _build_bloom_bitmap(
     return bitmap
 
 
+def _read_footer_entry(job: Tuple[int, str]):
+    """(bucket, path) -> (bucket, path, mins, maxs): per-row-group gk
+    min/max statistics from one parquet footer.  Missing statistics map
+    to (None, None) — every row group stays a candidate (correct, just
+    unpruned).  Top-level so the distributed footer pass can pickle it."""
+    import pyarrow.parquet as pq
+
+    bucket, local = job
+    pf = pq.ParquetFile(local)
+    gk_i = pf.schema_arrow.get_field_index("gk")
+    mins, maxs = [], []
+    for rg in range(pf.metadata.num_row_groups):
+        stats = pf.metadata.row_group(rg).column(gk_i).statistics
+        if stats is None or not stats.has_min_max:
+            return bucket, local, None, None
+        mins.append(stats.min)
+        maxs.append(stats.max)
+    return (
+        bucket,
+        local,
+        np.asarray(mins, np.int64),
+        np.asarray(maxs, np.int64),
+    )
+
+
 def _history_run_index(
     spark: SparkSession, gram_dir: str, committed: int
 ) -> dict:
@@ -1029,44 +1054,36 @@ def _history_run_index(
     file under ``epoch<=committed``, the per-row-group (min, max) gk
     statistics from its footer — the structure verify tasks binary-search
     instead of scanning the store.  ~24 bytes per row group; built once
-    per session, broadcast.  Footer reads go through pyarrow on the
-    driver-visible filesystem (the point-lookup tier's reach; object
-    stores need a pyarrow-readable path — the same seam as the verify
-    reads themselves)."""
-    import pyarrow.parquet as pq
-
+    per session, broadcast.  The footer pass is DISTRIBUTED over
+    executors above a small file count (an uncompacted long-running
+    store can hold tens of thousands of run files; a serial driver loop
+    would make session start scale with file count).  Footer reads go
+    through pyarrow on an executor/driver-visible filesystem (the
+    point-lookup tier's reach; object stores need a pyarrow-readable
+    path — the same seam as the verify reads themselves)."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path
     fs = jpath(gram_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     pattern = jpath(f"{gram_dir}/epoch=*/bucket=*/*.parquet")
-    index: dict = {}
+    jobs: list[tuple[int, str]] = []
     for st in fs.globStatus(pattern) or []:
         p = st.getPath()
         bucket_dir = p.getParent()
-        epoch_dir = bucket_dir.getParent()
-        epoch = int(str(epoch_dir.getName()).split("=", 1)[1])
+        epoch = int(str(bucket_dir.getParent().getName()).split("=", 1)[1])
         if epoch > committed:
             continue
         bucket = int(str(bucket_dir.getName()).split("=", 1)[1])
-        local = p.toUri().getPath()
-        pf = pq.ParquetFile(local)
-        gk_i = pf.schema_arrow.get_field_index("gk")
-        mins, maxs = [], []
-        have_stats = True
-        for rg in range(pf.metadata.num_row_groups):
-            stats = pf.metadata.row_group(rg).column(gk_i).statistics
-            if stats is None or not stats.has_min_max:
-                have_stats = False
-                break
-            mins.append(stats.min)
-            maxs.append(stats.max)
-        entry = (
-            (local, np.asarray(mins, np.int64), np.asarray(maxs, np.int64))
-            if have_stats
-            else (local, None, None)  # no stats -> every row group is a
-            # candidate (correct, just unpruned)
-        )
-        index.setdefault(bucket, []).append(entry)
+        jobs.append((bucket, p.toUri().getPath()))
+    if len(jobs) > 256:
+        sc = spark.sparkContext
+        entries = sc.parallelize(
+            jobs, max(1, min(len(jobs) // 64, sc.defaultParallelism * 4))
+        ).map(_read_footer_entry).collect()
+    else:
+        entries = [_read_footer_entry(j) for j in jobs]
+    index: dict = {}
+    for bucket, local, mins, maxs in entries:
+        index.setdefault(bucket, []).append((local, mins, maxs))
     return index
 
 
