@@ -81,6 +81,10 @@ SUITES: dict[str, list[str]] = {
         # (VERDICT r6 next-round #2) — closes the last rows-only
         # quantization surface.
         "pq_adc_fixed_codebook",
+        # r8: IVF assignment + nprobe pruning + in-cluster scan with
+        # fixed formula centroids (VERDICT r7 next-round #2) — the last
+        # mechanism-bearing rows-only ANN surface gets an oracle twin.
+        "ivf_fixed_centroids",
     ],
     # reference listing / scalar-transform shapes over documents
     "doc_listing_suite": [

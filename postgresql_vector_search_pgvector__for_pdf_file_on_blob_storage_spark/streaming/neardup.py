@@ -189,10 +189,13 @@ def neardup_stream(
     bucket partition column, so compact_store does not apply to it).
     A restart after a mid-swap death repairs the store at session start,
     before the replayed batch's first probe reads it."""
-    if compact_every is not None:
-        from .stores import recover_store
+    from .stores import recover_store
 
-        recover_store(spark, band_dir)
+    # Unconditional: a crash inside a MANUAL maintenance-window
+    # compact_store swap followed by a restart WITHOUT inline
+    # compaction must still be repaired before the store is read
+    # (cheap glob no-op when no swap was interrupted).
+    recover_store(spark, band_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(

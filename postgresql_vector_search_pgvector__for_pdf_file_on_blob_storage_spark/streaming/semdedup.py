@@ -258,10 +258,13 @@ def semdedup_stream(
     partition-pruned reads hit one file per touched cluster).  A restart
     after a mid-swap death repairs the store at session start, before
     the replayed batch's first probe reads it."""
-    if compact_every is not None:
-        from .stores import recover_store
+    from .stores import recover_store
 
-        recover_store(spark, store_dir)
+    # Unconditional: a crash inside a MANUAL maintenance-window
+    # compact_store swap followed by a restart WITHOUT inline
+    # compaction must still be repaired before the store is read
+    # (cheap glob no-op when no swap was interrupted).
+    recover_store(spark, store_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(

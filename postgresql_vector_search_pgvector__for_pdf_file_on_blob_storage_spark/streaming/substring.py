@@ -238,10 +238,13 @@ def substring_stream(
     ``_recover_interrupted_compaction``); the same recovery also runs at
     SESSION start below, so a restart after a mid-swap death repairs the
     store before the replayed batch's first probe reads it."""
-    if compact_every is not None:
-        from .stores import recover_store
+    from .stores import recover_store
 
-        recover_store(spark, gram_dir)
+    # Unconditional: a crash inside a MANUAL maintenance-window
+    # compact_store swap followed by a restart WITHOUT inline
+    # compaction must still be repaired before the store is read
+    # (cheap glob no-op when no swap was interrupted).
+    recover_store(spark, gram_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         detect_and_register(
@@ -897,194 +900,66 @@ def tiered_substring_stream(
 
 
 # ---------------------------------------------------------------------------
-# Bloom-screened variant (r07): bounded-MEMORY history — the 100 TB form.
+# Bloom-screened variant (r07, artifact-incremental since r08): bounded-
+# memory history with PERSISTED membership structures — the 100 TB form.
 #
 # The tiered form above bounds keyed STATE by session ingest, but still
 # loads the committed gram history as a corpus-sized cached DataFrame and
-# merge-scans it every micro-batch (VERDICT r06 "what's wrong #1"): at
-# 100 TB the distinct-gram store exceeds executor RAM and the memory-speed
-# merge degrades to a spilled-cache scan.  This variant keeps the history
-# ON DISK and answers membership the way an LSM tree serves point reads:
+# merge-scans it every micro-batch.  This variant keeps the history ON
+# DISK and answers membership the way an LSM tree serves point reads:
 #
 # - **History tier** (disk): the epoch-keyed, bucket-partitioned gram
 #   store, with each registration written gk-SORTED within its bucket
 #   files — sorted runs.  Never cached, never scanned wholesale.
-# - **Bloom screen** (memory, EXPLICITLY CAPPED): one bitmap of
-#   ``bloom_bytes`` built once per session from a single store pass and
-#   broadcast.  A negative answer is definite — the overwhelmingly common
-#   novel-gram case costs ZERO history I/O.  At a fixed cap the false-
-#   positive rate grows with corpus grams (classic Bloom: more verify
-#   lookups, never wrong flags) — graceful, observable degradation
-#   instead of an OOM.
-# - **Exact verify** (disk point lookups): only Bloom-POSITIVE grams that
-#   the session delta cannot answer are checked against the sorted runs,
-#   by reading ONLY the parquet row groups whose min/max gk range covers
-#   a probe (a broadcast run index built from the file footers at session
-#   start).  Probe keys are uniform hashes, so min/max pruning is useless
-#   for a FULL batch (BASELINE.md r06 — every row group holds candidates)
-#   but the verify set here is SPARSE (true duplicates + Bloom false
-#   positives), which is exactly when row-group statistics do prune:
-#   I/O per batch is O(verify_gks × row-group), not O(corpus).
+# - **Bloom screen** (per-bucket bitmaps, persisted): one bitmap PER
+#   BUCKET, maintained incrementally as store artifacts
+#   (streaming/bloomstore.py) at a constant bits/gram budget.  Probe
+#   tasks are bucket-partitioned and each loads only its buckets'
+#   bitmap files (worker-cached) — executor memory is O(tasks x
+#   per-bucket bitmap), never the total, so the bits/gram budget holds
+#   at any corpus (a bucket that outgrows it is rebuilt at the next
+#   power of two from its own 1/N_BUCKETS history slice).  A negative
+#   answer is definite — the overwhelmingly common novel-gram case
+#   costs ZERO history I/O.
+# - **Exact verify** (disk point lookups): only Bloom-POSITIVE grams
+#   are checked against the sorted runs, by reading ONLY the parquet
+#   row groups whose min/max gk range covers a probe (the persisted run
+#   index).  Probe keys are uniform hashes, so min/max pruning is
+#   useless for a FULL batch (BASELINE.md r06) but the verify set is
+#   SPARSE (true duplicates + Bloom false positives), which is exactly
+#   when row-group statistics do prune: I/O per batch is
+#   O(verify_gks x row-group), not O(corpus).
 # - **Session delta** (disk, session-bounded): grams registered by THIS
-#   session's committed epochs live in their own small epoch dirs, probed
-#   with a plain per-batch join — the same session-novel bound as the
-#   tiered form's keyed state, without the state machinery.
+#   session's committed epochs live in their own small epoch dirs,
+#   probed with a plain per-batch join.
 #
-# Exactly-once rides the same epoch bookkeeping as the sibling forms: the
-# history cut is pinned to epochs <= the checkpoint's last committed batch
-# at session start, stats/registration writes are epoch-keyed idempotent
-# overwrites, and the session delta excludes the current epoch — so a
-# replayed batch sees byte-identical membership answers.
+# Session start is O(new runs), not O(corpus) (VERDICT r7 next-round
+# #1): bloomstore.ensure_artifacts folds only store epochs above the
+# manifest watermark into the bitmaps (the previous session's novel
+# grams) and footer-reads only files the persisted run index does not
+# already cover; the first-ever session pays the one full build every
+# r7 session paid.  Per-epoch, the sink appends the just-written files'
+# footer entries to the persisted index (bitmap files are NOT rewritten
+# per epoch — that would cost the full bitmap bytes per batch; the next
+# session start folds the session's epochs).
 #
-# Per-session one-time costs (amortized over the session's batches): one
-# metadata count + one full-store column scan to build the bitmap, and one
-# footer pass to build the run index.  Per-batch memory is the bitmap
-# (capped) + one row group of gks at a time per verify task; the run
-# index is ~24 bytes per history row group (three orders below the data).
-# ``stores.compact_store`` (between sessions) folds the runs to one
-# sorted file per bucket — fewer, tighter row groups, directly fewer
-# verify reads.  Correctness never depends on the runs being sorted or
-# the Bloom being roomy: unsorted legacy files only widen row-group
-# ranges (more reads), and an undersized bitmap only raises the verify
-# rate — both are performance knobs, pinned by the tiny-bitmap test.
+# Exactly-once rides the same epoch bookkeeping as the sibling forms:
+# the history cut is pinned to epochs <= the checkpoint's last committed
+# batch at session start, stats/registration writes are epoch-keyed
+# idempotent overwrites, and the session delta excludes the current
+# epoch — so a replayed batch sees byte-identical membership answers.
+# Artifacts are advisory and Bloom bits are monotone ORs over
+# byte-identical replayed gram sets, so artifact maintenance that ran
+# ahead of a crashed commit is idempotent (bloomstore module docstring).
 # ---------------------------------------------------------------------------
 
-_SPLITMIX_C1 = np.uint64(0x9E3779B97F4A7C15)
-_SPLITMIX_C2 = np.uint64(0xBF58476D1CE4E5B9)
-_SPLITMIX_C3 = np.uint64(0x94D049BB133111EB)
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer (public domain constant set) — derives the
-    second Bloom hash stream from the already-uniform xxhash64 gram key.
-    uint64 wraparound arithmetic throughout."""
-    z = x + _SPLITMIX_C1
-    z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C2
-    z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C3
-    return z ^ (z >> np.uint64(31))
-
-
-def _bloom_positions(
-    gk: np.ndarray, m_bits: int, k: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """Byte indices + bit masks of the ``k`` Bloom bits for each gram key
-    (Kirsch–Mitzenmacher double hashing: h1 + i*h2 mod m).  Returns
-    ``(byte_idx, mask)`` flattened over all k probes."""
-    h1 = gk.astype(np.int64).view(np.uint64)
-    h2 = _splitmix64(h1) | np.uint64(1)
-    m = np.uint64(m_bits)
-    pos = np.concatenate(
-        [(h1 + np.uint64(i) * h2) % m for i in range(k)]
-    )
-    return (pos >> np.uint64(3)).astype(np.int64), (
-        np.uint64(1) << (pos & np.uint64(7))
-    ).astype(np.uint8)
-
-
-def _bloom_probe(gk: np.ndarray, bitmap: np.ndarray, k: int) -> np.ndarray:
-    """Vectorized membership test: True iff ALL k bits are set (maybe in
-    set); False is definite absence."""
-    if gk.size == 0:
-        return np.zeros(0, dtype=bool)
-    byte_idx, mask = _bloom_positions(gk, bitmap.size * 8, k)
-    hits = (bitmap[byte_idx] & mask) != 0
-    return hits.reshape(k, gk.size).all(axis=0)
-
-
-def _build_bloom_bitmap(
-    hist: DataFrame, m_bytes: int, k: int
-) -> np.ndarray:
-    """One distributed pass over the committed history's gram keys: each
-    task folds its rows into a local ``m_bytes`` bitmap, the driver ORs
-    the per-task bitmaps.  Task count is capped so the driver receives a
-    bounded number of partial bitmaps (at real scale this final OR is a
-    treeReduce; the cap keeps it a footnote here)."""
-    m_bits = m_bytes * 8
-
-    def fold(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = np.zeros(m_bytes, dtype=np.uint8)
-        any_rows = False
-        for pdf in it:
-            g = pdf["gk"].to_numpy(dtype=np.int64)
-            if g.size:
-                any_rows = True
-                byte_idx, mask = _bloom_positions(g, m_bits, k)
-                np.bitwise_or.at(local, byte_idx, mask)
-        if any_rows:
-            yield pd.DataFrame({"bm": [local.tobytes()]})
-
-    src = hist.select("gk")
-    if src.rdd.getNumPartitions() > 32:
-        src = src.coalesce(32)
-    bitmap = np.zeros(m_bytes, dtype=np.uint8)
-    for row in src.mapInPandas(fold, "bm binary").collect():
-        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
-    return bitmap
-
-
-def _read_footer_entry(job: Tuple[int, str]):
-    """(bucket, path) -> (bucket, path, mins, maxs): per-row-group gk
-    min/max statistics from one parquet footer.  Missing statistics map
-    to (None, None) — every row group stays a candidate (correct, just
-    unpruned).  Top-level so the distributed footer pass can pickle it."""
-    import pyarrow.parquet as pq
-
-    bucket, local = job
-    pf = pq.ParquetFile(local)
-    gk_i = pf.schema_arrow.get_field_index("gk")
-    mins, maxs = [], []
-    for rg in range(pf.metadata.num_row_groups):
-        stats = pf.metadata.row_group(rg).column(gk_i).statistics
-        if stats is None or not stats.has_min_max:
-            return bucket, local, None, None
-        mins.append(stats.min)
-        maxs.append(stats.max)
-    return (
-        bucket,
-        local,
-        np.asarray(mins, np.int64),
-        np.asarray(maxs, np.int64),
-    )
-
-
-def _history_run_index(
-    spark: SparkSession, gram_dir: str, committed: int
-) -> dict:
-    """Per-bucket run index of the COMMITTED history: for every parquet
-    file under ``epoch<=committed``, the per-row-group (min, max) gk
-    statistics from its footer — the structure verify tasks binary-search
-    instead of scanning the store.  ~24 bytes per row group; built once
-    per session, broadcast.  The footer pass is DISTRIBUTED over
-    executors above a small file count (an uncompacted long-running
-    store can hold tens of thousands of run files; a serial driver loop
-    would make session start scale with file count).  Footer reads go
-    through pyarrow on an executor/driver-visible filesystem (the
-    point-lookup tier's reach; object stores need a pyarrow-readable
-    path — the same seam as the verify reads themselves)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path
-    fs = jpath(gram_dir).getFileSystem(spark._jsc.hadoopConfiguration())
-    pattern = jpath(f"{gram_dir}/epoch=*/bucket=*/*.parquet")
-    jobs: list[tuple[int, str]] = []
-    for st in fs.globStatus(pattern) or []:
-        p = st.getPath()
-        bucket_dir = p.getParent()
-        epoch = int(str(bucket_dir.getParent().getName()).split("=", 1)[1])
-        if epoch > committed:
-            continue
-        bucket = int(str(bucket_dir.getName()).split("=", 1)[1])
-        jobs.append((bucket, p.toUri().getPath()))
-    if len(jobs) > 256:
-        sc = spark.sparkContext
-        entries = sc.parallelize(
-            jobs, max(1, min(len(jobs) // 64, sc.defaultParallelism * 4))
-        ).map(_read_footer_entry).collect()
-    else:
-        entries = [_read_footer_entry(j) for j in jobs]
-    index: dict = {}
-    for bucket, local, mins, maxs in entries:
-        index.setdefault(bucket, []).append((local, mins, maxs))
-    return index
+from .bloomstore import (  # noqa: E402  (section-local import by design)
+    _bloom_probe,
+    append_run_entries,
+    bitmap_for,
+    ensure_artifacts,
+    open_parquet,
+)
 
 
 def bloom_substring_stream(
@@ -1101,115 +976,147 @@ def bloom_substring_stream(
     on_batch=None,
     bloom_bytes: int | None = None,
     bits_per_gram: float = 10.0,
-    max_bloom_bytes: int = 256 * 1024 * 1024,
+    max_bucket_bloom_bytes: int = 256 * 1024 * 1024,
     metrics: dict | None = None,
     compact_every: int | None = None,
 ):
     """Streaming substring-dedup stats with BOUNDED-MEMORY history (see
-    section comment): a memory-capped Bloom bitmap screens batch grams,
-    only positives are verified by row-group point lookups into the
-    sorted on-disk runs, session-novel grams are answered by the
+    section comment): per-bucket persisted Bloom bitmaps screen batch
+    grams, only positives are verified by row-group point lookups into
+    the sorted on-disk runs, session-novel grams are answered by the
     session's own epoch dirs.  Same output contract as the sibling
     forms; a single batch over a whole corpus equals
     ``dedup.ngram_dup_stats(min_docs=2)``.
 
-    ``bloom_bytes`` is the EXPLICIT memory cap for the screen; when None
-    it is sized at ``bits_per_gram`` bits per committed history gram,
-    clamped to ``max_bloom_bytes`` (10 bits/gram ~ 1% false positives at
-    the sized corpus; a store that outgrows the cap degrades to a higher
-    verify rate, never to wrong answers or more memory).  ``metrics``,
-    if given, receives one dict per epoch (bloom/verify/row-group
-    counters) — the probe's observability hook.
+    ``bloom_bytes`` is an EXPLICIT fixed TOTAL bitmap budget (split
+    evenly across buckets, no growth); when None each bucket is sized at
+    ``bits_per_gram`` bits per gram it holds and REBUILT at the next
+    power of two when it outgrows that budget, up to
+    ``max_bucket_bloom_bytes`` per bucket (10 bits/gram ~ 1% false
+    positives at any corpus; a bucket pinned at its cap degrades to a
+    higher verify rate, never to wrong answers or more memory —
+    test-pinned by the undersized-cap exactness test).  ``metrics``, if
+    given, receives one dict per epoch (bloom/verify/row-group counters
+    plus the session-start ``setup_*`` reconcile counters) — the probe's
+    observability hook.
 
     ``compact_every=K`` folds the PRE-SESSION history runs (epochs below
     the session floor — never a session-registered epoch, which the
     delta probe still reads and a replayed batch overwrites) into one
     sorted run per bucket after every K-th epoch, via
-    ``compact_store(below_epoch=floor)``, then rebuilds the broadcast
-    run index over the folded files; verify row-group reads return to
-    the one-run floor (measured 320 -> 128 at the 4M probe).  The Bloom
-    bitmap is membership-equivalent before and after a fold, so it is
-    NOT rebuilt.  A restart after a mid-swap death repairs the store at
-    session start, before the guards or the bitmap build read it."""
-    if compact_every is not None:
-        from .stores import recover_store
+    ``compact_store(below_epoch=floor)``, then reconciles the persisted
+    run index against the folded files; verify row-group reads return
+    to the one-run floor.  The Bloom bitmaps are membership-equivalent
+    before and after a fold, so they are NOT rebuilt.  A restart after
+    a mid-swap death repairs the store at session start, before the
+    guards or the artifact reconcile read it."""
+    from .stores import recover_store
 
-        recover_store(spark, gram_dir)
+    # Unconditional: a crash inside a MANUAL maintenance-window
+    # compact_store swap followed by a restart WITHOUT inline
+    # compaction must still be repaired before the store is read
+    # (cheap glob no-op when no swap was interrupted).
+    recover_store(spark, gram_dir)
     committed, store = _session_history_guards(
         spark, checkpoint, gram_dir, "bloom_substring_stream"
     )
     sc = spark.sparkContext
-    bitmap_bc = index_bc = None
-    m_bytes = k_hashes = 0
-    n_hist = 0
+    desc_bc = index_bc = None
+    m_bytes = k_hashes = n_hist = 0
+    setup_metrics: dict = {}
     if store is not None and committed is not None:
-        hist = store.filter(F.col("epoch") <= int(committed))
-        # Parquet metadata count — footer-speed, sizes the bitmap.
-        n_hist = hist.count()
-    if n_hist > 0:
-        if bloom_bytes is None:
-            m_bytes = int(n_hist * bits_per_gram / 8) + 1
-            m_bytes = max(1024, min(m_bytes, int(max_bloom_bytes)))
-        else:
-            m_bytes = max(64, int(bloom_bytes))
-        # Optimal k = (m/n) ln 2, clamped to a sane band.
-        k_hashes = max(1, min(12, round(m_bytes * 8 / n_hist * 0.693)))
-        bitmap_bc = sc.broadcast(
-            _build_bloom_bitmap(hist, m_bytes, k_hashes).tobytes()
+        art = ensure_artifacts(
+            spark,
+            gram_dir,
+            int(committed),
+            bits_per_gram=bits_per_gram,
+            fixed_total_bytes=bloom_bytes,
+            max_bucket_bytes=max_bucket_bloom_bytes,
+            n_buckets=N_BUCKETS,
+            metrics=setup_metrics,
         )
-        index_bc = sc.broadcast(
-            _history_run_index(spark, gram_dir, int(committed))
-        )
+        if art is not None and art["total_grams"] > 0:
+            k_hashes = art["k"]
+            m_bytes = art["total_bytes"]
+            n_hist = art["total_grams"]
+            # Both broadcasts are MANIFEST-sized (paths + footer stats,
+            # ~24 B/row group) — bitmap bytes stay on disk and are read
+            # per bucket by the probe tasks.
+            desc_bc = sc.broadcast(art["buckets"])
+            index_bc = sc.broadcast(art["index"])
     session_epochs: set[int] = set()
     rg_reads = sc.accumulator(0)
+    verify_acc = sc.accumulator(0)
     n_verify_parts = max(1, min(N_BUCKETS, sc.defaultParallelism))
 
-    def verify(pairs: DataFrame) -> DataFrame:
-        """Exact in-history flags for the (sparse) Bloom-positive gram
-        set: per bucket, binary-search the run index for candidate row
-        groups, read only those, membership by searchsorted."""
+    def screen_verify(pairs: DataFrame) -> DataFrame:
+        """Fused Bloom screen + exact verify over bucket-partitioned
+        batch grams: each task loads only its buckets' bitmap files
+        (worker-cached, version-stamped names), probes the screen, and
+        binary-searches the run index for candidate row groups to read
+        for the (sparse) positive set."""
         k = k_hashes  # close over plain ints, not the session objects
+        d_bc = desc_bc
 
         def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import pyarrow.parquet as pq
-
+            desc = d_bc.value
             idx = index_bc.value
             for pdf in it:
                 if not len(pdf):
                     continue
                 for b, grp in pdf.groupby("bucket"):
-                    probes = np.unique(grp["gk"].to_numpy(np.int64))
-                    hit = np.zeros(probes.size, dtype=bool)
-                    for path, mins, maxs in idx.get(int(b), []):
-                        if hit.all():
-                            break
-                        if mins is None:
-                            pf = pq.ParquetFile(path)
-                            cand = np.arange(pf.metadata.num_row_groups)
-                        else:
-                            lo = np.searchsorted(probes, mins, "left")
-                            hi = np.searchsorted(probes, maxs, "right")
-                            cand = np.nonzero(hi > lo)[0]
-                            pf = (
-                                pq.ParquetFile(path) if cand.size else None
-                            )
-                        for rg in cand:
-                            col = (
-                                pf.read_row_group(int(rg), columns=["gk"])
-                                .column("gk")
-                                .to_numpy()
-                            )
-                            hit |= np.isin(probes, col)
-                        rg_reads.add(int(cand.size))
+                    gks = np.unique(grp["gk"].to_numpy(np.int64))
+                    entry = desc.get(int(b))
+                    if entry is None:
+                        pos = np.zeros(gks.size, dtype=bool)
+                    else:
+                        pos = _bloom_probe(gks, bitmap_for(entry[0]), k)
+                    hit = np.zeros(gks.size, dtype=bool)
+                    probes = gks[pos]
+                    if probes.size:
+                        verify_acc.add(int(probes.size))
+                        sub = np.zeros(probes.size, dtype=bool)
+                        for path, mins, maxs in idx.get(int(b), []):
+                            if sub.all():
+                                break
+                            if mins is None:
+                                pf = open_parquet(path)
+                                cand = np.arange(
+                                    pf.metadata.num_row_groups
+                                )
+                            else:
+                                lo = np.searchsorted(probes, mins, "left")
+                                hi = np.searchsorted(probes, maxs, "right")
+                                cand = np.nonzero(hi > lo)[0]
+                                pf = (
+                                    open_parquet(path) if cand.size else None
+                                )
+                            for rg in cand:
+                                col = (
+                                    pf.read_row_group(
+                                        int(rg), columns=["gk"]
+                                    )
+                                    .column("gk")
+                                    .to_numpy()
+                                )
+                                sub |= np.isin(probes, col)
+                            rg_reads.add(int(cand.size))
+                        hit[pos] = sub
                     yield pd.DataFrame(
-                        {"gk": probes, "in_hist": hit.astype(np.int32)}
+                        {
+                            "gk": gks,
+                            "bucket": np.full(gks.size, int(b), np.int64),
+                            "bloom_pos": pos.astype(np.int32),
+                            "in_hist": hit.astype(np.int32),
+                        }
                     )
 
         return pairs.repartition(n_verify_parts, "bucket").mapInPandas(
-            probe, "gk long, in_hist int"
+            probe, "gk long, bucket long, bloom_pos int, in_hist int"
         )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        verify_before = verify_acc.value
         raw = spread(batch_df).select(
             F.col(id_col).cast("long").alias("id"),
             word_shingles(text_col, n).alias("grams"),
@@ -1235,9 +1142,20 @@ def bloom_substring_stream(
             .select("gk")
         )
         batch_gk = g.select("gk", "bucket").distinct()
+        if desc_bc is not None:
+            screened = screen_verify(batch_gk)
+        else:
+            screened = batch_gk.select(
+                "gk",
+                "bucket",
+                F.lit(0).alias("bloom_pos"),
+                F.lit(0).alias("in_hist"),
+            )
         # Session delta: grams registered by THIS session's earlier
         # epochs (exact, session-bounded).  The current epoch is never in
         # the set, so a replayed batch cannot see its own earlier write.
+        # (Delta grams are not in the pre-session bitmaps, so the fused
+        # verify above only touches them at the Bloom FP rate.)
         delta_paths = [
             f"{gram_dir}/epoch={e}"
             for e in sorted(session_epochs)
@@ -1247,36 +1165,11 @@ def bloom_substring_stream(
             delta = (
                 spark.read.parquet(*delta_paths).select("gk").distinct()
             )
-            flagged = batch_gk.join(
+            known = screened.join(
                 delta.withColumn("in_delta", F.lit(1)), "gk", "left"
             ).withColumn("in_delta", F.coalesce("in_delta", F.lit(0)))
         else:
-            flagged = batch_gk.withColumn("in_delta", F.lit(0))
-        if bitmap_bc is not None:
-            bm_bc, kh = bitmap_bc, k_hashes
-
-            @F.pandas_udf("int")
-            def bloom_pos(s: pd.Series) -> pd.Series:
-                bm = np.frombuffer(bm_bc.value, dtype=np.uint8)
-                return pd.Series(
-                    _bloom_probe(
-                        s.to_numpy(dtype=np.int64), bm, kh
-                    ).astype(np.int32)
-                )
-
-            flagged = flagged.withColumn("bloom_pos", bloom_pos("gk"))
-        else:
-            flagged = flagged.withColumn("bloom_pos", F.lit(0))
-        flagged = flagged.localCheckpoint(eager=True)
-        to_verify = flagged.filter(
-            (F.col("bloom_pos") == 1) & (F.col("in_delta") == 0)
-        ).select("gk", "bucket")
-        if bitmap_bc is not None:
-            known = flagged.join(verify(to_verify), "gk", "left").withColumn(
-                "in_hist", F.coalesce("in_hist", F.lit(0))
-            )
-        else:
-            known = flagged.withColumn("in_hist", F.lit(0))
+            known = screened.withColumn("in_delta", F.lit(0))
         known = known.localCheckpoint(eager=True)
         dup_keys = (
             batch_dup.unionByName(
@@ -1332,6 +1225,11 @@ def bloom_substring_stream(
         if write_store_partitioned(novel, gram_dir, "bucket", epoch_id):
             _mark_store_written(spark, checkpoint)
             session_epochs.add(int(epoch_id))
+            # Per-epoch index maintenance: footer-read ONLY the files
+            # just written and append them to the persisted run index
+            # (no-op before the first manifest exists; bitmaps fold at
+            # the next session start — see section comment).
+            append_run_entries(spark, gram_dir, int(epoch_id))
         if (
             compact_every is not None
             and committed is not None
@@ -1347,21 +1245,36 @@ def bloom_substring_stream(
                 below_epoch=floor,
             )
             if result.get("compacted"):
+                # Reconcile the PERSISTED index against the folded files
+                # (dead run entries dropped, consolidated runs footer-
+                # read once) and refresh the live broadcast from it.
+                art2 = ensure_artifacts(
+                    spark,
+                    gram_dir,
+                    int(committed),
+                    bits_per_gram=bits_per_gram,
+                    fixed_total_bytes=bloom_bytes,
+                    max_bucket_bytes=max_bucket_bloom_bytes,
+                    n_buckets=N_BUCKETS,
+                )
                 old = index_bc
                 index_bc = sc.broadcast(
-                    _history_run_index(spark, gram_dir, int(committed))
+                    {} if art2 is None else art2["index"]
                 )
                 if old is not None:
                     old.unpersist()
         if metrics is not None:
-            metrics[int(epoch_id)] = {
+            entry = {
                 "bloom_bytes": m_bytes,
                 "k_hashes": k_hashes,
                 "hist_grams": n_hist,
-                "batch_gks": flagged.count(),
-                "verify_gks": to_verify.count(),
+                "batch_gks": known.count(),
+                "verify_gks": verify_acc.value - verify_before,
                 "rg_reads_total": rg_reads.value,
             }
+            for sk, sv in setup_metrics.items():
+                entry[f"setup_{sk}"] = sv
+            metrics[int(epoch_id)] = entry
         if on_batch is not None:
             on_batch(epoch_id)
 

@@ -1636,7 +1636,10 @@ class TestBloomSubstring:
         # sparse verify: far fewer lookups than batch grams (1 true dup +
         # possible FPs), and the bitmap is the sized cap, not the corpus
         assert m["verify_gks"] < m["batch_gks"]
-        assert m["bloom_bytes"] >= 1024  # floor clamp at tiny corpora
+        # Per-bucket floor clamp at tiny corpora: only buckets that hold
+        # history grams carry a bitmap (>= 16 B each); empty buckets
+        # answer "absent" exactly with no bitmap at all.
+        assert m["bloom_bytes"] >= 16 and m["bloom_bytes"] % 16 == 0
         grams = spark.read.parquet(gram_d).select("gk").collect()
         assert len(grams) == len({r["gk"] for r in grams})
 
@@ -1873,3 +1876,269 @@ class TestBloomSubstring:
             "crash", compact_every=2, crash_epoch=2
         )
         assert crash_rows == plain_rows
+
+
+class TestBloomArtifacts:
+    """Persisted membership artifacts (streaming/bloomstore.py): per-
+    bucket bitmaps + run index as store artifacts with watermark-
+    incremental maintenance — session start reads O(new runs), not one
+    full store pass (VERDICT r7 next-round #1)."""
+
+    @staticmethod
+    def _seed_sessions(spark, tmp_path, base, n_sessions=3, docs_per=2):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / base / "src")
+        gram_d = str(tmp_path / base / "grams")
+        stats_d = str(tmp_path / base / "stats")
+        ckpt = str(tmp_path / base / "ckpt")
+        schema = "doc_id long, text string"
+        metrics_per_session = []
+        doc = 0
+        for s in range(n_sessions):
+            rows = []
+            for _ in range(docs_per):
+                words = " ".join(f"s{s}w{doc}x{i}" for i in range(12))
+                rows.append((doc, words))
+                doc += 1
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            m: dict = {}
+            q = SB.bloom_substring_stream(
+                spark, src, schema, gram_d, stats_d, ckpt, n=8, metrics=m
+            )
+            q.awaitTermination()
+            metrics_per_session.append(m)
+        return src, gram_d, stats_d, ckpt, schema, metrics_per_session
+
+    def test_session_start_folds_only_new_epochs(self, spark, tmp_path):
+        """The manifest watermark makes session start incremental: after
+        the initial build, each session folds exactly the PREVIOUS
+        session's epochs and footer-reads zero already-indexed files
+        (the per-epoch append covered them)."""
+        *_, sessions = self._seed_sessions(
+            spark, tmp_path, "inc", n_sessions=4
+        )
+        # session 2 is the initial artifact build: it folds session 1's
+        # single epoch from a zero watermark
+        (m2,) = sessions[1].values()
+        assert m2["setup_folded_epochs"] == 1
+        # sessions 3 and 4: exactly one pending epoch (the previous
+        # session's), zero new footer reads (per-epoch append hit them)
+        for m_dict in sessions[2:]:
+            (m,) = m_dict.values()
+            assert m["setup_folded_epochs"] == 1
+            assert m["setup_new_index_files"] == 0
+            assert m["setup_rebuilt_buckets"] == 0
+
+    def test_artifacts_are_advisory_rebuild_on_loss(self, spark, tmp_path):
+        """Deleting or corrupting the artifact dir never changes flags —
+        the next session start just pays the full rebuild (the r7
+        per-session cost)."""
+        import shutil
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            bloomstore as BS,
+            substring as SB,
+        )
+
+        src, gram_d, stats_d, ckpt, schema, _ = self._seed_sessions(
+            spark, tmp_path, "loss", n_sessions=2
+        )
+        baseline = sorted(
+            map(tuple, spark.read.parquet(stats_d).drop("epoch").collect())
+        )
+        meta = BS.meta_dir_for(gram_d)
+        assert os.path.isdir(meta)
+        shutil.rmtree(meta)
+        span = "q1 q2 q3 q4 q5 q6 q7 q8"
+        spark.createDataFrame(
+            [(100, span), (101, f"pre {span} post")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        m: dict = {}
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8, metrics=m
+        )
+        q.awaitTermination()
+        (mm,) = m.values()
+        # full rebuild: every committed epoch folded, every file indexed
+        assert mm["setup_folded_epochs"] == 2
+        assert mm["setup_new_index_files"] > 0
+        got = {
+            r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()
+        }
+        assert got[101]["n_dup_grams"] == 1  # cross-session dup flagged
+        # corrupt manifest -> same advisory fallback, no crash
+        with open(f"{meta}/manifest.json", "w") as f:
+            f.write("{not json")
+        spark.createDataFrame(
+            [(200, f"tail {span} again")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        got = {
+            r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()
+        }
+        assert got[200]["n_dup_grams"] == 1
+        assert sorted(
+            t
+            for t in map(
+                tuple, spark.read.parquet(stats_d).drop("epoch").collect()
+            )
+            if t[0] < 100
+        ) == baseline
+
+    def test_external_compaction_reconciles_index(self, spark, tmp_path):
+        """A maintenance-window compact_store between sessions rewrites
+        every run file; the next session start drops the dead index
+        entries, footer-reads the consolidated runs, does NOT re-fold
+        bitmaps (membership-equivalent), and flags stay exact."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            stores,
+            substring as SB,
+        )
+
+        src, gram_d, stats_d, ckpt, schema, sessions = self._seed_sessions(
+            spark, tmp_path, "extc", n_sessions=3
+        )
+        result = stores.compact_store(
+            spark, gram_d, "bucket", sort_cols=["gk"]
+        )
+        assert result["compacted"]
+        # re-emit one known span from session 0 -> must still flag
+        first_doc_words = " ".join(f"s0w0x{i}" for i in range(12))
+        m: dict = {}
+        spark.createDataFrame(
+            [(500, f"echo {first_doc_words}")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8, metrics=m
+        )
+        q.awaitTermination()
+        (mm,) = m.values()
+        assert mm["setup_new_index_files"] > 0  # consolidated runs read
+        assert mm["setup_folded_epochs"] <= 1  # previous session only
+        got = {
+            r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()
+        }
+        # doc 500 contains doc 0's full 12-word span -> 5 dup 8-grams
+        assert got[500]["n_dup_grams"] == 5
+
+    def test_bucket_growth_rebuild_keeps_bits_per_gram(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A bucket that outgrows its bits/gram budget is rebuilt at the
+        next power of two from its own history slice — total bitmap
+        bytes grow with the corpus while flags stay exact."""
+        import json as _json
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            bloomstore as BS,
+            substring as SB,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        small = docs.filter("doc_id % 20 = 0")
+        rest = docs.filter("doc_id % 20 <> 0")
+        src = str(tmp_path / "src")
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+        schema = "doc_id long, text string"
+        for part in (small, rest):
+            part.coalesce(1).write.mode("append").parquet(src)
+            q = SB.bloom_substring_stream(
+                spark, src, schema, gram_d, stats_d, ckpt, n=8
+            )
+            q.awaitTermination()
+        with open(f"{BS.meta_dir_for(gram_d)}/manifest.json") as f:
+            man1 = _json.load(f)
+        total1 = sum(v["m_bytes"] for v in man1["buckets"].values())
+        # third session triggers the fold of session 2's large epoch:
+        # most buckets outgrew their small-session sizing and rebuild
+        m: dict = {}
+        spark.createDataFrame(
+            [(10_000_000, "growth probe tail")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8, metrics=m
+        )
+        q.awaitTermination()
+        (mm,) = m.values()
+        assert mm["setup_rebuilt_buckets"] > 0
+        with open(f"{BS.meta_dir_for(gram_d)}/manifest.json") as f:
+            man2 = _json.load(f)
+        total2 = sum(v["m_bytes"] for v in man2["buckets"].values())
+        assert total2 > total1
+        # bits/gram stayed near budget: sized for n at ~10 bits/gram,
+        # power-of-two rounding bounds it within [budget, 2x budget+]
+        n2 = sum(v["n_grams"] for v in man2["buckets"].values())
+        assert total2 * 8 >= 10.0 * n2 * 0.9
+        # stale bitmap versions GC'd: files on disk == manifest refs
+        names = set(os.listdir(BS.meta_dir_for(gram_d)))
+        refs = {v["file"] for v in man2["buckets"].values()}
+        assert {n for n in names if n.startswith("bm-")} == refs
+
+    def test_uri_scheme_paths_resolve(self, tmp_path):
+        """ADVICE r7: scheme-qualified paths must survive — the local
+        helpers normalize file: URIs and plain paths identically."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            bloomstore as BS,
+        )
+
+        p = str(tmp_path / "x.bin")
+        BS._write_bytes_atomic(p, b"abc")
+        assert BS._read_bytes(f"file:{p}") == b"abc"
+        assert BS._read_bytes(f"file://{p}") == b"abc"
+        assert BS._local_path("s3a://bucket/k") is None
+        assert BS._local_path("/plain/path") == "/plain/path"
+        assert BS._local_path("file:///a/b") == "/a/b"
+
+    def test_interrupted_manual_swap_recovers_without_compact_every(
+        self, spark, tmp_path
+    ):
+        """ADVICE r7 (medium): a crash inside a MANUAL maintenance-window
+        compact_store swap, followed by a restart WITHOUT compact_every,
+        must still repair the store at session start — otherwise the
+        aside epoch's grams are silently treated as novel."""
+        import glob as _glob
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src, gram_d, stats_d, ckpt, schema, _ = self._seed_sessions(
+            spark, tmp_path, "swap", n_sessions=3
+        )
+        # Simulate a death between the aside rename and the rename-in of
+        # a manual compaction: one committed epoch dir exists only as
+        # the aside.
+        target = sorted(
+            int(d.rsplit("=", 1)[1])
+            for d in _glob.glob(f"{gram_d}/epoch=*")
+        )[0]
+        os.rename(
+            f"{gram_d}/epoch={target}",
+            gram_d + f".compact_old_epoch={target}",
+        )
+        # Restart WITHOUT compact_every and re-emit a span registered in
+        # the aside-renamed epoch (doc 0 lives in epoch 0).
+        first_doc_words = " ".join(f"s0w0x{i}" for i in range(12))
+        spark.createDataFrame(
+            [(900, f"replay {first_doc_words}")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        assert not os.path.exists(gram_d + f".compact_old_epoch={target}")
+        got = {
+            r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()
+        }
+        assert got[900]["n_dup_grams"] == 5  # aside epoch's grams seen
