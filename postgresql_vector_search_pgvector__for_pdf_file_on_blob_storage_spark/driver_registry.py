@@ -217,7 +217,10 @@ ROWS_ONLY_SUITES: dict[str, list[str]] = {
     ],
     # Both incremental-ingest dedup paths (MinHash band store / semantic
     # vector store) in one entry; stream==batch equivalence for each is
-    # pinned in pytest (test_streaming.py / test_semdedup.py).
+    # pinned in pytest (test_streaming.py / test_semdedup.py) AND, since
+    # r08, driver-visible: every member carries a constant
+    # ``batch_diff_rows`` column (symmetric bag difference vs its batch
+    # twin, 0 iff equivalent — VERDICT r7 next-round #5).
     "streaming_dedup_gallery": [
         "streaming_neardup_matches",
         "streaming_semdedup_matches",

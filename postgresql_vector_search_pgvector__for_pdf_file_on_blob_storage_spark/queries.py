@@ -122,6 +122,18 @@ def _lazy_parquet_or_empty(
     return spark.read.parquet(path)
 
 
+def _bag_diff_count(a: DataFrame, b: DataFrame, cols: list[str]) -> int:
+    """Symmetric bag-difference row count between two frames on ``cols``
+    — the streaming gallery's driver-visible stream==batch equivalence
+    witness (VERDICT r7 next-round #5): each gallery member attaches
+    this as a constant ``batch_diff_rows`` column, so the driver's
+    rows-only record itself shows 0 when the stream output equals its
+    batch twin (and the non-zero count when it ever does not), instead
+    of the equivalence living only in pytest."""
+    aa, bb = a.select(*cols), b.select(*cols)
+    return aa.exceptAll(bb).count() + bb.exceptAll(aa).count()
+
+
 # ---------------------------------------------------------------------------
 # Vector search — the reference's hot path (SURVEY.md §2A row 13, §2B B1/B2)
 # ---------------------------------------------------------------------------
@@ -3961,10 +3973,13 @@ def streaming_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents fixture as two arrival batches: the first half of the
     corpus is registered, then the second half arrives and each new doc is
     checked against the persisted band store (plus within-batch).  Returns
-    the verified matches ``(new_id, matched_id, jaccard)``.  foreachBatch
-    state-table pattern -> rows-only; the batch-operator equivalence (same
-    pairs as ``minhash_lsh_pairs`` on the union corpus, directions
-    normalized) is pinned in tests/test_streaming.py."""
+    the verified matches ``(new_id, matched_id, jaccard)`` plus a
+    constant ``batch_diff_rows`` column: the symmetric bag difference
+    between the incremental pair set and the batch operator's
+    ``minhash_lsh_pairs`` answer on the union corpus (directions
+    normalized to (later, earlier)) — 0 iff stream == batch, the pytest
+    pin made driver-visible (VERDICT r7 next-round #5).  foreachBatch
+    state-table pattern -> rows-only."""
     from .streaming import neardup as ND
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3979,9 +3994,22 @@ def streaming_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") > mid), band_d, sh_d, m_d,
         threshold=0.8,
     )
-    return _lazy_parquet_or_empty(
+    stream = _lazy_parquet_or_empty(
         spark, m_d, "new_id bigint, matched_id bigint, jaccard double"
-    ).orderBy("new_id", "matched_id")
+    )
+    twin = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8
+    ).select(
+        F.greatest("id_a", "id_b").alias("new_id"),
+        F.least("id_a", "id_b").alias("matched_id"),
+    )
+    diff = _bag_diff_count(stream, twin, ["new_id", "matched_id"])
+    return (
+        stream.withColumn(
+            "batch_diff_rows", F.lit(int(diff)).cast("long")
+        )
+        .orderBy("new_id", "matched_id")
+    )
 
 
 @query("approx_aggregates_gallery")
@@ -4743,9 +4771,14 @@ def streaming_semdedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cluster's store partitions (plus within-batch).  Returns verified
     matches ``(new_id, matched_id, cos_dist)`` at the fixture's 0.6
     cosine threshold (matching ``embedding_near_dup`` / the batch
-    ``semantic_dedup`` query).  foreachBatch state-table pattern ->
-    rows-only; stream==batch equivalence is pinned in
-    tests/test_semdedup.py."""
+    ``semantic_dedup`` query), plus a constant ``batch_diff_rows``
+    column: the symmetric bag difference between the incremental pair
+    set and an INDEPENDENT batch recompute (per-cluster self-join,
+    normalized-dot cosine, registration-order orientation — plain
+    DataFrame ops, not the stream's GEMM kernel) — 0 iff stream ==
+    batch, the pytest pin made driver-visible (VERDICT r7 next-round
+    #5).  foreachBatch state-table pattern -> rows-only."""
+    from .operators.semdedup import assign_to_centroids
     from .streaming import semdedup as SS
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4759,16 +4792,67 @@ def streaming_semdedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     SS.detect_and_register(
         emb.filter(F.col("vec_id") > mid), cents, store_d, m_d, eps=0.6
     )
-    return (
-        _lazy_parquet_or_empty(
-            spark, m_d,
-            "new_id bigint, matched_id bigint, cos_dist double",
+    stream = _lazy_parquet_or_empty(
+        spark, m_d, "new_id bigint, matched_id bigint, cos_dist double"
+    )
+    # Independent batch twin: same frozen centroids, same zero-norm
+    # guard, but pairing via a per-cluster self-join with the
+    # registration order (batch index, then id) — matched_id is any
+    # earlier-batch row or a smaller-id same-batch row, strict < eps.
+    raw_norm = V.l2_norm("embedding")
+    nrm = F.when(raw_norm == 0.0, F.lit(1.0)).otherwise(raw_norm)
+    nv = (
+        assign_to_centroids(
+            emb.filter(F.col("embedding").isNotNull()).select(
+                F.col("vec_id").cast("long").alias("id"), "embedding"
+            ),
+            cents,
+            "embedding",
         )
+        .withColumn("__n", nrm)
         .select(
+            "id",
+            "cluster_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("__n")
+            ).alias("vec"),
+            F.when(F.col("id") <= mid, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("arrival"),
+        )
+    )
+    lhs, rhs = nv.alias("na"), nv.alias("nb")
+    dot = F.aggregate(
+        F.zip_with(F.col("na.vec"), F.col("nb.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    twin = (
+        lhs.join(
+            rhs,
+            (F.col("na.cluster_id") == F.col("nb.cluster_id"))
+            & (
+                (F.col("nb.arrival") < F.col("na.arrival"))
+                | (
+                    (F.col("nb.arrival") == F.col("na.arrival"))
+                    & (F.col("nb.id") < F.col("na.id"))
+                )
+            ),
+        )
+        .filter(F.lit(1.0) - dot < F.lit(0.6))
+        .select(
+            F.col("na.id").alias("new_id"),
+            F.col("nb.id").alias("matched_id"),
+        )
+    )
+    diff = _bag_diff_count(stream, twin, ["new_id", "matched_id"])
+    return (
+        stream.select(
             "new_id",
             "matched_id",
             F.round("cos_dist", 4).alias("cos_dist"),
         )
+        .withColumn("batch_diff_rows", F.lit(int(diff)).cast("long"))
         .orderBy("new_id", "matched_id")
     )
 
@@ -4808,9 +4892,11 @@ def streaming_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, then the second half arrives and each new doc is scored
     against its own batch AND the store.  Returns the batch operator's
     exact per-doc column contract ``(doc_id, n_windows, n_grams,
-    n_dup_grams, dup_gram_ppm)``; a single-batch call is test-pinned
-    equal to ``ngram_dup_stats``.  foreachBatch state-table pattern ->
-    rows-only."""
+    n_dup_grams, dup_gram_ppm)`` plus a constant ``batch_diff_rows``
+    column: a fresh SINGLE-batch run over the whole corpus bag-diffed
+    against ``dedup.ngram_dup_stats`` — the oracle-anchored
+    single-batch == batch-operator pin made driver-visible (VERDICT r7
+    next-round #5).  foreachBatch state-table pattern -> rows-only."""
     from .streaming import substring as SB
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4823,11 +4909,24 @@ def streaming_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SB.detect_and_register(
         docs.filter(F.col("doc_id") > mid), gram_d, s_d, n=8
     )
-    return _lazy_parquet_or_empty(
-        spark, s_d,
-        "doc_id bigint, n_windows bigint, n_grams bigint,"
-        " n_dup_grams bigint, dup_gram_ppm bigint",
-    ).orderBy("doc_id")
+    SB.detect_and_register(docs, f"{tmp}/grams1", f"{tmp}/stats1", n=8)
+    cols = [
+        "doc_id", "n_windows", "n_grams", "n_dup_grams", "dup_gram_ppm",
+    ]
+    diff = _bag_diff_count(
+        spark.read.parquet(f"{tmp}/stats1"),
+        D.ngram_dup_stats(docs, n=8),
+        cols,
+    )
+    return (
+        _lazy_parquet_or_empty(
+            spark, s_d,
+            "doc_id bigint, n_windows bigint, n_grams bigint,"
+            " n_dup_grams bigint, dup_gram_ppm bigint",
+        )
+        .withColumn("batch_diff_rows", F.lit(int(diff)).cast("long"))
+        .orderBy("doc_id")
+    )
 
 
 @query("streaming_substring_keyed")
@@ -4838,8 +4937,12 @@ def streaming_substring_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store keyed on the gram hash — O(batch) lookups instead of the
     parquet store's full scan, the sub-linear shape the store-scan design
     note names.  Driven over the documents fixture as one availableNow
-    drain; rows-only (stateful streaming has no SQL twin), with the
-    single-batch == ngram_dup_stats equivalence pinned in pytest."""
+    drain; rows-only (stateful streaming has no SQL twin).  The output
+    carries a constant ``batch_diff_rows`` column — the stream result
+    bag-diffed against ``dedup.ngram_dup_stats`` (the whole corpus
+    arrives as one micro-batch, so exact equality is the contract) —
+    making the pytest equivalence pin driver-visible (VERDICT r7
+    next-round #5)."""
     from .streaming import substring as SB
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4850,13 +4953,19 @@ def streaming_substring_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, "doc_id long, text string", s_d, ckpt, n=8
     )
     q.awaitTermination()
+    stream = _lazy_parquet_or_empty(
+        spark, s_d,
+        "doc_id bigint, n_windows bigint, n_grams bigint,"
+        " n_dup_grams bigint, dup_gram_ppm bigint",
+    ).drop("epoch")
+    cols = [
+        "doc_id", "n_windows", "n_grams", "n_dup_grams", "dup_gram_ppm",
+    ]
+    diff = _bag_diff_count(stream, D.ngram_dup_stats(docs, n=8), cols)
     return (
-        _lazy_parquet_or_empty(
-            spark, s_d,
-            "doc_id bigint, n_windows bigint, n_grams bigint,"
-            " n_dup_grams bigint, dup_gram_ppm bigint",
+        stream.withColumn(
+            "batch_diff_rows", F.lit(int(diff)).cast("long")
         )
-        .drop("epoch")
         .orderBy("doc_id")
     )
 
@@ -4870,9 +4979,13 @@ def streaming_substring_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by session ingest, not corpus size (the fix for the keyed
     form's corpus-linear Arrow state transfer).  Driven over the
     documents fixture as one availableNow drain; rows-only, with
-    single-batch == ngram_dup_stats equivalence, cross-session history
-    flags, kill/resume exactly-once, and state-boundedness pinned in
-    pytest (tests/test_streaming.py::TestTieredSubstring)."""
+    cross-session history flags, kill/resume exactly-once, and
+    state-boundedness pinned in pytest
+    (tests/test_streaming.py::TestTieredSubstring).  The output carries
+    a constant ``batch_diff_rows`` column — the stream result
+    bag-diffed against ``dedup.ngram_dup_stats`` (whole corpus in one
+    micro-batch -> exact equality) — the pytest equivalence pin made
+    driver-visible (VERDICT r7 next-round #5)."""
     from .streaming import substring as SB
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4884,13 +4997,19 @@ def streaming_substring_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, "doc_id long, text string", gram_d, s_d, ckpt, n=8
     )
     q.awaitTermination()
+    stream = _lazy_parquet_or_empty(
+        spark, s_d,
+        "doc_id bigint, n_windows bigint, n_grams bigint,"
+        " n_dup_grams bigint, dup_gram_ppm bigint",
+    ).drop("epoch")
+    cols = [
+        "doc_id", "n_windows", "n_grams", "n_dup_grams", "dup_gram_ppm",
+    ]
+    diff = _bag_diff_count(stream, D.ngram_dup_stats(docs, n=8), cols)
     return (
-        _lazy_parquet_or_empty(
-            spark, s_d,
-            "doc_id bigint, n_windows bigint, n_grams bigint,"
-            " n_dup_grams bigint, dup_gram_ppm bigint",
+        stream.withColumn(
+            "batch_diff_rows", F.lit(int(diff)).cast("long")
         )
-        .drop("epoch")
         .orderBy("doc_id")
     )
 
@@ -4905,10 +5024,18 @@ def streaming_substring_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch wall and executor memory bounded regardless of corpus
     size (the fix for the tiered form's corpus-sized cached snapshot).
     Driven over the documents fixture split into two sessions so the
-    second session exercises the Bloom + point-lookup path; rows-only,
-    with single-batch == ngram_dup_stats equivalence, false-positive
-    exactness, kill/resume exactly-once, and the explicit memory cap
-    pinned in pytest (tests/test_streaming.py::TestBloomSubstring)."""
+    second session exercises the Bloom + point-lookup path (and, since
+    r08, the incremental artifact reconcile: the second session folds
+    only the first session's epochs — streaming/bloomstore.py);
+    rows-only, with false-positive exactness, kill/resume exactly-once,
+    artifact persistence, and the per-bucket memory budget pinned in
+    pytest (tests/test_streaming.py::TestBloomSubstring /
+    TestBloomArtifacts).  The output carries a constant
+    ``batch_diff_rows`` column — the two-session stream result
+    bag-diffed against the store-scan reference form
+    (``detect_and_register``, itself oracle-anchored) driven at the
+    SAME split — the pytest equivalence pin made driver-visible
+    (VERDICT r7 next-round #5)."""
     from .streaming import substring as SB
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4926,12 +5053,26 @@ def streaming_substring_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, "doc_id long, text string", gram_d, s_d, ckpt, n=8
     )
     q.awaitTermination()
+    stream = _lazy_parquet_or_empty(
+        spark, s_d,
+        "doc_id bigint, n_windows bigint, n_grams bigint,"
+        " n_dup_grams bigint, dup_gram_ppm bigint",
+    ).drop("epoch")
+    SB.detect_and_register(
+        docs.filter(F.col("doc_id") <= mid), f"{tmp}/tg", f"{tmp}/ts", n=8
+    )
+    SB.detect_and_register(
+        docs.filter(F.col("doc_id") > mid), f"{tmp}/tg", f"{tmp}/ts", n=8
+    )
+    cols = [
+        "doc_id", "n_windows", "n_grams", "n_dup_grams", "dup_gram_ppm",
+    ]
+    diff = _bag_diff_count(
+        stream, spark.read.parquet(f"{tmp}/ts"), cols
+    )
     return (
-        _lazy_parquet_or_empty(
-            spark, s_d,
-            "doc_id bigint, n_windows bigint, n_grams bigint,"
-            " n_dup_grams bigint, dup_gram_ppm bigint",
+        stream.withColumn(
+            "batch_diff_rows", F.lit(int(diff)).cast("long")
         )
-        .drop("epoch")
         .orderBy("doc_id")
     )
