@@ -720,3 +720,90 @@ def test_type3_font_decodes_via_differences():
         % (len(objs) + 1, xref_at)
     )
     assert MP.extract_text_pages(bytes(out)) == [text]
+
+
+def test_cff_present_but_tableless_encoding_blocks_fallback():
+    """ADVICE r7: an /Encoding that is PRESENT but resolves to no table
+    (bare /StandardEncoding, or /Differences whose glyph names are all
+    unknown) keeps PDF-side precedence (PDF 32000-1 §9.6.6) — the
+    CFF-internal encoding must NOT silently override it.  The decode
+    then falls to latin-1/chr (StandardEncoding's ASCII-core behavior):
+    the fixture's codes 128/129 yield those code points, not the CFF's
+    remapped letters."""
+    pdf = MP.make_pdf_cff_simple([["AB"]])
+    with_std = pdf.replace(
+        b"/BaseFont /MiniCFF /FontDescriptor",
+        b"/BaseFont /MiniCFF /Encoding /StandardEncoding"
+        b" /FontDescriptor",
+        1,
+    )
+    assert MP.extract_text_pages(with_std) == ["\x80\x81"]
+    with_unknown = pdf.replace(
+        b"/BaseFont /MiniCFF /FontDescriptor",
+        b"/BaseFont /MiniCFF /Encoding"
+        b" << /Differences [128 /nosuchglyphname /alsonotreal] >>"
+        b" /FontDescriptor",
+        1,
+    )
+    assert MP.extract_text_pages(with_unknown) == ["\x80\x81"]
+    # truly ABSENT /Encoding still takes the CFF route (regression)
+    assert MP.extract_text_pages(pdf) == ["AB"]
+
+
+def _make_cid_keyed_cff() -> bytes:
+    """A syntactically valid CID-keyed CFF: take the name-keyed _make_cff
+    output and rewrite its Top DICT to carry ROS (same surgery as
+    test_cff_maps_rejects_cid_keyed_and_garbage)."""
+    good = MP._make_cff(["A"], [65])
+    ros_op = (
+        b"\x1d" + (391).to_bytes(4, "big")
+        + b"\x1d" + (391).to_bytes(4, "big")
+        + b"\x1d" + (0).to_bytes(4, "big")
+    )
+    top_start = good.index(b"\x00\x01\x01") + 5
+    cid_dict = ros_op[:13] + b"\x0c\x1e" + b"\x1d" + good[
+        top_start + 13 : top_start + 17
+    ]
+    bad = bytearray(good)
+    bad[good.index(b"\x00\x01\x01") : top_start + 18] = (
+        b"\x00\x01\x01" + bytes([1, 21]) + cid_dict
+    )
+    return bytes(bad)
+
+
+def test_cid_keyed_bare_cff_refusal_end_to_end():
+    """VERDICT r7 #6: a Type0 font whose descendant embeds a CID-KEYED
+    bare CFF (FontFile3 /CIDFontType0C).  Without /ToUnicode there is
+    structurally nothing to recover (charset holds CIDs, not names;
+    Identity ordering has no unicode semantics; registry orderings need
+    Adobe's external CMap resources) — the documented behavior is the
+    crash-free per-code identity fall-through.  With /ToUnicode the
+    authoritative path is untouched by the embedded program."""
+    import zlib as _z
+
+    pdf = MP.make_pdf_cid([["AB"]])  # cids: A->1, B->2
+    prog = _z.compress(_make_cid_keyed_cff())
+    # next free object numbers (builder uses 1..7 for one page)
+    n_obj = max(
+        int(m.group(1)) for m in MP._OBJ_RE.finditer(pdf)
+    )
+    fd_num, ff_num = n_obj + 1, n_obj + 2
+    extra = (
+        b"%d 0 obj\n<< /Type /FontDescriptor /FontName /MiniSans "
+        b"/FontFile3 %d 0 R >>\nendobj\n" % (fd_num, ff_num)
+        + b"%d 0 obj\n<< /Length %d /Filter /FlateDecode "
+        b"/Subtype /CIDFontType0C >>\nstream\n" % (ff_num, len(prog))
+        + prog
+        + b"\nendstream\nendobj\n"
+    )
+    grafted = pdf.replace(
+        b"/DW 1000 /CIDToGIDMap /Identity >>",
+        b"/DW 1000 /CIDToGIDMap /Identity /FontDescriptor %d 0 R >>"
+        % fd_num,
+        1,
+    ).replace(b"xref\n", extra + b"xref\n", 1)
+    # ToUnicode present: authoritative, program ignored
+    assert MP.extract_text_pages(grafted) == ["AB"]
+    # ToUnicode absent: pinned refusal -> per-code identity, no crash
+    no_tu = grafted.replace(b"/ToUnicode 5 0 R ", b"", 1)
+    assert MP.extract_text_pages(no_tu) == ["\x01\x02"]
