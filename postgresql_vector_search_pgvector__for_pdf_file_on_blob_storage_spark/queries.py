@@ -3047,31 +3047,36 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q20_dominant_supplier",
     """
-WITH perp AS (
+WITH """ + _SQL_PARTSUPP + """,
+shipped AS (
   SELECT l.l_partkey, l.l_suppkey,
          sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS sq
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-  WHERE p.p_type = 'ECONOMY'
-    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-  GROUP BY l.l_partkey, l.l_suppkey),
-tot AS (SELECT l_partkey, sum(sq) AS tq FROM perp GROUP BY l_partkey)
+  GROUP BY l.l_partkey, l.l_suppkey)
 SELECT DISTINCT s.s_suppkey, s.s_name
-FROM perp
-JOIN tot ON perp.l_partkey = tot.l_partkey
-JOIN supplier s ON perp.l_suppkey = s.s_suppkey
-WHERE 2 * perp.sq > tot.tq
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_type = 'ECONOMY'
+JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+               AND sh.l_suppkey = ps.ps_suppkey
+JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+WHERE 2 * ps.ps_availqty > sh.sq
 ORDER BY s.s_suppkey
 """,
 )
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape adapted (fixtures lack partsupp): suppliers that
-    shipped more than half of some ECONOMY part's 1997 volume.  Two-level
-    aggregation — per-(part,supplier), re-aggregated per part — with the
-    dominance test in pure DECIMAL (2*sq > tq), so the comparison is exact
-    on both engines; the second agg reuses the first's shuffle partitioning
-    (no extra exchange for `tot`)."""
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    """TPC-H Q20, FAITHFUL shape (r08 — derived partsupp, section
+    comment above _SQL_PARTSUPP): suppliers whose ``ps_availqty``
+    exceeds half the 1997 shipped quantity of that (part, supplier)
+    pair — the canonical Q20 correlated-availqty test, decorrelated
+    into a grouped sum + equality join.  The dominance comparison is
+    ``2 * ps_availqty > sq`` with an INT left side against the DECIMAL
+    sum — exact on both engines."""
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.expr(
@@ -3079,19 +3084,21 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
         )
     )
-    perp = (
-        l.join(F.broadcast(p.select("p_partkey")),
-               l.l_partkey == F.col("p_partkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"))
-    )
-    tot = perp.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.sum("sq").alias("tq")
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sq")
     )
     return (
-        perp.join(tot, perp.l_partkey == F.col("__pk"))
-        .filter(F.lit(2) * F.col("sq") > F.col("tq"))
-        .join(F.broadcast(s), perp.l_suppkey == s.s_suppkey)
+        ps.join(
+            F.broadcast(p.select("p_partkey")),
+            ps.ps_partkey == F.col("p_partkey"),
+        )
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.lit(2) * F.col("ps_availqty") > F.col("sq"))
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name")
         .distinct()
         .orderBy("s_suppkey")

@@ -644,9 +644,14 @@ def append_run_entries(
     fresh = [read_footer_entry(j) for j in jobs if j[2] not in indexed]
     if not fresh:
         return
+    prev_runs = manifest["runs_file"]
     runs_name = f"runs-e{int(epoch)}.parquet"
     _write_runs_parquet(f"{meta}/{runs_name}", entries + fresh)
     manifest["runs_file"] = runs_name
     _write_bytes_atomic(
         f"{meta}/{MANIFEST_NAME}", json.dumps(manifest, indent=1).encode()
     )
+    if prev_runs != runs_name:
+        # Superseded index version: delete AFTER the manifest commit (a
+        # crash in between only leaves an orphan for the next GC).
+        _delete_file(f"{meta}/{prev_runs}")
