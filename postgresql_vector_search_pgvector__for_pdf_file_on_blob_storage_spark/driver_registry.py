@@ -162,6 +162,11 @@ SUITES: dict[str, list[str]] = {
         "unigram_surprisal",
         "token_frequencies_top100",
         "corpus_curation_pipeline",
+        # r8: the data-SELECTION stage — Moore-Lewis/DSIR hashed n-gram
+        # importance top-k and the quality classifier's serving path with
+        # fixed formula weights (both integer-exact; operators/selection.py).
+        "dsir_select",
+        "quality_classifier_fixed_weights",
     ],
     "tpch_suite_a": ["tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
                      "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
@@ -252,6 +257,10 @@ ROWS_ONLY: list[str] = [
     "approx_aggregates_gallery",
     "ann_recall_report",
     "bpe_vocab_train",
+    # r8: distributed logistic-regression training over hashed features —
+    # float GD has no bit-stable SQL twin; serving path oracle-verified via
+    # quality_classifier_fixed_weights, gradient numpy-pinned in tests.
+    "quality_classifier_train",
 ]
 
 

@@ -1,0 +1,496 @@
+"""Training-data SELECTION operators: hashed n-gram importance scoring
+and a fastText-style hashed linear quality classifier.
+
+Two published data-selection methods re-expressed Spark-first:
+
+- :func:`cross_entropy_diff_scores` — the Moore & Lewis 2010
+  ("Intelligent Selection of Language Model Training Data")
+  cross-entropy-difference criterion, generalized over hashed n-gram
+  bucket distributions exactly the way DSIR does (Xie et al. 2023,
+  "Data Selection for Language Models via Importance Resampling"):
+  a document's importance is its surprisal under the RAW-corpus hashed
+  n-gram LM minus its surprisal under the TARGET-corpus LM; documents
+  that look more like the target than like the generic pool score
+  high.  DSIR's Gumbel resampling step is replaced by deterministic
+  top-k selection (:func:`dsir_select`) so the operator has an exact
+  cross-engine oracle; a seeded sampler is a trivial wrapper the
+  deterministic rank already enables.
+
+- :func:`train_logreg_hashed` / :func:`score_hashed_linear` — the
+  CCNet / GPT-3-style "quality classifier" stage: logistic regression
+  over hashed bag-of-words features (the fastText trick of hashing
+  tokens into a fixed-size bucket space), trained by DISTRIBUTED
+  full-batch gradient descent — per-partition sparse partial
+  gradients, a map-side-combined ``groupBy(idx).sum`` reduce of at
+  most ``m+3`` rows per iteration, weight broadcast via task closure.
+
+Integer-exactness discipline (see queries.py module doc): the scoring
+paths that carry a SQL oracle never touch a transcendental — surprisal
+is whole bits (``length(bin(x)) - 1`` on BIGINTs, the
+unigram_surprisal convention) and the fixed-weight classifier logit is
+a pure BIGINT dot product.  The cross-engine feature hash is the
+15-hex-char md5 prefix (60 bits, always positive):
+Spark ``conv(substring(md5(f),1,15),16,10)`` ==
+DuckDB ``CAST('0x' || substr(md5(f),1,15) AS BIGINT)`` — JVM-side and
+codegen-friendly on the Spark side, no Python in the hot path.
+
+100 TB shape (both operators): one explode over (doc, feature) with
+the hash applied IN the same projection (feature strings never
+shuffle — only ``(id, bucket)`` pairs after map-side partial
+aggregation); the bucket statistics table is AT MOST ``m`` rows
+(m = 256..2^18), so every join back to the corpus is a broadcast; the
+per-doc fold is a map-side-combinable integer sum.  Classifier
+training adds one tiny ``m+3``-row shuffle per iteration over a CACHED
+sparse-feature table — corpus scans happen once, not per iteration.
+
+Reference parity: the reference repo has no data-selection stage (it
+delegates everything past ingestion to PostgreSQL/pgvector — see
+BASELINE.md); these operators are part of the §2B-style LLM-pipeline
+closure the task brief mandates (dedup / quality / selection).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import text as X
+from ..utils import spread
+
+__all__ = [
+    "hashed_ngram_features",
+    "cross_entropy_diff_scores",
+    "dsir_select",
+    "score_hashed_linear",
+    "train_logreg_hashed",
+]
+
+
+def _bucket_of(feature: Column, m: int) -> Column:
+    """Cross-engine-stable hash bucket in ``[0, m)`` for a string feature:
+    the 60-bit (15 hex chars, always non-negative) md5 prefix, mod m.
+    JVM-side (md5 + conv are codegen expressions); DuckDB twin:
+    ``CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % m``."""
+    return (
+        F.conv(F.substring(F.md5(feature), 1, 15), 16, 10).cast("long")
+        % F.lit(int(m))
+    ).alias("bucket")
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    m: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = False,
+    carry: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-document hashed n-gram bucket counts: ``(id, bucket, tf)``.
+
+    Features are whitespace unigrams (``word_tokens`` — the repo-wide
+    tokenizer class, identical to every oracle's
+    ``string_split_regex``) plus, with ``bigrams=True``, adjacent-token
+    bigrams joined by one space (the DSIR feature set).  Feature
+    strings are hashed to buckets INSIDE the projection that creates
+    them, so the only thing that ever shuffles is ``(id, bucket)``
+    with map-side combine — at 100 TB the shuffle volume is bounded by
+    distinct (doc, bucket) pairs, never by corpus text.
+
+    ``carry`` rides extra per-document columns (expressions over
+    ``df``'s columns, keyed by output name) through the explode and
+    into the group key — per-doc-constant annotations (e.g. a target
+    flag) travel WITH the scan instead of joining a corpus-sized table
+    back on afterwards (which would cost a second shuffle and a
+    sort-merge join at scale)."""
+    carry = carry or {}
+    toks = F.filter(X.word_tokens(text_col), lambda t: t != "")
+    if bigrams:
+        n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+        bi = F.zip_with(
+            F.slice(toks, 1, n1),
+            F.slice(toks, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        feats = F.concat(toks, bi)
+    else:
+        feats = toks
+    extra = [expr.alias(name) for name, expr in carry.items()]
+    ex = spread(df).select(
+        F.col(id_col).alias("id"), *extra, F.explode(feats).alias("f")
+    )
+    keys = ["id", *carry.keys()]
+    return (
+        ex.select(*keys, _bucket_of(F.col("f"), m))
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _whole_bits(total: Column, cnt: Column) -> Column:
+    """floor(log2(total / cnt)) on BIGINTs via binary-string length —
+    the integer-exact surprisal primitive shared with
+    textstats.unigram_surprisal (both engines render identical ``bin``
+    strings; no libm)."""
+    return (
+        F.length(F.bin(F.expr(f"{total} div {cnt}").cast("long"))) - F.lit(1)
+    ).cast("long")
+
+
+def cross_entropy_diff_scores(
+    df: DataFrame,
+    is_target: Column,
+    m: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Moore-Lewis / DSIR importance scores over hashed n-gram LMs.
+
+    ``is_target`` marks the in-domain exemplar documents (evaluated
+    against ``df``'s columns).  Two add-one-smoothed bucket unigram LMs
+    are fit — target p and raw-pool q — and each document scores
+
+        ``score_bits = sum_f [ bits_q(f) - bits_p(f) ]``
+
+    where ``bits_*(f) = floor(log2((total_* + m) / (cnt_*[f] + 1)))``
+    is the whole-bit add-one surprisal of the feature's bucket.  A
+    positive score = the raw-pool LM is more surprised by the document
+    than the target LM is — the Moore-Lewis keep signal.  Whole-bit
+    integer surprisal keeps the operator bit-for-bit reproducible in
+    any engine (the unigram_surprisal convention; see module doc).
+
+    Returns one row per input document (docs with no features score 0):
+    ``(id_col, n_feats, score_bits, mean_milli)`` where ``mean_milli =
+    floor(score_bits * 1000.0 / n_feats)`` — a SINGLE double division
+    + floor (each a correctly-rounded IEEE op, so cross-engine exact;
+    integer ``div`` is avoided because its negative-operand semantics
+    differ between engines).
+
+    100 TB shape: ONE feature pass (the per-(doc,bucket) tf table is
+    computed once and reused for both LMs and the per-doc fold); the
+    bucket-stats table is exactly ``<= m`` rows, broadcast back; totals
+    are a single-row broadcast cross join.  No shuffle carries feature
+    text, and every aggregate is map-side combinable."""
+    tf = hashed_ngram_features(
+        df,
+        m,
+        text_col=text_col,
+        id_col=id_col,
+        bigrams=bigrams,
+        carry={"is_t": is_target.cast("boolean")},
+    )
+    bucket = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+        F.sum("tf").alias("cs"),
+    )
+    tot = bucket.agg(
+        F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
+    )
+    delta = (
+        bucket.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                _whole_bits(f"(ts + {int(m)})", "(cs + 1)")
+                - _whole_bits(f"(tt + {int(m)})", "(ct + 1)")
+            ).alias("d"),
+        )
+    )
+    per = (
+        tf.join(F.broadcast(delta), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("d")).alias("score_bits"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    out = base.join(per, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("score_bits", F.lit(0)).cast("long").alias("score_bits"),
+    )
+    return out.withColumn(
+        "mean_milli",
+        F.when(
+            F.col("n_feats") > 0,
+            F.floor(
+                F.col("score_bits").cast("double")
+                * F.lit(1000.0)
+                / F.col("n_feats").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    m: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Deterministic top-k data selection on the cross-entropy-difference
+    score: rank by per-feature mean score descending with the id as the
+    total-order tie-break, keep the top ``k``.  Adds a ``selected``
+    boolean to :func:`cross_entropy_diff_scores`' output (every input
+    doc keeps a row — selection is a FLAG, so downstream mixtures can
+    re-weight rather than lose the rejected pool).
+
+    DSIR proper resamples with Gumbel noise; the deterministic rank is
+    the oracle-checkable core (and a seeded sampler is ``rank`` over
+    ``mean + gumbel(seed)`` — one column swap).  The global sort is a
+    single ``row_number`` over k << corpus: at scale, replace with the
+    standard top-k pattern (per-partition top-k then merge — Spark's
+    ``TakeOrderedAndProject`` does this automatically for ``orderBy +
+    limit``; the window form is kept here because every row must keep
+    its flag)."""
+    from pyspark.sql.window import Window
+
+    scores = cross_entropy_diff_scores(
+        df, is_target, m=m, text_col=text_col, id_col=id_col, bigrams=bigrams
+    )
+    w = Window.orderBy(F.col("mean_milli").desc(), F.col(id_col).asc())
+    return scores.withColumn(
+        "selected", (F.row_number().over(w) <= F.lit(int(k)))
+    )
+
+
+def score_hashed_linear(
+    df: DataFrame,
+    weight_of: Callable[[Column], Column] | np.ndarray,
+    m: int,
+    bias: float | int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "logit",
+) -> DataFrame:
+    """Linear score over hashed unigram counts — the classifier's
+    SERVING path, shared by the fixed-weight oracle row and the
+    trained-weight pipeline.
+
+    ``weight_of`` is either a Column formula ``bucket -> weight``
+    (INTEGER weights; the whole dot product stays in exact BIGINT — the
+    pq_adc_fixed_codebook move: fixed formula parameters make the real
+    scoring path SQL-expressible) or a trained ``np.ndarray`` of
+    ``m`` float weights (broadcast-joined as an ``<= m``-row table; the
+    per-doc fold is then a double sum whose terms are single IEEE
+    multiplies — emitted in micro-units for stable downstream
+    comparison).
+
+    Returns one row per document: ``(id_col, n_tokens, <score_col>)``
+    (BIGINT in both modes; float mode emits micro-units) — docs with no
+    tokens score exactly ``bias``.
+
+    100 TB shape: identical to :func:`hashed_ngram_features` (its tf
+    table IS the scan) plus one broadcast join against an ``m``-row
+    weight table and a map-side-combinable per-doc sum."""
+    tf = hashed_ngram_features(
+        df, m, text_col=text_col, id_col=id_col, bigrams=False
+    )
+    if callable(weight_of):
+        contrib = tf.select(
+            "id", "tf", weight_of(F.col("bucket")).cast("long").alias("w")
+        )
+        dot = contrib.groupBy("id").agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w")).alias("dot"),
+        )
+        score = (F.col("dot") + F.lit(int(bias))).cast("long")
+        zero = F.lit(int(bias)).cast("long")
+    else:
+        weights = np.asarray(weight_of, dtype=np.float64)
+        if weights.shape != (m,):
+            raise ValueError(
+                f"weights shape {weights.shape} != ({m},) buckets"
+            )
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(int(b), float(v)) for b, v in enumerate(weights.tolist())],
+            "bucket: long, w: double",
+        )
+        contrib = tf.join(F.broadcast(wdf), "bucket")
+        dot = contrib.groupBy("id").agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w")).alias("dot"),
+        )
+        score = F.floor(
+            (F.col("dot") + F.lit(float(bias))) * F.lit(1_000_000.0)
+        ).cast("long")
+        zero = F.lit(
+            int(np.floor(float(bias) * 1_000_000.0))
+        ).cast("long")
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(dot, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(F.col("dot").isNull(), zero)
+            .otherwise(score)
+            .alias(score_col),
+        )
+    )
+
+
+def train_logreg_hashed(
+    df: DataFrame,
+    label_col: str,
+    m: int = 256,
+    iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[np.ndarray, float, list[float]]:
+    """Distributed full-batch logistic regression over hashed unigram
+    features (the fastText-style quality-classifier TRAINING stage).
+
+    Per document the feature vector is the L1-normalized bucket count
+    (``tf / n_tokens`` — bounded [0,1] regardless of document length,
+    so one global learning rate works across a heterogeneous corpus).
+    Each iteration computes the exact full-batch gradient of
+    L2-regularized logistic loss:
+
+    - the corpus is scanned ONCE up front into a cached sparse
+      per-doc feature table (``(id, buckets[], vals[], y)``);
+    - ``mapInPandas`` emits each Arrow batch's SPARSE partial gradient
+      as ``(idx, val)`` rows (only buckets present in the batch, plus
+      sentinel rows for bias / loss / count);
+    - a map-side-combined ``groupBy(idx).sum`` reduces to at most
+      ``m + 3`` rows collected to the driver — the reduce volume is
+      O(m x partitions) BEFORE combine and O(m) after, independent of
+      corpus size;
+    - the driver applies the step; updated weights ship with the next
+      iteration's task closure (an ``m+1`` float vector — KBs).
+
+    Returns ``(weights[m], bias, loss_history)``.  Losses are the
+    regularized mean log-loss per iteration — strictly decreasing for
+    any lr below the stability bound on this objective; tests pin the
+    decrease and the numpy-reference equivalence rather than exact
+    floats (cross-partition float summation order is not fixed).
+
+    100 TB note: full-batch GD is the deliberately-simple choice — one
+    cached-scan job per iteration, no parameter server.  The same
+    sparse-partial + tiny-shuffle skeleton carries mini-batch SGD
+    (sample per iteration) or L-BFGS (store s/y pairs driver-side)
+    unchanged; what matters at scale is that NOTHING here is
+    per-row-Python (Arrow batches), the reduce is O(m), and the corpus
+    is read once."""
+    tf = hashed_ngram_features(
+        df, m, text_col=text_col, id_col=id_col, bigrams=False
+    )
+    labels = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    assembled = (
+        tf.groupBy("id")
+        .agg(
+            F.collect_list("bucket").alias("bs"),
+            F.collect_list("tf").alias("tfs"),
+            F.sum("tf").alias("n"),
+        )
+        .join(labels, "id")
+        .select("bs", "tfs", "n", "y")
+        .cache()
+    )
+    n_docs = assembled.count()  # materializes the cache
+    if n_docs == 0:
+        assembled.unpersist()
+        raise ValueError("train_logreg_hashed: no labeled documents")
+    # The iteration loop launches one job per step over this table; on a
+    # small corpus the wall is pure per-task overhead (32 near-empty
+    # partitions x iters), so right-size to ~2000 docs/partition.  On a
+    # real corpus the groupBy's shuffle partitioning already dominates
+    # the 2000-docs floor and this is a no-op.
+    parts = assembled.rdd.getNumPartitions()
+    want = max(1, min(parts, (n_docs + 1999) // 2000))
+    if want < parts:
+        compact = assembled.coalesce(want).cache()
+        compact.count()
+        assembled.unpersist()
+        assembled = compact
+
+    out_schema = T.StructType(
+        [
+            T.StructField("idx", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    w = np.zeros(m, dtype=np.float64)
+    b = 0.0
+    losses: list[float] = []
+    for _ in range(iters):
+        w_cur, b_cur = w.copy(), b
+
+        def _partial(batches, _w=w_cur, _b=b_cur):
+            for pdf in batches:
+                g = {}
+                gb = 0.0
+                loss = 0.0
+                cnt = 0
+                for bs, tfs, n, y in zip(
+                    pdf["bs"], pdf["tfs"], pdf["n"], pdf["y"]
+                ):
+                    bs = np.asarray(bs, dtype=np.int64)
+                    x = np.asarray(tfs, dtype=np.float64) / float(n)
+                    z = float(np.dot(_w[bs], x)) + _b
+                    # overflow-stable sigmoid and log-loss:
+                    # log(1+e^-z) = max(-z,0) + log1p(e^-|z|)
+                    p = 0.5 * (1.0 + np.tanh(0.5 * z))
+                    loss += (
+                        max(-z, 0.0)
+                        + np.log1p(np.exp(-abs(z)))
+                        + (1.0 - y) * z
+                    )
+                    err = p - float(y)
+                    gb += err
+                    gvals = err * x
+                    for bi, gv in zip(bs.tolist(), gvals.tolist()):
+                        g[bi] = g.get(bi, 0.0) + gv
+                    cnt += 1
+                rows = (
+                    [(int(k), float(v)) for k, v in g.items()]
+                    + [(-1, gb), (-2, loss), (-3, float(cnt))]
+                )
+                yield pd.DataFrame(rows, columns=["idx", "val"])
+
+        agg = (
+            assembled.mapInPandas(_partial, out_schema)
+            .groupBy("idx")
+            .agg(F.sum("val").alias("val"))
+            .collect()
+        )
+        gvec = np.zeros(m, dtype=np.float64)
+        gbias = 0.0
+        loss_sum = 0.0
+        for row in agg:
+            if row["idx"] == -1:
+                gbias = row["val"]
+            elif row["idx"] == -2:
+                loss_sum = row["val"]
+            elif row["idx"] == -3:
+                pass  # doc count; n_docs already known
+            else:
+                gvec[row["idx"]] = row["val"]
+        gvec = gvec / n_docs + l2 * w
+        gbias /= n_docs
+        losses.append(
+            loss_sum / n_docs + 0.5 * l2 * float(np.dot(w, w))
+        )
+        w = w - lr * gvec
+        b = b - lr * gbias
+    assembled.unpersist()
+    return w, b, losses

@@ -5083,3 +5083,168 @@ def streaming_substring_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data SELECTION (operators/selection.py): Moore-Lewis / DSIR
+# hashed n-gram importance selection and the fastText-style hashed linear
+# quality classifier.  New in r8 — the selection stage of the LLM-data
+# pipeline closure (dedup -> quality -> SELECTION -> mixture).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsir_select",
+    r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         unnest(t || list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS f
+  FROM toks),
+tf AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 1024 AS b,
+         count(*) AS tf
+  FROM feats GROUP BY 1, 2, 3),
+bucket AS (
+  SELECT b,
+         sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS ct,
+         sum(tf) AS cs
+  FROM tf GROUP BY b),
+tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM bucket),
+delta AS (
+  SELECT b,
+         (length(bin(CAST((ts + 1024) // (cs + 1) AS BIGINT))) - 1)
+       - (length(bin(CAST((tt + 1024) // (ct + 1) AS BIGINT))) - 1) AS d
+  FROM bucket CROSS JOIN tot),
+per AS (
+  SELECT tf.doc_id, sum(tf.tf) AS n_feats, sum(tf.tf * delta.d) AS score_bits
+  FROM tf JOIN delta USING (b) GROUP BY tf.doc_id),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+         CAST(coalesce(p.score_bits, 0) AS BIGINT) AS score_bits,
+         CAST(CASE WHEN coalesce(p.n_feats, 0) > 0
+              THEN floor(CAST(p.score_bits AS DOUBLE) * 1000.0
+                         / CAST(p.n_feats AS DOUBLE))
+              ELSE 0 END AS BIGINT) AS mean_milli
+  FROM documents d LEFT JOIN per p USING (doc_id))
+SELECT doc_id, n_feats, score_bits, mean_milli,
+       (row_number() OVER (ORDER BY mean_milli DESC, doc_id ASC) <= 100)
+         AS selected
+FROM scored
+ORDER BY doc_id
+""",
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis / DSIR importance selection
+    (operators.selection.dsir_select — Moore & Lewis 2010 cross-entropy
+    difference over the hashed unigram+bigram feature space of Xie et
+    al. 2023's DSIR): target = the ``lang='en'`` slice, pool = the whole
+    corpus, add-one-smoothed whole-bit surprisal difference, top-100
+    selection flag by per-feature mean with doc_id tie-break.  Whole-bit
+    integer surprisal (the unigram_surprisal convention) + a 60-bit
+    md5-prefix bucket hash make every intermediate bit-for-bit
+    SQL-expressible — the selection GUARD itself is oracle-verified, not
+    just the score formula."""
+    from .operators import selection as SEL
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SEL.dsir_select(
+            docs, F.col("lang") == F.lit("en"), k=100, m=1024, bigrams=True
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "quality_classifier_fixed_weights",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 256 AS b,
+         count(*) AS tf
+  FROM toks GROUP BY 1, 2),
+per AS (
+  SELECT doc_id,
+         sum(tf) AS n_tokens,
+         sum(tf * (((b * 2654435761 + 40503) % 2001) - 1000)) AS dot
+  FROM tf GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.dot, 0) - 3000 AS BIGINT) AS logit,
+       (coalesce(p.dot, 0) - 3000 >= 0) AS quality_flag
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def quality_classifier_fixed_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier SCORING through the real serving
+    path (operators.selection.score_hashed_linear) with fixed formula
+    weights ``w(b) = ((b*2654435761 + 40503) % 2001) - 1000`` and bias
+    -3000 — the pq_adc_fixed_codebook move: fixed integer parameters
+    make the exact BIGINT dot product + threshold DuckDB-expressible,
+    so the classifier's serving mechanism (hash -> bucket tf ->
+    broadcast weight join -> per-doc fold -> threshold) is
+    oracle-verified; the TRAINED path (quality_classifier_train) reuses
+    this exact code with learned float weights."""
+    from .operators import selection as SEL
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = SEL.score_hashed_linear(
+        docs,
+        lambda b: ((b * F.lit(2654435761) + F.lit(40503)) % F.lit(2001))
+        - F.lit(1000),
+        m=256,
+        bias=-3000,
+    )
+    return (
+        scored.withColumn("quality_flag", F.col("logit") >= F.lit(0))
+        .orderBy("doc_id")
+    )
+
+
+@query("quality_classifier_train")
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality-classifier pipeline
+    (operators.selection.train_logreg_hashed -> score_hashed_linear):
+    distributed full-batch logistic regression over hashed unigram
+    features against the weak label ``lang = 'en'`` (the CCNet-style
+    "looks like the reference corpus" quality signal), then the corpus
+    re-scored with the learned weights.  Rows-only: gradient descent on
+    floats has no bit-stable SQL twin — the serving path is
+    oracle-verified via quality_classifier_fixed_weights, the gradient
+    is pinned against a numpy reference in tests/test_selection.py, and
+    planted-separable-corpus accuracy >= 0.95 is a CI floor.  Returns
+    one row per doc: (doc_id, n_tokens, score_micro, predicted) plus
+    train_loss_drop_ppm (first-minus-last regularized loss, > 0 iff
+    training descended — the convergence witness, driver-visible)."""
+    from .operators import selection as SEL
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", (F.col("lang") == F.lit("en")).cast("int")
+    )
+    w, b, losses = SEL.train_logreg_hashed(
+        labeled, "y", m=256, iters=12, lr=1.0, l2=1e-4
+    )
+    drop_ppm = int(round((losses[0] - losses[-1]) * 1_000_000))
+    scored = SEL.score_hashed_linear(
+        docs, w, m=256, bias=b, score_col="score_micro"
+    )
+    return (
+        scored.withColumn("predicted", F.col("score_micro") >= F.lit(0))
+        .withColumn("train_loss_drop_ppm", F.lit(drop_ppm).cast("long"))
+        .orderBy("doc_id")
+    )

@@ -42,6 +42,9 @@ EXTRA = [
     "ngram_dup_stats",
     "strip_dup_ngrams",
     "unigram_surprisal",
+    # r8 selection stage (operators/selection.py)
+    "dsir_select",
+    "quality_classifier_fixed_weights",
 ]
 
 
