@@ -249,22 +249,44 @@ def dsir_select(
     re-weight rather than lose the rejected pool).
 
     DSIR proper resamples with Gumbel noise; the deterministic rank is
-    the oracle-checkable core (and a seeded sampler is ``rank`` over
-    ``mean + gumbel(seed)`` — one column swap).  The global sort is a
-    single ``row_number`` over k << corpus: at scale, replace with the
-    standard top-k pattern (per-partition top-k then merge — Spark's
-    ``TakeOrderedAndProject`` does this automatically for ``orderBy +
-    limit``; the window form is kept here because every row must keep
-    its flag)."""
-    from pyspark.sql.window import Window
+    the oracle-checkable core (and a seeded sampler is the same rank
+    over ``mean + gumbel(seed)`` — one column swap).
 
+    The flag is computed WITHOUT a global window (a partitionless
+    ``row_number`` funnels every per-doc score row through ONE task —
+    the exact anti-pattern this engine bans): the k-th largest
+    ``(mean_milli, -id)`` tuple is found by ``orderBy + limit(k)`` —
+    Spark's TakeOrderedAndProject, per-partition top-k then an O(k)
+    single-task merge — reduced to a one-row threshold, broadcast, and
+    compared against every row.  Ties are impossible (the tuple embeds
+    the unique id), so ``tuple >= threshold  <=>  rank <= k`` exactly —
+    bit-identical to the oracle's ``row_number() <= k``.  Scale bound:
+    one merge task holds k (mean, id) pairs — fine for top-k selection
+    (k up to ~10^7); selecting a large FRACTION of an extreme corpus
+    should instead threshold on the integer ``mean_milli`` histogram
+    (bounded value domain), trading exact tie ordering at the boundary.
+    The scores subtree appears in both the threshold branch and the flag
+    branch; AQE's exchange reuse deduplicates the shared shuffles at
+    runtime (verified: 3 ReusedExchange nodes in the executed plan), so
+    the corpus is not scanned twice."""
     scores = cross_entropy_diff_scores(
         df, is_target, m=m, text_col=text_col, id_col=id_col, bigrams=bigrams
     )
-    w = Window.orderBy(F.col("mean_milli").desc(), F.col(id_col).asc())
-    return scores.withColumn(
-        "selected", (F.row_number().over(w) <= F.lit(int(k)))
+    ranked = F.struct(
+        F.col("mean_milli"), (-F.col(id_col)).alias("neg_id")
     )
+    thr = (
+        scores.select(ranked.alias("r"))
+        .orderBy(F.col("r").desc())
+        .limit(int(k))
+        .agg(F.min("r").alias("thr"))
+    )
+    return scores.crossJoin(F.broadcast(thr)).withColumn(
+        "selected",
+        F.when(F.col("thr").isNull(), F.lit(False)).otherwise(
+            ranked >= F.col("thr")
+        ),
+    ).drop("thr")
 
 
 def score_hashed_linear(
