@@ -438,6 +438,11 @@ cents AS (
 ),
 q AS (SELECT list_transform(range(0, 64),
         i -> ((i*13) % 17 - 8) / 9.0) AS qv),
+-- knn() inlines a list probe as FLOAT literals (operators/knn.py:93), so
+-- the scan-distance twin must round the query through binary32 first;
+-- cluster pruning (probed) and assignment stay float64 like the engine.
+qf AS (SELECT list_transform(range(0, 64),
+        i -> CAST(CAST(((i*13) % 17 - 8) / 9.0 AS REAL) AS DOUBLE)) AS qv),
 asg AS (
   SELECT vec_id, c AS cluster_id FROM (
     SELECT e.vec_id, cents.c,
@@ -458,8 +463,8 @@ probed AS (
 )
 SELECT e.vec_id, CAST(asg.cluster_id AS INTEGER) AS cluster_id,
   round(sqrt(list_sum(list_transform(range(1, 65),
-    i -> pow(CAST(e.embedding[i] AS DOUBLE) - q.qv[i], 2)))), 4) AS dist
-FROM e JOIN asg USING (vec_id) CROSS JOIN q
+    i -> pow(CAST(e.embedding[i] AS DOUBLE) - qf.qv[i], 2)))), 4) AS dist
+FROM e JOIN asg USING (vec_id) CROSS JOIN qf
 WHERE asg.cluster_id IN (SELECT c FROM probed)
 ORDER BY vec_id
 """,
@@ -473,8 +478,14 @@ def ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF can no longer hide behind rows-only + recall floors).  Output:
     every vector of the 2 probed clusters with its assigned cluster_id
     (integer-exact argmin, ties to lowest id both sides) and exact L2
-    distance to the fixed query (round(4) absorbs the <=1e-12
-    summation-order delta).  ``search`` is driven with k = n so its
+    distance to the fixed query.  The oracle mirrors the engine's number
+    paths EXACTLY, not approximately: assignment uses float64 centroid
+    literals (ann.nearest_centroid_col), but ``knn`` inlines a list
+    probe as FLOAT literals, so the twin's scan distance rounds the
+    query through binary32 first (``qf`` CTE) — at sf0.1 one vector's
+    distance straddles a 1e-4/2 rounding boundary between the f32 and
+    f64 probes, which round(4) cannot absorb.  ``search`` is driven
+    with k = n so its
     TakeOrderedAndProject emits the entire probed candidate set — the
     oracle checks assignment, pruning membership, AND the scan."""
     from .operators import ann as A
