@@ -240,6 +240,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     bigrams: bool = True,
+    gumbel_seed: int | None = None,
 ) -> DataFrame:
     """Deterministic top-k data selection on the cross-entropy-difference
     score: rank by per-feature mean score descending with the id as the
@@ -248,9 +249,18 @@ def dsir_select(
     doc keeps a row — selection is a FLAG, so downstream mixtures can
     re-weight rather than lose the rejected pool).
 
-    DSIR proper resamples with Gumbel noise; the deterministic rank is
-    the oracle-checkable core (and a seeded sampler is the same rank
-    over ``mean + gumbel(seed)`` — one column swap).
+    ``gumbel_seed`` switches to DSIR's actual RESAMPLING semantics
+    (Xie et al. 2023 sample without replacement proportional to the
+    importance weight): Gumbel-top-k — rank by ``log w + Gumbel(0,1)``
+    where ``log w = score_bits * ln 2`` and the Gumbel draw is
+    ``-ln(-ln u)`` with ``u`` derived from the SAME engine-neutral
+    multiplicative key-hash as the repo's other samplers
+    (weighted_sample_topk's A-ES convention, seed mixed in) — a
+    reproducible, coordination-free, RNG-state-free sample: any worker
+    computes its rows' keys from (id, seed) alone, so the selected set
+    is identical across partitionings, retries, and reruns.  The
+    deterministic rank (``gumbel_seed=None``) is the oracle-checked
+    mode; the sampler shares every stage but the ranking key.
 
     The flag is computed WITHOUT a global window (a partitionless
     ``row_number`` funnels every per-doc score row through ONE task —
@@ -272,8 +282,24 @@ def dsir_select(
     scores = cross_entropy_diff_scores(
         df, is_target, m=m, text_col=text_col, id_col=id_col, bigrams=bigrams
     )
+    if gumbel_seed is None:
+        rank_key = F.col("mean_milli").cast("double")
+    else:
+        lo = F.col(id_col) % F.lit(1000003)
+        hi = F.expr(f"{id_col} div 1000003")
+        bucket = (
+            lo * F.lit(2654435761)
+            + hi * F.lit(97)
+            + F.lit(int(gumbel_seed)) * F.lit(10007)
+        ) % F.lit(4294967296)
+        u = (bucket + F.lit(1)) / F.lit(4294967297.0)
+        gumbel = -F.log(-F.log(u))
+        rank_key = (
+            F.col("score_bits").cast("double") * F.lit(0.6931471805599453)
+            + gumbel
+        )
     ranked = F.struct(
-        F.col("mean_milli"), (-F.col(id_col)).alias("neg_id")
+        rank_key.alias("key"), (-F.col(id_col)).alias("neg_id")
     )
     thr = (
         scores.select(ranked.alias("r"))

@@ -124,6 +124,46 @@ class TestCrossEntropyDiff:
         sel = {r["doc_id"] for r in out.collect() if r["selected"]}
         assert len(sel) == 3 and {1, 2} <= sel
 
+    def test_gumbel_resampling_seeded(self, corpus):
+        """DSIR's Gumbel-top-k mode: exactly k selected, same seed ->
+        same set (coordination-free determinism), the sample is
+        importance-BIASED (target docs selected more often than
+        off-domain across seeds) but not degenerate (across enough
+        seeds at k=2 some draw differs from the deterministic top-k)."""
+        _, df = corpus
+        tgt = F.col("doc_id").isin(1, 2)
+        det = {
+            r["doc_id"]
+            for r in S.dsir_select(df, tgt, k=2, m=64).collect()
+            if r["selected"]
+        }
+        draws = []
+        for seed in range(12):
+            sel = {
+                r["doc_id"]
+                for r in S.dsir_select(
+                    df, tgt, k=2, m=64, gumbel_seed=seed
+                ).collect()
+                if r["selected"]
+            }
+            assert len(sel) == 2
+            again = {
+                r["doc_id"]
+                for r in S.dsir_select(
+                    df, tgt, k=2, m=64, gumbel_seed=seed
+                ).collect()
+                if r["selected"]
+            }
+            assert sel == again, "same seed must reproduce the sample"
+            draws.append(sel)
+        assert any(d != det for d in draws), "noise never changed the draw"
+        from collections import Counter
+
+        counts = Counter(i for d in draws for i in d)
+        in_domain = counts[1] + counts[2]
+        off_domain = counts[3] + counts[4]
+        assert in_domain > off_domain, (counts, "importance bias lost")
+
 
 class TestScoreHashedLinear:
     def test_fixed_integer_weights_reference(self, corpus):
