@@ -71,15 +71,27 @@ __all__ = [
 ]
 
 
-def _bucket_of(feature: Column, m: int) -> Column:
-    """Cross-engine-stable hash bucket in ``[0, m)`` for a string feature:
-    the 60-bit (15 hex chars, always non-negative) md5 prefix, mod m.
-    JVM-side (md5 + conv are codegen expressions); DuckDB twin:
-    ``CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % m``."""
-    return (
-        F.conv(F.substring(F.md5(feature), 1, 15), 16, 10).cast("long")
-        % F.lit(int(m))
-    ).alias("bucket")
+def _bucket_of(feature: Column, m: int, hash_fn: str = "md5") -> Column:
+    """Hash bucket in ``[0, m)`` for a string feature.
+
+    ``"md5"`` (default): the 60-bit (15 hex chars, always non-negative)
+    md5 prefix, mod m — cross-engine-stable, JVM-side (md5 + conv are
+    codegen expressions); DuckDB twin:
+    ``CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % m``.
+
+    ``"xx64"``: Spark's native ``xxhash64`` — ~1.6x faster on the tf
+    stage (5.5 -> 3.5 s per 47M features measured at 500k docs) but no
+    SQL engine reproduces it, so oracle-checked queries stay on md5 —
+    the minhash convention (minhash_signature vs minhash_signature_md5):
+    production pipelines pick xx64, the md5 twin carries the proof."""
+    if hash_fn == "md5":
+        return (
+            F.conv(F.substring(F.md5(feature), 1, 15), 16, 10).cast("long")
+            % F.lit(int(m))
+        ).alias("bucket")
+    if hash_fn == "xx64":
+        return F.pmod(F.xxhash64(feature), F.lit(int(m))).alias("bucket")
+    raise ValueError(f"hash_fn must be 'md5' or 'xx64', got {hash_fn!r}")
 
 
 def hashed_ngram_features(
@@ -89,6 +101,7 @@ def hashed_ngram_features(
     id_col: str = "doc_id",
     bigrams: bool = False,
     carry: dict[str, Column] | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document hashed n-gram bucket counts: ``(id, bucket, tf)``.
 
@@ -125,7 +138,7 @@ def hashed_ngram_features(
     )
     keys = ["id", *carry.keys()]
     return (
-        ex.select(*keys, _bucket_of(F.col("f"), m))
+        ex.select(*keys, _bucket_of(F.col("f"), m, hash_fn))
         .groupBy(*keys, "bucket")
         .agg(F.count("*").alias("tf"))
     )
@@ -148,6 +161,7 @@ def cross_entropy_diff_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     bigrams: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Moore-Lewis / DSIR importance scores over hashed n-gram LMs.
 
@@ -183,6 +197,7 @@ def cross_entropy_diff_scores(
         id_col=id_col,
         bigrams=bigrams,
         carry={"is_t": is_target.cast("boolean")},
+        hash_fn=hash_fn,
     )
     bucket = tf.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))).alias(
@@ -241,6 +256,7 @@ def dsir_select(
     id_col: str = "doc_id",
     bigrams: bool = True,
     gumbel_seed: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Deterministic top-k data selection on the cross-entropy-difference
     score: rank by per-feature mean score descending with the id as the
@@ -280,7 +296,8 @@ def dsir_select(
     runtime (verified: 3 ReusedExchange nodes in the executed plan), so
     the corpus is not scanned twice."""
     scores = cross_entropy_diff_scores(
-        df, is_target, m=m, text_col=text_col, id_col=id_col, bigrams=bigrams
+        df, is_target, m=m, text_col=text_col, id_col=id_col,
+        bigrams=bigrams, hash_fn=hash_fn,
     )
     if gumbel_seed is None:
         rank_key = F.col("mean_milli").cast("double")
@@ -323,6 +340,7 @@ def score_hashed_linear(
     text_col: str = "text",
     id_col: str = "doc_id",
     score_col: str = "logit",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Linear score over hashed unigram counts — the classifier's
     SERVING path, shared by the fixed-weight oracle row and the
@@ -345,7 +363,8 @@ def score_hashed_linear(
     table IS the scan) plus one broadcast join against an ``m``-row
     weight table and a map-side-combinable per-doc sum."""
     tf = hashed_ngram_features(
-        df, m, text_col=text_col, id_col=id_col, bigrams=False
+        df, m, text_col=text_col, id_col=id_col, bigrams=False,
+        hash_fn=hash_fn,
     )
     if callable(weight_of):
         contrib = tf.select(
@@ -401,6 +420,7 @@ def train_logreg_hashed(
     l2: float = 1e-4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> tuple[np.ndarray, float, list[float]]:
     """Distributed full-batch logistic regression over hashed unigram
     features (the fastText-style quality-classifier TRAINING stage).
@@ -437,7 +457,8 @@ def train_logreg_hashed(
     per-row-Python (Arrow batches), the reduce is O(m), and the corpus
     is read once."""
     tf = hashed_ngram_features(
-        df, m, text_col=text_col, id_col=id_col, bigrams=False
+        df, m, text_col=text_col, id_col=id_col, bigrams=False,
+        hash_fn=hash_fn,
     )
     labels = df.select(
         F.col(id_col).alias("id"),

@@ -217,6 +217,35 @@ class TestScoreHashedLinear:
         with pytest.raises(ValueError, match="shape"):
             S.score_hashed_linear(df, np.zeros(8), m=16)
 
+    def test_xx64_hash_mode(self, corpus):
+        """The production hash family: same n_tokens, deterministic
+        across calls, and a rejected unknown family is loud.  (Bucket
+        values differ from md5 by design — the md5 twin carries the
+        oracle proof, the minhash convention.)"""
+        _, df = corpus
+        a = {
+            r["doc_id"]: (r["n_tokens"], r["logit"])
+            for r in S.score_hashed_linear(
+                df, lambda b: b, m=64, hash_fn="xx64"
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: (r["n_tokens"], r["logit"])
+            for r in S.score_hashed_linear(
+                df, lambda b: b, m=64, hash_fn="xx64"
+            ).collect()
+        }
+        assert a == b
+        md5 = {
+            r["doc_id"]: r["n_tokens"]
+            for r in S.score_hashed_linear(
+                df, lambda b: b, m=64, hash_fn="md5"
+            ).collect()
+        }
+        assert {k: v[0] for k, v in a.items()} == md5  # counts invariant
+        with pytest.raises(ValueError, match="hash_fn"):
+            S.score_hashed_linear(df, lambda b: b, m=64, hash_fn="crc")
+
 
 def _ref_grad(rows, labels, m, w, b):
     """Numpy full-batch reference gradient of mean logistic loss."""
