@@ -268,15 +268,17 @@ def dsir_select(
     ``gumbel_seed`` switches to DSIR's actual RESAMPLING semantics
     (Xie et al. 2023 sample without replacement proportional to the
     importance weight): Gumbel-top-k — rank by ``log w + Gumbel(0,1)``
-    where ``log w = score_bits * ln 2`` and the Gumbel draw is
-    ``-ln(-ln u)`` with ``u`` derived from the SAME engine-neutral
-    multiplicative key-hash as the repo's other samplers
-    (weighted_sample_topk's A-ES convention, seed mixed in) — a
+    where ``log w`` is the SAME per-feature-mean statistic the
+    deterministic mode ranks on (in nats: ``mean_milli/1000 x ln 2`` —
+    the two modes differ ONLY in the noise term) and the Gumbel draw is
+    ``-ln(-ln u)`` with ``u`` derived from ``xxhash64(id, seed)`` — a
     reproducible, coordination-free, RNG-state-free sample: any worker
     computes its rows' keys from (id, seed) alone, so the selected set
-    is identical across partitionings, retries, and reruns.  The
-    deterministic rank (``gumbel_seed=None``) is the oracle-checked
-    mode; the sampler shares every stage but the ranking key.
+    is identical across partitionings, retries, and reruns, while
+    DIFFERENT seeds draw genuinely different samples (the seed is mixed
+    through the hash, not added after it).  The deterministic rank
+    (``gumbel_seed=None``) is the oracle-checked mode; the sampler
+    shares every stage but the ranking key.
 
     The flag is computed WITHOUT a global window (a partitionless
     ``row_number`` funnels every per-doc score row through ONE task —
@@ -302,17 +304,27 @@ def dsir_select(
     if gumbel_seed is None:
         rank_key = F.col("mean_milli").cast("double")
     else:
-        lo = F.col(id_col) % F.lit(1000003)
-        hi = F.expr(f"{id_col} div 1000003")
-        bucket = (
-            lo * F.lit(2654435761)
-            + hi * F.lit(97)
-            + F.lit(int(gumbel_seed)) * F.lit(10007)
-        ) % F.lit(4294967296)
-        u = (bucket + F.lit(1)) / F.lit(4294967297.0)
+        # u from xxhash64(id, seed): the sampler carries no SQL oracle,
+        # so the engine-neutral md5 constraint does not apply — what
+        # matters is that the seed is MIXED through the hash (an
+        # additive seed term would shift every doc's u uniformly and
+        # leave the sample identical across seeds) and that u is always
+        # in (0,1) for any id/seed sign (pmod).  53-bit mantissa-exact.
+        h = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(int(gumbel_seed))),
+            F.lit(1 << 53),
+        )
+        u = (h + F.lit(1)) / F.lit(float((1 << 53) + 1))
         gumbel = -F.log(-F.log(u))
+        # Same base statistic as the deterministic mode (per-feature
+        # mean, in nats): the two modes differ ONLY in the noise term,
+        # so "deterministic vs one resample" compares like with like —
+        # sampling is proportional to exp(mean bits x ln 2), the
+        # length-normalized importance weight.
         rank_key = (
-            F.col("score_bits").cast("double") * F.lit(0.6931471805599453)
+            F.col("mean_milli").cast("double")
+            / F.lit(1000.0)
+            * F.lit(0.6931471805599453)
             + gumbel
         )
     ranked = F.struct(

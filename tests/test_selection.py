@@ -126,17 +126,14 @@ class TestCrossEntropyDiff:
 
     def test_gumbel_resampling_seeded(self, corpus):
         """DSIR's Gumbel-top-k mode: exactly k selected, same seed ->
-        same set (coordination-free determinism), the sample is
-        importance-BIASED (target docs selected more often than
-        off-domain across seeds) but not degenerate (across enough
-        seeds at k=2 some draw differs from the deterministic top-k)."""
+        same set (coordination-free determinism), DIFFERENT seeds draw
+        genuinely different samples (the inert-seed regression: an
+        additive seed shifted every doc's u uniformly and every seed
+        returned the identical set), negative seeds are valid (u stays
+        in (0,1) — no NULL keys silently shrinking the selection), and
+        the sample is importance-BIASED across seeds."""
         _, df = corpus
         tgt = F.col("doc_id").isin(1, 2)
-        det = {
-            r["doc_id"]
-            for r in S.dsir_select(df, tgt, k=2, m=64).collect()
-            if r["selected"]
-        }
         draws = []
         for seed in range(12):
             sel = {
@@ -155,8 +152,19 @@ class TestCrossEntropyDiff:
                 if r["selected"]
             }
             assert sel == again, "same seed must reproduce the sample"
-            draws.append(sel)
-        assert any(d != det for d in draws), "noise never changed the draw"
+            draws.append(frozenset(sel))
+        assert len(set(draws)) > 1, (
+            draws,
+            "seeds never changed the draw — the seed is inert",
+        )
+        neg = {
+            r["doc_id"]
+            for r in S.dsir_select(
+                df, tgt, k=2, m=64, gumbel_seed=-7
+            ).collect()
+            if r["selected"]
+        }
+        assert len(neg) == 2, "negative seed must not NULL the keys"
         from collections import Counter
 
         counts = Counter(i for d in draws for i in d)
