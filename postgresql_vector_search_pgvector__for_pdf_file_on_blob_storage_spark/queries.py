@@ -2491,11 +2491,17 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey")
     sc_cnt = s.count()
+    # Ranks as LONG: row_number() is IntegerType and prk*61 would wrap
+    # int32 past ~35M parts (~sf175) in non-ANSI Spark while the DuckDB
+    # twin's row_number is BIGINT — the widened rank keeps the formula
+    # bit-identical at any fixture scale.
     sr = s.withColumn(
-        "srk", F.row_number().over(Window.orderBy("s_suppkey")) - 1
+        "srk",
+        (F.row_number().over(Window.orderBy("s_suppkey")) - 1).cast("long"),
     )
     pr = p.withColumn(
-        "prk", F.row_number().over(Window.orderBy("p_partkey")) - 1
+        "prk",
+        (F.row_number().over(Window.orderBy("p_partkey")) - 1).cast("long"),
     )
     i = spark.range(4).select(F.col("id").alias("i"))
     ps0 = (

@@ -230,20 +230,30 @@ def _delete_file(path: str) -> None:
 # ---------------------------------------------------------------------------
 # Worker-local bitmap cache.  Filenames are version-stamped (epoch in the
 # name) and written tmp+rename, so a cached entry can never be stale; the
-# cap only bounds executor memory.
+# cap is BYTE-based (r8 review: an entry-count cap would let one python
+# worker accumulate every bucket's bitmap over successive batches —
+# per-worker memory converging to the TOTAL bitmap size instead of the
+# advertised O(concurrent tasks x per-bucket bitmap)).
 # ---------------------------------------------------------------------------
 
 _BITMAP_CACHE: dict[str, np.ndarray] = {}
-_BITMAP_CACHE_MAX = 64
+_BITMAP_CACHE_MAX_BYTES = 512 * 1024 * 1024
+_BITMAP_CACHE_BYTES = 0
 
 
 def bitmap_for(path: str) -> np.ndarray:
+    global _BITMAP_CACHE_BYTES
     bm = _BITMAP_CACHE.get(path)
     if bm is None:
         bm = np.frombuffer(_read_bytes(path), dtype=np.uint8)
-        if len(_BITMAP_CACHE) >= _BITMAP_CACHE_MAX:
-            _BITMAP_CACHE.pop(next(iter(_BITMAP_CACHE)))
+        while _BITMAP_CACHE and (
+            _BITMAP_CACHE_BYTES + bm.size > _BITMAP_CACHE_MAX_BYTES
+        ):
+            _BITMAP_CACHE_BYTES -= _BITMAP_CACHE.pop(
+                next(iter(_BITMAP_CACHE))
+            ).size
         _BITMAP_CACHE[path] = bm
+        _BITMAP_CACHE_BYTES += bm.size
     return bm
 
 
@@ -253,22 +263,32 @@ def bitmap_for(path: str) -> np.ndarray:
 
 
 def read_footer_entry(job: Tuple[int, int, str]):
-    """(epoch, bucket, path) -> (epoch, bucket, path, mins, maxs): the
-    per-row-group gk min/max statistics from one parquet footer.
-    Missing statistics map to (None, None) — every row group stays a
-    candidate (correct, just unpruned).  Top-level so the distributed
+    """(epoch, bucket, path) -> (epoch, bucket, path, num_rows, mins,
+    maxs): the row count + per-row-group gk min/max statistics from one
+    parquet footer.  Missing statistics map to (None, None) — every row
+    group stays a candidate (correct, just unpruned).  ``num_rows``
+    rides along so later sizing (fixed-budget k, bucket gram counts)
+    never needs a second footer pass.  Top-level so the distributed
     footer pass can pickle it."""
     epoch, bucket, path = job
     pf = open_parquet(path)
     gk_i = pf.schema_arrow.get_field_index("gk")
+    n_rows = int(pf.metadata.num_rows)
     mins, maxs = [], []
     for rg in range(pf.metadata.num_row_groups):
         stats = pf.metadata.row_group(rg).column(gk_i).statistics
         if stats is None or not stats.has_min_max:
-            return epoch, bucket, path, None, None
+            return epoch, bucket, path, n_rows, None, None
         mins.append(stats.min)
         maxs.append(stats.max)
-    return epoch, bucket, path, list(map(int, mins)), list(map(int, maxs))
+    return (
+        epoch,
+        bucket,
+        path,
+        n_rows,
+        list(map(int, mins)),
+        list(map(int, maxs)),
+    )
 
 
 def _glob_store_files(
@@ -324,8 +344,14 @@ def _fold_bucket_task(job: tuple):
                 zero_copy_only=False
             ).astype(np.int64)
 
-    new_arrs = list(gk_arrays(new_paths))
-    n_new = int(sum(a.size for a in new_arrs))
+    # Sizing needs only COUNTS — footer reads, never data (r8 review:
+    # eagerly materializing every new-epoch gk array before the rebuild
+    # decision held the bucket's whole gram column in one task and read
+    # it twice on the rebuild path; the fold below streams one file at
+    # a time in both branches).
+    n_new = int(
+        sum(open_parquet(p).metadata.num_rows for p in new_paths)
+    )
     n_tot = cur_n + n_new
     if fixed_bytes is not None:
         m = int(fixed_bytes)
@@ -349,7 +375,7 @@ def _fold_bucket_task(job: tuple):
             _fold_into(bitmap, arr, k)
     else:
         bitmap |= np.frombuffer(_read_bytes(cur_path), dtype=np.uint8)
-        for arr in new_arrs:
+        for arr in gk_arrays(new_paths):
             _fold_into(bitmap, arr, k)
     _write_bytes_atomic(out_path, bitmap.tobytes())
     grew = rebuild and cur_path is not None
@@ -357,9 +383,13 @@ def _fold_bucket_task(job: tuple):
 
 
 def _write_runs_parquet(path: str, entries: list[tuple]) -> None:
-    """Persist the run index as one small parquet file:
-    (epoch, bucket, path, mins, maxs) — ~24 bytes per history row group,
-    read back whole at session start."""
+    """Persist run-index entries as one small parquet SEGMENT:
+    (epoch, bucket, path, num_rows, mins, maxs) — ~32 bytes per history
+    row group.  The manifest lists one or more segments: per-epoch
+    appends write ONLY their fresh entries as a new segment (O(new
+    files) per batch — r8 review: the previous whole-index rewrite per
+    epoch was O(total history row groups) per batch), and the session-
+    start reconcile consolidates all segments into one."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -368,8 +398,9 @@ def _write_runs_parquet(path: str, entries: list[tuple]) -> None:
             "epoch": pa.array([e[0] for e in entries], pa.int64()),
             "bucket": pa.array([e[1] for e in entries], pa.int32()),
             "path": pa.array([e[2] for e in entries], pa.string()),
-            "mins": pa.array([e[3] for e in entries], pa.list_(pa.int64())),
-            "maxs": pa.array([e[4] for e in entries], pa.list_(pa.int64())),
+            "num_rows": pa.array([e[3] for e in entries], pa.int64()),
+            "mins": pa.array([e[4] for e in entries], pa.list_(pa.int64())),
+            "maxs": pa.array([e[5] for e in entries], pa.list_(pa.int64())),
         }
     )
     buf = io.BytesIO()
@@ -377,24 +408,34 @@ def _write_runs_parquet(path: str, entries: list[tuple]) -> None:
     _write_bytes_atomic(path, buf.getvalue())
 
 
-def _read_runs_parquet(path: str) -> list[tuple]:
+def _read_runs_parquet(meta: str, names: list[str]) -> list[tuple]:
+    """All entries across the manifest's run-index segments, first
+    occurrence of a path wins (a replayed epoch's segment is rewritten
+    under the same name, so duplicates only arise across a crash seam —
+    dedup keeps the index a function of live paths)."""
     import pyarrow.parquet as pq
 
-    try:
-        tbl = pq.read_table(io.BytesIO(_read_bytes(path)))
-    except FileNotFoundError:
-        return []
-    out = []
-    for row in tbl.to_pylist():
-        out.append(
-            (
-                int(row["epoch"]),
-                int(row["bucket"]),
-                row["path"],
-                row["mins"],
-                row["maxs"],
+    out: list[tuple] = []
+    seen: set[str] = set()
+    for name in names:
+        try:
+            tbl = pq.read_table(io.BytesIO(_read_bytes(f"{meta}/{name}")))
+        except FileNotFoundError:
+            continue
+        for row in tbl.to_pylist():
+            if row["path"] in seen:
+                continue
+            seen.add(row["path"])
+            out.append(
+                (
+                    int(row["epoch"]),
+                    int(row["bucket"]),
+                    row["path"],
+                    int(row["num_rows"]),
+                    row["mins"],
+                    row["maxs"],
+                )
             )
-        )
     return out
 
 
@@ -451,21 +492,24 @@ def ensure_artifacts(
         manifest = json.loads(_read_bytes(f"{meta}/{MANIFEST_NAME}"))
     except Exception:
         manifest = {}
+    # version 2 = num_rows in the index schema + segmented runs files;
+    # a v1 (or foreign) manifest is simply incompatible and triggers the
+    # advisory full rebuild — artifacts are never load-bearing.
     compatible = (
-        manifest.get("version") == 1
+        manifest.get("version") == 2
         and manifest.get("n_buckets") == int(n_buckets)
         and manifest.get("bits_per_gram") == float(bits_per_gram)
         and manifest.get("fixed_bucket_bytes") == fixed_bucket
     )
     if not compatible:
         manifest = {
-            "version": 1,
+            "version": 2,
             "n_buckets": int(n_buckets),
             "bits_per_gram": float(bits_per_gram),
             "fixed_bucket_bytes": fixed_bucket,
             "k_hashes": None,
             "watermark": -1,
-            "runs_file": None,
+            "runs_files": [],
             "buckets": {},
         }
     watermark = int(manifest["watermark"])
@@ -478,11 +522,7 @@ def ensure_artifacts(
     # ones) so per-epoch appends for a session's own not-yet-committed
     # epochs survive a mid-session reconcile; the probe index below
     # still covers only committed epochs. ---
-    old_entries = (
-        _read_runs_parquet(f"{meta}/{manifest['runs_file']}")
-        if manifest.get("runs_file")
-        else []
-    )
+    old_entries = _read_runs_parquet(meta, manifest.get("runs_files") or [])
     live_paths = {p for (_, _, p) in all_files}
     kept = [e for e in old_entries if e[2] in live_paths]
     indexed = {e[2] for e in kept}
@@ -506,10 +546,13 @@ def ensure_artifacts(
     if k is None:
         if fixed_bucket is not None:
             # Match the r7 sizing: optimal k for the fixed budget at the
-            # gram count the budget is first sized against.
-            n0 = sum(
-                int(open_parquet(p).metadata.num_rows) for (_, _, p) in files
-            )
+            # gram count the budget is first sized against.  Row counts
+            # come from the just-built index entries (r8 review: a
+            # serial driver-side footer pass over every committed file
+            # reintroduced the O(file-count) session start this module
+            # removes).
+            committed_paths = {p for (_, _, p) in files}
+            n0 = sum(e[3] for e in entries if e[2] in committed_paths)
             k = max(
                 1,
                 min(
@@ -553,27 +596,34 @@ def ensure_artifacts(
     for bucket, name, m, n, _grew in results:
         buckets[bucket] = {"file": name, "m_bytes": m, "n_grams": n}
 
-    # --- atomic commit: runs parquet, then manifest, then GC ---
-    changed = bool(jobs) or len(kept) != len(old_entries) or bool(new_jobs)
-    runs_name = manifest.get("runs_file")
-    if changed or not compatible or runs_name is None:
-        runs_name = f"runs-e{int(committed)}.parquet"
-        _write_runs_parquet(f"{meta}/{runs_name}", entries)
+    # --- atomic commit: consolidated runs segment, then manifest, then
+    # GC.  Per-epoch appends may have left MANY segments; the reconcile
+    # always folds them back to one. ---
+    runs_names = list(manifest.get("runs_files") or [])
+    changed = (
+        bool(jobs)
+        or len(kept) != len(old_entries)
+        or bool(new_jobs)
+        or len(runs_names) != 1
+    )
+    if changed or not compatible or not runs_names:
+        runs_names = [f"runs-e{int(committed)}-c.parquet"]
+        _write_runs_parquet(f"{meta}/{runs_names[0]}", entries)
         manifest = {
-            "version": 1,
+            "version": 2,
             "n_buckets": int(n_buckets),
             "bits_per_gram": float(bits_per_gram),
             "fixed_bucket_bytes": fixed_bucket,
             "k_hashes": k,
             "watermark": int(committed),
-            "runs_file": runs_name,
+            "runs_files": runs_names,
             "buckets": {str(b): v for b, v in sorted(buckets.items())},
         }
         _write_bytes_atomic(
             f"{meta}/{MANIFEST_NAME}",
             json.dumps(manifest, indent=1).encode(),
         )
-        referenced = {runs_name, MANIFEST_NAME} | {
+        referenced = set(runs_names) | {MANIFEST_NAME} | {
             v["file"] for v in buckets.values()
         }
         for name in _list_names(meta):
@@ -588,7 +638,7 @@ def ensure_artifacts(
         metrics["rebuilt_buckets"] = rebuilt
 
     index: dict[int, list] = {}
-    for epoch, bucket, path, mins, maxs in entries:
+    for epoch, bucket, path, _n_rows, mins, maxs in entries:
         if int(epoch) > int(committed):
             continue  # session epochs are the delta join's job
         index.setdefault(int(bucket), []).append(
@@ -626,7 +676,7 @@ def append_run_entries(
         manifest = json.loads(_read_bytes(f"{meta}/{MANIFEST_NAME}"))
     except Exception:
         return
-    if manifest.get("version") != 1 or not manifest.get("runs_file"):
+    if manifest.get("version") != 2 or not manifest.get("runs_files"):
         return
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path
@@ -639,19 +689,19 @@ def append_run_entries(
         jobs.append((int(epoch), bucket, str(p)))
     if not jobs:
         return
-    entries = _read_runs_parquet(f"{meta}/{manifest['runs_file']}")
-    indexed = {e[2] for e in entries}
-    fresh = [read_footer_entry(j) for j in jobs if j[2] not in indexed]
-    if not fresh:
-        return
-    prev_runs = manifest["runs_file"]
+    # Footer-read ONLY this epoch's files and write them as their own
+    # SEGMENT — per-batch index I/O is O(new files), never O(total
+    # history).  A replayed epoch rewrites the same segment name
+    # (idempotent; the segment reader dedups by path and the reconcile
+    # drops dead paths), and the segment list is folded back to one
+    # file at the next session-start reconcile.
     runs_name = f"runs-e{int(epoch)}.parquet"
-    _write_runs_parquet(f"{meta}/{runs_name}", entries + fresh)
-    manifest["runs_file"] = runs_name
-    _write_bytes_atomic(
-        f"{meta}/{MANIFEST_NAME}", json.dumps(manifest, indent=1).encode()
+    _write_runs_parquet(
+        f"{meta}/{runs_name}", [read_footer_entry(j) for j in jobs]
     )
-    if prev_runs != runs_name:
-        # Superseded index version: delete AFTER the manifest commit (a
-        # crash in between only leaves an orphan for the next GC).
-        _delete_file(f"{meta}/{prev_runs}")
+    if runs_name not in manifest["runs_files"]:
+        manifest["runs_files"] = list(manifest["runs_files"]) + [runs_name]
+        _write_bytes_atomic(
+            f"{meta}/{MANIFEST_NAME}",
+            json.dumps(manifest, indent=1).encode(),
+        )

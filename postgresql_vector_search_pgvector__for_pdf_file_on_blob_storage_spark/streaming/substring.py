@@ -1116,6 +1116,7 @@ def bloom_substring_stream(
         )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal index_bc, desc_bc, k_hashes, m_bytes, n_hist
         verify_before = verify_acc.value
         raw = spread(batch_df).select(
             F.col(id_col).cast("long").alias("id"),
@@ -1238,7 +1239,6 @@ def bloom_substring_stream(
         ):
             from .stores import compact_store
 
-            nonlocal index_bc
             floor = int(committed) + 1
             result = compact_store(
                 spark, gram_dir, "bucket", sort_cols=["gk"],
@@ -1247,7 +1247,11 @@ def bloom_substring_stream(
             if result.get("compacted"):
                 # Reconcile the PERSISTED index against the folded files
                 # (dead run entries dropped, consolidated runs footer-
-                # read once) and refresh the live broadcast from it.
+                # read once) and refresh BOTH live broadcasts from it:
+                # if the reconcile folded pending epochs it wrote new
+                # version-stamped bitmap files and GC'd the old ones, so
+                # a stale bucket-descriptor broadcast would point probe
+                # tasks at deleted files (r8 review finding).
                 art2 = ensure_artifacts(
                     spark,
                     gram_dir,
@@ -1257,12 +1261,20 @@ def bloom_substring_stream(
                     max_bucket_bytes=max_bucket_bloom_bytes,
                     n_buckets=N_BUCKETS,
                 )
-                old = index_bc
+                old_i, old_d = index_bc, desc_bc
                 index_bc = sc.broadcast(
                     {} if art2 is None else art2["index"]
                 )
-                if old is not None:
-                    old.unpersist()
+                desc_bc = sc.broadcast(
+                    {} if art2 is None else art2["buckets"]
+                )
+                if art2 is not None:
+                    k_hashes = art2["k"]
+                    m_bytes = art2["total_bytes"]
+                    n_hist = art2["total_grams"]
+                for old in (old_i, old_d):
+                    if old is not None:
+                        old.unpersist()
         if metrics is not None:
             entry = {
                 "bloom_bytes": m_bytes,
