@@ -352,7 +352,11 @@ def _fold_bucket_task(job: tuple):
     n_new = int(
         sum(open_parquet(p).metadata.num_rows for p in new_paths)
     )
-    n_tot = cur_n + n_new
+    # When the pending set IS the bucket's whole committed file list
+    # (post-compaction re-fold of consolidated runs under a stale
+    # watermark), cur_n already counts the same grams — adding would
+    # double-count and inflate every future sizing decision.
+    n_tot = n_new if set(new_paths) >= set(all_paths) else cur_n + n_new
     if fixed_bytes is not None:
         m = int(fixed_bytes)
         rebuild = cur_path is None

@@ -2100,6 +2100,113 @@ class TestBloomArtifacts:
         assert BS._local_path("/plain/path") == "/plain/path"
         assert BS._local_path("file:///a/b") == "/a/b"
 
+    def test_per_epoch_append_writes_segments_reconcile_consolidates(
+        self, spark, tmp_path
+    ):
+        """r8 v2 index: per-epoch maintenance appends an O(new files)
+        SEGMENT (never rewriting the whole index per batch); the next
+        session-start reconcile folds the segment list back to ONE
+        consolidated file and GC's the rest."""
+        import json as _json
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            bloomstore as BS,
+        )
+
+        _, gram_d, *_ = self._seed_sessions(
+            spark, tmp_path, "seg", n_sessions=3
+        )
+        meta = BS.meta_dir_for(gram_d)
+        with open(f"{meta}/manifest.json") as f:
+            man = _json.load(f)
+        # after a session: one consolidated segment from the session
+        # start + at most one per-epoch append segment from the session
+        names = man["runs_files"]
+        assert 1 <= len(names) <= 2, names
+        for nm in names:
+            assert os.path.exists(f"{meta}/{nm}"), nm
+        # superseded segments were GC'd / never accumulated
+        on_disk = {
+            n for n in os.listdir(meta) if n.startswith("runs-")
+        }
+        assert on_disk == set(names)
+        # the index covers every store file exactly once
+        entries = BS._read_runs_parquet(meta, names)
+        store_files = {
+            p for (_, _, p) in BS._glob_store_files(spark, gram_d)
+        }
+        assert {e[2] for e in entries} == store_files
+        assert len(entries) == len({e[2] for e in entries})
+
+    def test_midsession_fold_refreshes_bitmap_descriptors(
+        self, spark, tmp_path
+    ):
+        """r8 review (medium): a session whose start leaves the manifest
+        watermark STALE (the previous session registered no novel grams,
+        so no store files advanced past the watermark — but the
+        checkpoint committed) and whose inline compaction then folds
+        pending history WRITES new bitmap versions and GC's the old
+        files; the NEXT batch's probe must read the refreshed
+        descriptors, not the stale broadcast (pre-fix:
+        FileNotFoundError in bitmap_for)."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "mid" / "src")
+        gram_d = str(tmp_path / "mid" / "grams")
+        stats_d = str(tmp_path / "mid" / "stats")
+        ckpt = str(tmp_path / "mid" / "ckpt")
+        schema = "doc_id long, text string"
+        span = " ".join(f"mw{i}" for i in range(12))
+
+        # session A: novel corpus
+        spark.createDataFrame(
+            [(0, span), (1, "other words entirely " + " ".join(
+                f"ow{i}" for i in range(8)))],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        # session B: EXACT duplicate of doc 0 -> zero novel grams, no
+        # store write, checkpoint advances, watermark goes stale
+        spark.createDataFrame([(2, span)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        # session C: two single-file batches with inline compaction —
+        # batch 1 folds the stale-watermark history (new bitmap files,
+        # old GC'd), batch 2 probes with the refreshed descriptors
+        spark.createDataFrame(
+            [(3, "fresh " + " ".join(f"fw{i}" for i in range(10)))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(4, f"echo {span}")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = SB.bloom_substring_stream(
+            spark,
+            src,
+            schema,
+            gram_d,
+            stats_d,
+            ckpt,
+            n=8,
+            compact_every=1,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        got = {
+            r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()
+        }
+        assert got[2]["n_dup_grams"] == got[2]["n_grams"] == 5
+        # doc 4 contains doc 0's full 12-word span -> its 5 grams dup
+        assert got[4]["n_dup_grams"] == 5
+
     def test_interrupted_manual_swap_recovers_without_compact_every(
         self, spark, tmp_path
     ):
