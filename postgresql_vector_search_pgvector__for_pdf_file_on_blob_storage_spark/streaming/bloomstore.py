@@ -41,6 +41,18 @@ every history file to build the run index.  This module removes both
   scheme is present, plain local I/O otherwise — the old
   ``toUri().getPath()`` scheme-stripping is gone.
 
+Artifact schema v2 (r8 review fixes): the run index is SEGMENTED — the
+per-epoch append writes only its fresh entries as a new segment file
+(O(new files) per batch; v1 read + rewrote the whole index every
+micro-batch, O(total history row groups)), and the session-start
+reconcile consolidates the manifest's segment list back to one file;
+index entries carry ``num_rows`` so fixed-budget k sizing never pays a
+second footer pass; fold tasks stream one file at a time in both
+branches (v1 materialized the bucket's whole gram column before the
+rebuild decision); the worker bitmap cache is BYTE-capped (an
+entry-count cap let a long-lived worker accumulate every bucket's
+bitmap — per-worker memory converging to the total).
+
 Crash safety: bitmap files are immutable versions (``bm-b<bucket>-
 e<epoch>.bin``) written tmp+rename; the manifest (``manifest.json``,
 also tmp+rename) is the single atomic commit point — a crash between
