@@ -121,6 +121,37 @@ def hashed_ngram_features(
     back on afterwards (which would cost a second shuffle and a
     sort-merge join at scale)."""
     carry = carry or {}
+    keys = ["id", *carry.keys()]
+    return (
+        _exploded_features(df, m, text_col, id_col, bigrams, carry, hash_fn)
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _exploded_features(
+    df: DataFrame,
+    m: int,
+    text_col: str,
+    id_col: str,
+    bigrams: bool,
+    carry: dict[str, Column] | None,
+    hash_fn: str,
+) -> DataFrame:
+    """One row per feature OCCURRENCE: ``(id, *carry, bucket)``.
+
+    The scoring operators consume occurrences directly instead of the
+    per-(doc,bucket) tf table: every per-doc statistic they need is a
+    sum over occurrences (``sum(tf * f(bucket)) == sum over occurrences
+    of f(bucket)``), and occurrences of one document live in the SAME
+    scan partition the document came from — so a ``groupBy(id)`` fold's
+    map-side partial aggregation collapses to ~one row per doc BEFORE
+    the exchange.  Grouping by (id, bucket) first would shuffle one row
+    per DISTINCT (doc, bucket) pair — at m >= 2^16 that is nearly one
+    row per occurrence, the whole feature volume through the wire for
+    zero benefit (measured: the tf-first fold shuffled 94M rows at 1M
+    docs and dominated dsir wall; the occurrence fold ships ~1M)."""
+    carry = carry or {}
     toks = F.filter(X.word_tokens(text_col), lambda t: t != "")
     if bigrams:
         n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
@@ -137,11 +168,7 @@ def hashed_ngram_features(
         F.col(id_col).alias("id"), *extra, F.explode(feats).alias("f")
     )
     keys = ["id", *carry.keys()]
-    return (
-        ex.select(*keys, _bucket_of(F.col("f"), m, hash_fn))
-        .groupBy(*keys, "bucket")
-        .agg(F.count("*").alias("tf"))
-    )
+    return ex.select(*keys, _bucket_of(F.col("f"), m, hash_fn))
 
 
 def _whole_bits(total: Column, cnt: Column) -> Column:
@@ -185,25 +212,29 @@ def cross_entropy_diff_scores(
     integer ``div`` is avoided because its negative-operand semantics
     differ between engines).
 
-    100 TB shape: ONE feature pass (the per-(doc,bucket) tf table is
-    computed once and reused for both LMs and the per-doc fold); the
-    bucket-stats table is exactly ``<= m`` rows, broadcast back; totals
-    are a single-row broadcast cross join.  No shuffle carries feature
-    text, and every aggregate is map-side combinable."""
-    tf = hashed_ngram_features(
+    100 TB shape: ONE feature pass over OCCURRENCES (see
+    ``_exploded_features`` — per-doc sums over the tf table are
+    identical to sums over occurrences, and occurrences stay in their
+    document's scan partition, so both the bucket-stats fold and the
+    per-doc fold partial-aggregate BEFORE their exchange: the bucket
+    shuffle carries <= m rows per partition and the per-doc shuffle ~1
+    row per doc — never the raw feature volume); the bucket-stats table
+    is exactly ``<= m`` rows, broadcast back; totals are a single-row
+    broadcast cross join.  No shuffle carries feature text."""
+    occ = _exploded_features(
         df,
         m,
-        text_col=text_col,
-        id_col=id_col,
-        bigrams=bigrams,
-        carry={"is_t": is_target.cast("boolean")},
-        hash_fn=hash_fn,
+        text_col,
+        id_col,
+        bigrams,
+        {"is_t": is_target.cast("boolean")},
+        hash_fn,
     )
-    bucket = tf.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))).alias(
+    bucket = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.lit(1)).otherwise(F.lit(0))).alias(
             "ct"
         ),
-        F.sum("tf").alias("cs"),
+        F.count("*").alias("cs"),
     )
     tot = bucket.agg(
         F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
@@ -219,11 +250,11 @@ def cross_entropy_diff_scores(
         )
     )
     per = (
-        tf.join(F.broadcast(delta), "bucket")
+        occ.join(F.broadcast(delta), "bucket")
         .groupBy("id")
         .agg(
-            F.sum("tf").alias("n_feats"),
-            F.sum(F.col("tf") * F.col("d")).alias("score_bits"),
+            F.count("*").alias("n_feats"),
+            F.sum(F.col("d")).alias("score_bits"),
         )
     )
     base = df.select(F.col(id_col).alias("id"))
@@ -371,20 +402,29 @@ def score_hashed_linear(
     (BIGINT in both modes; float mode emits micro-units) — docs with no
     tokens score exactly ``bias``.
 
-    100 TB shape: identical to :func:`hashed_ngram_features` (its tf
-    table IS the scan) plus one broadcast join against an ``m``-row
-    weight table and a map-side-combinable per-doc sum."""
-    tf = hashed_ngram_features(
-        df, m, text_col=text_col, id_col=id_col, bigrams=False,
-        hash_fn=hash_fn,
+    100 TB shape: one occurrence pass (``_exploded_features`` — the
+    per-doc dot product is a sum over occurrences, so the fold
+    partial-aggregates in the scan partition and the exchange carries
+    ~1 row per doc); integer-formula weights need NO join at all, float
+    weights one broadcast join against an ``m``-row table.
+
+    FLOAT-SUM CAVEAT vs the tf form: occurrence-order float addition is
+    not associative, so trained-float scores can differ from a
+    tf-grouped fold in the last ulp — the micro-unit floor emits them;
+    tests compare against numpy within 1 micro-unit, and the
+    integer/oracle path is exact regardless of order."""
+    occ = _exploded_features(
+        df, m, text_col, id_col, False, None, hash_fn
     )
     if callable(weight_of):
-        contrib = tf.select(
-            "id", "tf", weight_of(F.col("bucket")).cast("long").alias("w")
+        # Weight computed IN the occurrence projection — no join at all;
+        # the per-doc fold partial-aggregates in the scan partition.
+        contrib = occ.select(
+            "id", weight_of(F.col("bucket")).cast("long").alias("w")
         )
         dot = contrib.groupBy("id").agg(
-            F.sum("tf").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("w")).alias("dot"),
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("w")).alias("dot"),
         )
         score = (F.col("dot") + F.lit(int(bias))).cast("long")
         zero = F.lit(int(bias)).cast("long")
@@ -399,10 +439,10 @@ def score_hashed_linear(
             [(int(b), float(v)) for b, v in enumerate(weights.tolist())],
             "bucket: long, w: double",
         )
-        contrib = tf.join(F.broadcast(wdf), "bucket")
+        contrib = occ.join(F.broadcast(wdf), "bucket")
         dot = contrib.groupBy("id").agg(
-            F.sum("tf").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("w")).alias("dot"),
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("w")).alias("dot"),
         )
         score = F.floor(
             (F.col("dot") + F.lit(float(bias))) * F.lit(1_000_000.0)
