@@ -345,7 +345,12 @@ def dsir_select(
             F.xxhash64(F.col(id_col), F.lit(int(gumbel_seed))),
             F.lit(1 << 53),
         )
-        u = (h + F.lit(1)) / F.lit(float((1 << 53) + 1))
+        # Denominator 2^53+2: representable in float64 (2^53+1 is NOT —
+        # it would round to 2^53 and make u exactly 1.0 at h = 2^53-1,
+        # where -log(-log(1)) is NULL and the doc silently drops out of
+        # selection).  h+1 in [1, 2^53] is float-exact, so u is strictly
+        # inside (0, 1) for every id/seed.
+        u = (h + F.lit(1)) / F.lit(float((1 << 53) + 2))
         gumbel = -F.log(-F.log(u))
         # Same base statistic as the deterministic mode (per-feature
         # mean, in nats): the two modes differ ONLY in the noise term,

@@ -341,6 +341,7 @@ def _fold_bucket_task(job: tuple):
         cur_m,
         cur_n,
         new_paths,
+        new_rows,
         all_paths,
         out_path,
         k,
@@ -356,14 +357,14 @@ def _fold_bucket_task(job: tuple):
                 zero_copy_only=False
             ).astype(np.int64)
 
-    # Sizing needs only COUNTS — footer reads, never data (r8 review:
-    # eagerly materializing every new-epoch gk array before the rebuild
-    # decision held the bucket's whole gram column in one task and read
-    # it twice on the rebuild path; the fold below streams one file at
-    # a time in both branches).
-    n_new = int(
-        sum(open_parquet(p).metadata.num_rows for p in new_paths)
-    )
+    # Sizing needs only COUNTS, and the driver already footer-read them
+    # into the index entries — they ride in the job (r8 review: the
+    # first cut eagerly materialized every new-epoch gk array before
+    # the rebuild decision, holding the bucket's whole gram column in
+    # one task and reading it twice on the rebuild path; a second cut
+    # re-opened each footer in-task).  The fold below streams one file
+    # at a time in both branches.
+    n_new = int(new_rows)
     # When the pending set IS the bucket's whole committed file list
     # (post-compaction re-fold of consolidated runs under a stale
     # watermark), cur_n already counts the same grams — adding would
@@ -508,6 +509,23 @@ def ensure_artifacts(
         manifest = json.loads(_read_bytes(f"{meta}/{MANIFEST_NAME}"))
     except Exception:
         manifest = {}
+    # Generation counter survives manifest INCOMPATIBILITY (config
+    # change): bitmap filenames embed it so a same-session rebuild at
+    # the same committed epoch writes DIFFERENT names — a worker's
+    # path-keyed bitmap cache can otherwise serve the old config's
+    # bytes (wrong m/k => silent false negatives).  An unreadable
+    # manifest falls back to the max generation visible on disk.
+    try:
+        prev_gen = int(manifest.get("generation", 0) or 0)
+    except (TypeError, ValueError):
+        prev_gen = 0
+    if not manifest:
+        import re as _re
+
+        for name in _list_names(meta):
+            g = _re.match(r"bm-b\d+-e\d+-g(\d+)\.bin", name)
+            if g:
+                prev_gen = max(prev_gen, int(g.group(1)))
     # version 2 = num_rows in the index schema + segmented runs files;
     # a v1 (or foreign) manifest is simply incompatible and triggers the
     # advisory full rebuild — artifacts are never load-bearing.
@@ -527,6 +545,7 @@ def ensure_artifacts(
             "watermark": -1,
             "runs_files": [],
             "buckets": {},
+            "generation": prev_gen,
         }
     watermark = int(manifest["watermark"])
     buckets: dict = {
@@ -584,11 +603,13 @@ def ensure_artifacts(
     for epoch, bucket, path in files:
         if epoch > watermark:
             pending.setdefault(bucket, []).append(path)
+    gen = prev_gen + 1 if pending else prev_gen
+    rows_of = {e[2]: int(e[3]) for e in entries}
     jobs = []
     for bucket, new_paths in sorted(pending.items()):
         cur = buckets.get(bucket)
         all_paths = [p for (_, b, p) in files if b == bucket]
-        out_name = f"bm-b{bucket}-e{int(committed)}.bin"
+        out_name = f"bm-b{bucket}-e{int(committed)}-g{gen}.bin"
         jobs.append(
             (
                 bucket,
@@ -596,6 +617,7 @@ def ensure_artifacts(
                 int(cur["m_bytes"]) if cur else 0,
                 int(cur["n_grams"]) if cur else 0,
                 sorted(new_paths),
+                sum(rows_of.get(p, 0) for p in new_paths),
                 sorted(all_paths),
                 f"{meta}/{out_name}",
                 k,
@@ -634,6 +656,7 @@ def ensure_artifacts(
             "watermark": int(committed),
             "runs_files": runs_names,
             "buckets": {str(b): v for b, v in sorted(buckets.items())},
+            "generation": gen,
         }
         _write_bytes_atomic(
             f"{meta}/{MANIFEST_NAME}",

@@ -2160,14 +2160,22 @@ class TestBloomArtifacts:
         schema = "doc_id long, text string"
         span = " ".join(f"mw{i}" for i in range(12))
 
-        # session A: novel corpus
+        # session A: novel corpus over TWO epochs (two files, one per
+        # trigger) — compact_store's bounded mode folds only when >= 2
+        # epochs sit below the floor, so a single-epoch history would
+        # leave session C's inline compaction a no-op and this test
+        # inert for its stated purpose (r8 review).
+        spark.createDataFrame([(0, span)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
         spark.createDataFrame(
-            [(0, span), (1, "other words entirely " + " ".join(
+            [(1, "other words entirely " + " ".join(
                 f"ow{i}" for i in range(8)))],
             schema,
         ).coalesce(1).write.mode("append").parquet(src)
         q = SB.bloom_substring_stream(
-            spark, src, schema, gram_d, stats_d, ckpt, n=8
+            spark, src, schema, gram_d, stats_d, ckpt, n=8,
+            max_files_per_trigger=1,
         )
         q.awaitTermination()
         # session B: EXACT duplicate of doc 0 -> zero novel grams, no
@@ -2206,6 +2214,30 @@ class TestBloomArtifacts:
         assert got[2]["n_dup_grams"] == got[2]["n_grams"] == 5
         # doc 4 contains doc 0's full 12-word span -> its 5 grams dup
         assert got[4]["n_dup_grams"] == 5
+        # the inline compaction genuinely fired AND the reconcile
+        # re-folded: history consolidated below the session floor and
+        # the bitmap files on disk are the refreshed generation exactly
+        # (stale versions GC'd — the pre-fix crash vector)
+        import glob as _glob
+        import json as _json
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            bloomstore as BS,
+        )
+
+        epochs = sorted(
+            int(d.rsplit("=", 1)[1])
+            for d in _glob.glob(f"{gram_d}/epoch=*")
+        )
+        assert epochs[0] == 2, (epochs, "history not consolidated")
+        meta = BS.meta_dir_for(gram_d)
+        with open(f"{meta}/manifest.json") as f:
+            man = _json.load(f)
+        on_disk = {
+            n for n in os.listdir(meta) if n.startswith("bm-")
+        }
+        refs = {v["file"] for v in man["buckets"].values()}
+        assert on_disk == refs
 
     def test_interrupted_manual_swap_recovers_without_compact_every(
         self, spark, tmp_path
