@@ -85,6 +85,10 @@ SUITES: dict[str, list[str]] = {
         # fixed formula centroids (VERDICT r7 next-round #2) — the last
         # mechanism-bearing rows-only ANN surface gets an oracle twin.
         "ivf_fixed_centroids",
+        # r8: the full SemDeDup mechanism (assignment, blocked-GEMM
+        # cosine edges, components, min-id keeper) with fixed formula
+        # centroids — membership-only output, recursive-CTE oracle.
+        "semantic_dedup_fixed_centroids",
     ],
     # reference listing / scalar-transform shapes over documents
     "doc_listing_suite": [

@@ -60,6 +60,7 @@ __all__ = [
     "assign_to_centroids",
     "assign_to_centroids_topm",
     "semantic_dedup",
+    "semantic_dedup_with_centroids",
     "semantic_dup_edges",
 ]
 
@@ -344,6 +345,59 @@ def semantic_dedup(
     assigned = cluster_assign(
         valid, k_clusters=k_clusters, vec_col=vec_col, seed=seed
     )
+    return _dedup_from_assigned(
+        assigned, null_rows, eps, id_col, vec_col, max_cluster_size
+    )
+
+
+def semantic_dedup_with_centroids(
+    items: DataFrame,
+    centroids: list[list[float]],
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 200_000,
+) -> DataFrame:
+    """SemDeDup against FROZEN external centroids — no k-means fit.
+    Same output contract as :func:`semantic_dedup`; shares its entire
+    post-assignment pipeline (edges -> components -> keeper fold).
+
+    With FORMULA centroids this makes the whole mechanism (assignment,
+    within-cluster cosine edge set, transitive grouping, min-id keeper)
+    SQL-expressible — the fixed-parameters oracle move
+    (``semantic_dedup_fixed_centroids`` in queries.py, the
+    ivf_fixed_centroids sibling).  Also the natural entry when centroids
+    come from an earlier fit or an external system (the streaming form's
+    frozen coarse quantizer)."""
+    valid = items.filter(F.col(vec_col).isNotNull())
+    null_rows = (
+        items.filter(F.col(vec_col).isNull())
+        .select(F.col(id_col).cast("long").alias(id_col))
+        .select(
+            id_col,
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.col(id_col).alias("group_id"),
+            F.lit(True).alias("is_keeper"),
+        )
+    )
+    assigned = assign_to_centroids(valid, centroids, vec_col=vec_col)
+    return _dedup_from_assigned(
+        assigned, null_rows, eps, id_col, vec_col, max_cluster_size
+    )
+
+
+def _dedup_from_assigned(
+    assigned: DataFrame,
+    null_rows: DataFrame,
+    eps: float,
+    id_col: str,
+    vec_col: str,
+    max_cluster_size: int,
+) -> DataFrame:
+    """Shared SemDeDup tail: within-cluster cosine edges -> star-
+    contraction components -> min-id keeper per group, plus the NULL
+    pass-through union (rows with NULL embeddings can't be compared;
+    they are their own keepers with cluster_id NULL)."""
     edges = semantic_dup_edges(
         assigned,
         eps=eps,
@@ -366,6 +420,4 @@ def semantic_dedup(
         group.alias("group_id"),
         (group == F.col(id_col)).alias("is_keeper"),
     )
-    # Rows with NULL embeddings can't be compared; they pass through as
-    # their own keepers (cluster_id NULL) rather than crashing the fit.
     return scored.unionByName(null_rows)

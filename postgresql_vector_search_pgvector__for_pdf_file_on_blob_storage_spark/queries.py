@@ -5265,3 +5265,98 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("train_loss_drop_ppm", F.lit(drop_ppm).cast("long"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "semantic_dedup_fixed_centroids",
+    """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+cents AS (
+  SELECT c, list_transform(range(0, 64),
+           i -> ((c*29 + i*11) % 23 - 11) / 11.0) AS cent
+  FROM range(0, 8) t(c)
+),
+asg AS (
+  SELECT vec_id, c AS cluster_id FROM (
+    SELECT e.vec_id, cents.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> pow(CAST(e.embedding[i] AS DOUBLE) - cents.cent[i],
+                        2))),
+             cents.c) AS rn
+    FROM e, cents) WHERE rn = 1
+),
+n AS (
+  SELECT e.vec_id, e.embedding, asg.cluster_id,
+         CASE WHEN nrm0 = 0 THEN 1 ELSE nrm0 END AS nrm
+  FROM (SELECT vec_id, embedding,
+          sqrt(list_sum(list_transform(range(1, 65),
+            i -> pow(CAST(embedding[i] AS DOUBLE), 2)))) AS nrm0
+        FROM e) e JOIN asg USING (vec_id)
+),
+edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE 1 - list_sum(list_transform(range(1, 65),
+          i -> (CAST(a.embedding[i] AS DOUBLE) / a.nrm)
+               * (CAST(b.embedding[i] AS DOUBLE) / b.nrm))) < 0.6
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS grp FROM reach GROUP BY a)
+SELECT e.vec_id,
+       CAST(asg.cluster_id AS INTEGER) AS cluster_id,
+       CAST(coalesce(comp.grp, e.vec_id) AS BIGINT) AS group_id,
+       (coalesce(comp.grp, e.vec_id) = e.vec_id) AS is_keeper
+FROM e JOIN asg USING (vec_id) LEFT JOIN comp ON comp.node = e.vec_id
+ORDER BY vec_id
+""",
+)
+def semantic_dedup_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SemDeDup mechanism with FIXED formula centroids
+    (operators.semdedup.semantic_dedup_with_centroids — assignment
+    through the real ``assign_to_centroids`` argmin, within-cluster
+    cosine edges through the real blocked-GEMM ``semantic_dup_edges``,
+    star-contraction components, min-id keeper), the same move that
+    oracled PQ and IVF: fixed parameters make every stage
+    DuckDB-expressible, so semantic dedup's MEMBERSHIP semantics stop
+    hiding behind rows-only + recall floors (VERDICT trajectory r6->r8).
+    The oracle restates components as a recursive transitive closure
+    (the dedup_clusters convention — fixture-viable, quadratic at scale,
+    which is why the engine contracts in O(log n) star rounds).  Output
+    is MEMBERSHIP ONLY (ids, cluster, group, keeper — no float
+    distances): the GEMM's pairwise-summed cosines differ from the
+    oracle's left-to-right fold in the last ulp, which membership only
+    sees if a pair sits within ~1e-15 of the eps boundary (no 1e-4
+    rounding grid to straddle — the ivf_fixed_centroids lesson)."""
+    from .operators import semdedup as SD
+
+    dim, n_clusters = 64, 8
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        [((c * 29 + i * 11) % 23 - 11) / 11.0 for i in range(dim)]
+        for c in range(n_clusters)
+    ]
+    out = SD.semantic_dedup_with_centroids(
+        emb, cents, eps=0.6, id_col="vec_id", vec_col="embedding"
+    )
+    return (
+        out.select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col("group_id").cast("long").alias("group_id"),
+            "is_keeper",
+        )
+        .orderBy("vec_id")
+    )

@@ -45,6 +45,8 @@ EXTRA = [
     # r8 selection stage (operators/selection.py)
     "dsir_select",
     "quality_classifier_fixed_weights",
+    # r8: SemDeDup mechanism oracle row (operators/semdedup.py)
+    "semantic_dedup_fixed_centroids",
 ]
 
 

@@ -65,6 +65,43 @@ def test_semantic_dedup_collapses_planted_groups(spark):
         assert out[i]["group_id"] == i and out[i]["is_keeper"]
 
 
+def test_semantic_dedup_with_centroids_matches_planted(spark):
+    """The frozen-centroid form (the oracle row's entry point) runs the
+    identical tail: planted groups collapse to min-id keepers when the
+    centroids are the planted bases themselves, NULL embeddings pass
+    through as their own keepers with NULL cluster, and a wrong-cluster
+    split (each group its own centroid) still finds within-cluster
+    duplicates."""
+    df = _planted(spark).unionByName(
+        spark.createDataFrame(
+            [(99, None, 999)], "vec_id long, embedding array<float>, label long"
+        )
+    )
+    cents = [
+        [1.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 1.0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 1.0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 1.0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 1.0, 0, 0],
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup_with_centroids(
+            df, cents, eps=0.05, id_col="vec_id"
+        ).collect()
+    }
+    assert len(out) == 21
+    for g in range(3):
+        ids = [g * 4 + j for j in range(4)]
+        assert {out[i]["group_id"] for i in ids} == {min(ids)}
+        assert {out[i]["cluster_id"] for i in ids} == {g}
+    for i in range(12, 20):
+        assert out[i]["group_id"] == i and out[i]["is_keeper"]
+    assert out[99]["cluster_id"] is None
+    assert out[99]["group_id"] == 99 and out[99]["is_keeper"]
+
+
 def test_semantic_dup_edges_recall_vs_exact(spark):
     """On clustered data the within-cluster scan must recover nearly all
     exact cosine-duplicate pairs (the paper's approximation, measured).
