@@ -155,6 +155,10 @@ SUITES: dict[str, list[str]] = {
         # r6: minhash mechanism parity — md5 hash family restated in SQL
         # (the simhash convention), closing B5's last oracle gap.
         "minhash_sigs_md5",
+        # r8: the BANDING mechanism's oracle row — signature, band split,
+        # bucket join, candidate dedup, exact-Jaccard verify, all
+        # bit-checked incl. which pairs the banding misses.
+        "minhash_lsh_pairs_md5",
     ],
     "corpus_stats_suite": [
         "lang_distribution",

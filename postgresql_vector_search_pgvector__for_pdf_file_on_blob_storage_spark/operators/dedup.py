@@ -40,6 +40,7 @@ __all__ = [
     "minhash_signature",
     "minhash_signature_md5",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_md5",
     "simhash64",
     "connected_components",
     "connected_components_star",
@@ -651,6 +652,90 @@ def minhash_lsh_pairs(
     )
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash BANDING near-dup pairs with the md5-derived hash family —
+    the LSH mechanism's oracle twin (the minhash_signature_md5
+    convention: production stays on :func:`minhash_lsh_pairs`'s
+    xxhash64, which no SQL engine reproduces; this sibling swaps ONLY
+    the hash family and the band-key encoding so the ENTIRE pipeline —
+    signature, band split, bucket equi-join, candidate dedup, exact
+    Jaccard verify — is restatable in portable SQL and checked
+    bit-for-bit, including which true pairs the banding probabilistically
+    MISSES: both engines band identically, so they miss identically).
+
+    Band keys are the comma-joined signed signature values of the slice
+    (a plain string both engines render identically) instead of the
+    production path's 64-bit xxhash64 of the slice — 2-10x more band-key
+    bytes through the candidate join, the price of SQL expressibility;
+    semantics are identical because the encoding is injective.
+
+    Same 100 TB shape as the production form: candidates come from the
+    band equi-join only (never all pairs), the verify join touches only
+    banded-together ids.  Sub-``n``-token documents have no shingles and
+    are excluded (they cannot near-duplicate under set Jaccard)."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.sort_array(word_shingles(text_col, n)).alias("shingles"),
+        minhash_signature_md5(
+            F.col(text_col), n=n, num_hashes=num_hashes
+        ).alias("sig"),
+    ).filter(F.size("shingles") > 0)
+    base = base.localCheckpoint(eager=False)
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    "sig", bi * rows + r + 1
+                                ).cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")

@@ -5360,3 +5360,71 @@ def semantic_dedup_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "minhash_lsh_pairs_md5",
+    r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks
+  WHERE len(t) >= 3),
+fam AS (SELECT doc_id, shingles, unnest(range(0, 16)) AS hash_idx FROM sh),
+mins AS (
+  SELECT doc_id, hash_idx,
+         list_min(list_transform(shingles,
+                  g -> md5_number_upper(g || chr(31) || CAST(hash_idx AS VARCHAR)))) AS mn
+  FROM fam),
+sig AS (
+  SELECT doc_id, hash_idx,
+         CAST(CAST(mn AS HUGEINT)
+              - CASE WHEN mn >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END
+              AS BIGINT) AS sig
+  FROM mins),
+bnd AS (
+  SELECT doc_id, hash_idx // 4 AS band,
+         array_to_string(list(CAST(sig AS VARCHAR) ORDER BY hash_idx), ',')
+           AS key
+  FROM sig GROUP BY doc_id, hash_idx // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+v AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+           / len(list_distinct(x.shingles || y.shingles)) AS jaccard
+  FROM cand c
+  JOIN sh x ON c.id_a = x.doc_id
+  JOIN sh y ON c.id_b = y.doc_id)
+SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash BANDING near-dup pairs with the md5 hash family
+    (operators.dedup.minhash_lsh_pairs_md5) — the LSH mechanism's oracle
+    row: signature, band split, bucket equi-join, candidate dedup, and
+    the exact-Jaccard verify are restated in SQL and compared
+    bit-for-bit, INCLUDING which true pairs the banding
+    probabilistically misses (both engines band identically, so they
+    miss identically).  Closes the gap minhash_sigs_md5 left: that row
+    oracles the signature fold only; the production banding path
+    (minhash_lsh_pairs, xxhash64 family + hashed band keys) remains the
+    scale form and keeps its rows-only entry."""
+    from .operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.minhash_lsh_pairs_md5(
+            docs, "text", "doc_id", n=3, num_hashes=16, bands=4,
+            threshold=0.5,
+        )
+        .orderBy("id_a", "id_b")
+    )

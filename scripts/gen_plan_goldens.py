@@ -47,6 +47,8 @@ EXTRA = [
     "quality_classifier_fixed_weights",
     # r8: SemDeDup mechanism oracle row (operators/semdedup.py)
     "semantic_dedup_fixed_centroids",
+    # r8: LSH banding mechanism oracle row (operators/dedup.py)
+    "minhash_lsh_pairs_md5",
 ]
 
 

@@ -73,6 +73,28 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
         assert r["jaccard"] >= 0.5
 
 
+def test_minhash_lsh_md5_twin_semantics(spark, docs):
+    """The banding mechanism's oracle twin (minhash_lsh_pairs_md5): same
+    planted dups found, every emitted pair passes the exact verify, the
+    emitted set is a SUBSET of the exact Jaccard pairs at the same
+    threshold (banding can only MISS, never invent — the verify step
+    guarantees precision 1.0), and jaccard values equal the exact
+    operator's."""
+    out = D.minhash_lsh_pairs_md5(
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (1, 2) in got and (1, 6) in got  # identical docs: all bands
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v >= 0.5
+        assert exact[k] == pytest.approx(v)
+
+
 def test_minhash_jaccard_values_are_exact(spark, docs):
     lsh = {
         (r["id_a"], r["id_b"]): r["jaccard"]
