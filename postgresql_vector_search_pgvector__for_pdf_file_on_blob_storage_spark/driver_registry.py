@@ -89,6 +89,10 @@ SUITES: dict[str, list[str]] = {
         # cosine edges, components, min-id keeper) with fixed formula
         # centroids — membership-only output, recursive-CTE oracle.
         "semantic_dedup_fixed_centroids",
+        # r8: bucketed random-projection LSH join with fixed formula
+        # hyperplanes — buckets, candidate join, and exact verify all
+        # bit-checked incl. which pairs the bucketing misses.
+        "embedding_lsh_fixed_planes",
     ],
     # reference listing / scalar-transform shapes over documents
     "doc_listing_suite": [

@@ -435,6 +435,97 @@ class IVFIndex:
         )
 
 
+def projection_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    planes: list[list[float]],
+    bucket_length: float,
+    threshold: float,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    vec_col: str = "embedding",
+    anti_reflexive: bool = False,
+) -> DataFrame:
+    """Bucketed random-projection LSH similarity join with EXPLICIT
+    hyperplanes — the BucketedRandomProjectionLSH mechanism re-expressed
+    as native DataFrame ops: per-table hash ``h_t(v) = floor(<v, p_t> /
+    bucket_length)``, candidates = equi-join on ``(table, h_t)`` for any
+    table, exact L2 verify ``dist < threshold``.
+
+    Two reasons to exist beside :func:`lsh_similarity_join` (MLlib):
+
+    - **Oracle row** (``embedding_lsh_fixed_planes`` in queries.py, the
+      fixed-parameters move): with formula planes every stage — the
+      projection dot (a sequential float64 fold, bit-identical to a SQL
+      left-to-right ``list_sum``), the floor-bucket, the bucket join,
+      and the verify — is restatable in portable SQL and compared
+      bit-for-bit, INCLUDING which true pairs the bucketing misses
+      (both engines bucket identically).  MLlib's random planes are
+      opaque to any SQL twin.
+    - **Scale shape**: pure DataFrame ops (codegen projections, one
+      equi-join on 16-byte keys, AQE-eligible) instead of
+      ``approxSimilarityJoin``'s RDD-backed plan; candidates stay
+      proportional to bucket collisions, never n^2.
+
+    ``anti_reflexive=True`` emits each unordered pair once
+    (``left_id < right_id``) — the self-join near-dup convention."""
+    bl = float(bucket_length)
+
+    def keyed(df: DataFrame, idc: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.floor(
+                        V.dot_product(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in plane]),
+                        )
+                        / F.lit(bl)
+                    )
+                    .cast("long")
+                    .alias("h"),
+                )
+                for t, plane in enumerate(planes)
+            ]
+        )
+        return df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(idc), F.explode(tables).alias("th")
+        ).select(idc, F.col("th.t").alias("t"), F.col("th.h").alias("h"))
+
+    a = keyed(spread(left), left_id).alias("a")
+    b = keyed(right, right_id).alias("b")
+    pair_cond = (F.col("a.t") == F.col("b.t")) & (
+        F.col("a.h") == F.col("b.h")
+    )
+    if anti_reflexive:
+        pair_cond = pair_cond & (
+            F.col(f"a.{left_id}") < F.col(f"b.{right_id}")
+        )
+    cand = (
+        a.join(b, pair_cond)
+        .select(
+            F.col(f"a.{left_id}").alias(left_id),
+            F.col(f"b.{right_id}").alias(right_id),
+        )
+        .dropDuplicates([left_id, right_id])
+    )
+    lv = left.select(
+        F.col(left_id), F.col(vec_col).alias("__va")
+    )
+    rv = right.select(
+        F.col(right_id), F.col(vec_col).alias("__vb")
+    )
+    dist = V.l2_distance(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(lv, left_id)
+        .join(rv, right_id)
+        .withColumn("dist", dist)
+        .filter(F.col("dist") < F.lit(float(threshold)))
+        .select(left_id, right_id, "dist")
+    )
+
+
 def lsh_similarity_join(
     left: DataFrame,
     right: DataFrame,

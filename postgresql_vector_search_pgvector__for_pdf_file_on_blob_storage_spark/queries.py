@@ -5428,3 +5428,75 @@ def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "embedding_lsh_fixed_planes",
+    """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+planes AS (
+  SELECT t, list_transform(range(0, 64),
+           i -> ((t*37 + i*13) % 19 - 9) / 9.0) AS p
+  FROM range(0, 4) r(t)
+),
+keys AS (
+  SELECT e.vec_id, planes.t,
+         CAST(floor(list_sum(list_transform(range(1, 65),
+           i -> CAST(e.embedding[i] AS DOUBLE) * planes.p[i])) / 1.0)
+           AS BIGINT) AS h
+  FROM e, planes),
+cand AS (
+  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+  FROM keys a JOIN keys b
+    ON a.t = b.t AND a.h = b.h AND a.vec_id < b.vec_id),
+v AS (
+  SELECT c.left_id, c.right_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> pow(CAST(x.embedding[i] AS DOUBLE)
+                    - CAST(y.embedding[i] AS DOUBLE), 2)))) AS d
+  FROM cand c
+  JOIN e x ON c.left_id = x.vec_id
+  JOIN e y ON c.right_id = y.vec_id)
+SELECT left_id, right_id, round(d, 4) AS dist
+FROM v WHERE d < 1.1
+ORDER BY left_id, right_id
+""",
+)
+def embedding_lsh_fixed_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed random-projection LSH similarity join with FIXED formula
+    hyperplanes (operators.ann.projection_lsh_join) — the
+    embedding-side LSH mechanism's oracle row, same move as the banding
+    twin: per-table ``floor(<v, p_t> / bucket_length)`` buckets, the
+    bucket equi-join, and the exact L2 verify are all restated in SQL
+    and compared bit-for-bit, INCLUDING which true pairs the bucketing
+    misses (both engines bucket identically — at this fixture the
+    4-table/bl=1.0 configuration finds 64 of the 73 exact pairs, and
+    the oracle agrees on exactly which 64).  Every float op is a
+    sequential fold or a single IEEE op, so there is no cross-engine
+    ulp seam at all (unlike the GEMM-based semantic twin).  The
+    production path for MLlib-random planes stays
+    ``embedding_near_dup_lsh`` (rows-only)."""
+    from .operators import ann as A
+
+    dim, n_tables = 64, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = [
+        [((t * 37 + i * 13) % 19 - 9) / 9.0 for i in range(dim)]
+        for t in range(n_tables)
+    ]
+    out = A.projection_lsh_join(
+        emb.select(F.col("vec_id").alias("left_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("right_id"), "embedding"),
+        planes,
+        bucket_length=1.0,
+        threshold=1.1,
+        anti_reflexive=True,
+    )
+    return (
+        out.select(
+            "left_id", "right_id", F.round("dist", 4).alias("dist")
+        )
+        .orderBy("left_id", "right_id")
+    )

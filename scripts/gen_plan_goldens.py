@@ -49,6 +49,8 @@ EXTRA = [
     "semantic_dedup_fixed_centroids",
     # r8: LSH banding mechanism oracle row (operators/dedup.py)
     "minhash_lsh_pairs_md5",
+    # r8: projection-LSH mechanism oracle row (operators/ann.py)
+    "embedding_lsh_fixed_planes",
 ]
 
 

@@ -469,3 +469,65 @@ def test_recall_report_tier_floors_are_pinned(spark):
     assert not bad, f"recall floor violations (floor -> got): " + ", ".join(
         f"{m}: {floors[m]} -> {v:.4f}" for m, v in bad.items()
     )
+
+
+def test_projection_lsh_join_semantics(spark):
+    """projection_lsh_join (the embedding_lsh_fixed_planes oracle row's
+    operator): planted close pairs that share a bucket are found with
+    exact distances, every emitted pair passes the verify (< threshold —
+    precision 1.0 by construction), the output is a subset of the exact
+    similarity join, and the anti-reflexive self-join emits each
+    unordered pair once."""
+    import numpy as np
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        ann as A,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        knn as K,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for g in range(5):  # 5 planted pairs of near-identical vectors
+        base = rng.normal(size=8)
+        for j in range(2):
+            v = base + 0.001 * j
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(20):  # spread-out singles
+        rows.append(
+            (vid, [float(x) for x in rng.normal(size=8) * 5.0])
+        )
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [
+        [((t * 37 + i * 13) % 19 - 9) / 9.0 for i in range(8)]
+        for t in range(4)
+    ]
+    out = A.projection_lsh_join(
+        df.selectExpr("vec_id AS left_id", "embedding"),
+        df.selectExpr("vec_id AS right_id", "embedding"),
+        planes,
+        bucket_length=1.0,
+        threshold=0.5,
+        anti_reflexive=True,
+    ).collect()
+    got = {(r["left_id"], r["right_id"]): r["dist"] for r in out}
+    # planted pairs are ~0.003 apart: identical buckets in every table
+    for g in range(5):
+        assert (2 * g, 2 * g + 1) in got
+    exact = {
+        (r["left_id"], r["right_id"]): r["dist"]
+        for r in K.similarity_join(
+            df.selectExpr("vec_id AS left_id", "embedding"),
+            df.selectExpr("vec_id AS right_id", "embedding"),
+            threshold=0.5,
+        ).collect()
+        if r["left_id"] < r["right_id"]
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v < 0.5
+        assert exact[k] == pytest.approx(v)
