@@ -181,3 +181,39 @@ def test_tokenize_pack_pipeline_conserves_tokens(spark):
         .collect()
     }
     assert per_shard == want and sum(per_shard.values()) > 0
+
+
+def _fixed_formula_merges():
+    """The bpe_encode_fixed_ranks merge table (queries.py): every [a-z]
+    letter pair (ranks 0..675), then every (two-letter, letter)
+    extension (ranks 676..18251) — level-1 ranks all sort below level-2,
+    so greedy ORDER is what the oracle row actually checks."""
+    merges = [
+        (chr(97 + i), chr(97 + j)) for i in range(26) for j in range(26)
+    ]
+    merges += [
+        (chr(97 + i) + chr(97 + j), chr(97 + k))
+        for i in range(26)
+        for j in range(26)
+        for k in range(26)
+    ]
+    return merges
+
+
+def test_encode_fixed_ranks_greedy_order_pins(spark):
+    # Hand-derived greedy outcomes under the formula table:
+    # "abz": (a,b)=rank 1 beats (b,z)=51 -> [ab,z]; (ab,z)=727 -> 1 tok.
+    # "zab": (a,b)=1 beats (z,a)=650 -> [z,ab]; (z,ab) is
+    #        (1-letter, 2-letter) = NOT in the table -> 2 tokens —
+    #        the order-dependence the mechanism check rides on.
+    # "aaa": equal ranks at i=0,1 -> LEFTMOST -> [aa,a] -> (aa,a) -> 1.
+    # "abab": [ab,a,b] (leftmost rank-1) -> [ab,ab] -> no (2,2) rule -> 2.
+    # " ab": space is not merge-eligible -> [' ', ab] -> 2 tokens.
+    df = spark.createDataFrame(
+        [("abz",), ("zab",), ("aaa",), ("abab",), (" ab",)], "text string"
+    )
+    out = {
+        r["text"]: r["bpe_tokens"]
+        for r in B.bpe_encode(df, _fixed_formula_merges()).collect()
+    }
+    assert out == {"abz": 1, "zab": 2, "aaa": 1, "abab": 2, " ab": 2}
