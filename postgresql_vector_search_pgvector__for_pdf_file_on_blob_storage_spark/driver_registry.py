@@ -133,6 +133,10 @@ SUITES: dict[str, list[str]] = {
         "unpivot_order_metrics",
         "variant_extract_events",
         "edit_distance_gallery",
+        # r9: multimodal decode STATS with formula PPM fixtures — the
+        # real stdlib P6 parse + mapInPandas stats path gets an oracle
+        # twin derived from doc_id alone (VERDICT r8 next-round #6).
+        "multimodal_fixed_stats",
     ],
     "join_family_suite": [
         "join_semi_active_customers",

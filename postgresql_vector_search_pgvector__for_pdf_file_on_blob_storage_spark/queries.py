@@ -3516,6 +3516,58 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_fixed_stats",
+    """
+WITH m AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height,
+         (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS n
+  FROM documents)
+SELECT doc_id AS media_id, width, height, CAST(3 AS INTEGER) AS channels,
+       CAST(list_sum(list_transform(range(0, n),
+              k -> (doc_id * 31 + k * 7) % 256)) AS DOUBLE) / n AS mean_pixel
+FROM m ORDER BY media_id
+""",
+)
+def multimodal_fixed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode STATS with formula-derivable fixtures (VERDICT
+    r8 next-round #6 — the fixed-parameters move applied to B15, the
+    last §2B row with no oracle presence): one REAL binary PPM (netpbm
+    ``P6``, parsed by the stdlib-only ``decode_ppm`` — no PIL) per
+    document, generated ON EXECUTORS with formula pixels
+    ``px[k] = (doc_id*31 + k*7) % 256`` at formula dims
+    ``w = 4 + doc_id%5, h = 3 + doc_id%4``, decoded through the real
+    ``mapInPandas`` stats path (sources.multimodal.image_info).  Width/
+    height/channels check the container round-trip byte-exactly;
+    mean_pixel is an exact integer sum (< 2^15, float64-exact) over one
+    IEEE division, so the SQL twin derives every output from doc_id
+    alone.  The CODEC seam itself (PIL/soundfile gating) stays
+    rows-only via multimodal_image_pipeline."""
+    from .sources import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def ppm_of(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 4 + i % 5, 3 + i % 4
+            n = w * h * 3
+            px = (i * 31 + np.arange(n, dtype=np.int64) * 7) % 256
+            out.append(MM.encode_ppm(w, h, px.astype(np.uint8)))
+        return pd.Series(out)
+
+    media = spread(docs).select(
+        F.col("doc_id").alias("media_id"), ppm_of("doc_id").alias("content")
+    )
+    return MM.image_info(media).orderBy("media_id")
+
+
 @query("summarize_hits")
 def summarize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's per-hit summarization fan-out (SURVEY.md §2A row 29):

@@ -89,9 +89,57 @@ def encode_fake_video(frames: list[bytes]) -> bytes:
 # Spark operators
 # ---------------------------------------------------------------------------
 
+def decode_ppm(b: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Stdlib-only decoder for binary PPM/PGM (netpbm ``P6``/``P5``) —
+    a REAL uncompressed public image format, parsed without PIL: magic,
+    then whitespace/comment-separated width, height, maxval tokens, one
+    whitespace byte, then raw samples (1 byte per sample for maxval
+    <= 255).  Returns ``(w, h, channels, pixels[h, w, c])`` or None for
+    anything malformed (logged-and-skipped semantics upstream)."""
+    if not b or b[:2] not in (b"P6", b"P5"):
+        return None
+    channels = 3 if b[:2] == b"P6" else 1
+    pos, tokens = 2, []
+    try:
+        while len(tokens) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":  # comment runs to end of line
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(b[start:pos]))
+        pos += 1  # exactly ONE whitespace byte after maxval (spec)
+        w, h, maxval = tokens
+        if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+            return None
+        px = np.frombuffer(b, dtype=np.uint8, count=w * h * channels,
+                           offset=pos)
+        if px.size != w * h * channels:
+            return None
+        return w, h, channels, px.reshape(h, w, channels)
+    except (ValueError, IndexError):
+        return None
+
+
+def encode_ppm(w: int, h: int, pixels: np.ndarray) -> bytes:
+    """Binary PPM (``P6``) encoder for uint8 RGB pixels — the fixture
+    writer for the real-format decode path (w*h*3 samples)."""
+    px = np.asarray(pixels, dtype=np.uint8).reshape(-1)
+    assert px.size == w * h * 3
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
 def _decode_image_any(b: bytes):
-    """Real decoder first (PIL), FAKE fallback; None for undecodable."""
+    """Real decoders first (stdlib PPM/PGM, then PIL if present), FAKE
+    fallback; None for undecodable."""
     decoded = decode_fake_image(b)
+    if decoded is not None:
+        return decoded
+    decoded = decode_ppm(b)
     if decoded is not None:
         return decoded
     try:  # pragma: no cover - PIL absent in the build container

@@ -80,3 +80,40 @@ def test_image_profile_fuses_info_and_embedding(spark, media):
         )
         assert r["mean_pixel"] == i["mean_pixel"]
         assert r["embedding"] == emb[mid]
+
+
+def test_ppm_roundtrip_and_comments():
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    b = MM.encode_ppm(5, 4, px)
+    w, h, c, out = MM.decode_ppm(b)
+    assert (w, h, c) == (5, 4, 3)
+    assert np.array_equal(out, px)
+    # header comments (the netpbm spec allows them before any token)
+    commented = b"P6\n# made by a test\n5 4\n# and one more\n255\n" + px.tobytes()
+    w2, h2, c2, out2 = MM.decode_ppm(commented)
+    assert (w2, h2, c2) == (5, 4, 3) and np.array_equal(out2, px)
+    # P5 grayscale: one channel
+    g = np.arange(6, dtype=np.uint8)
+    w3, h3, c3, out3 = MM.decode_ppm(b"P5\n3 2\n255\n" + g.tobytes())
+    assert (w3, h3, c3) == (3, 2, 1)
+    assert np.array_equal(out3.reshape(-1), g)
+
+
+def test_ppm_malformed_returns_none():
+    assert MM.decode_ppm(b"") is None
+    assert MM.decode_ppm(b"P3\n1 1\n255\n xxx") is None  # ASCII ppm: unsupported
+    assert MM.decode_ppm(b"P6\n2 2\n255\nshort") is None  # truncated payload
+    assert MM.decode_ppm(b"P6\n0 2\n255\n") is None  # zero dim
+    assert MM.decode_ppm(b"P6\n2 2\n70000\n" + b"x" * 12) is None  # 2-byte maxval
+    assert MM.decode_ppm(b"P6\n2 abc\n255\n" + b"x" * 12) is None  # bad token
+
+
+def test_image_info_decodes_real_ppm(spark):
+    px = (7 * np.arange(2 * 3 * 3, dtype=np.int64) % 256).astype(np.uint8)
+    rows = [(1, MM.encode_ppm(2, 3, px)), (2, b"not an image")]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    out = MM.image_info(media).collect()
+    assert len(out) == 1  # the garbage row is skipped, not an error
+    r = out[0]
+    assert (r["media_id"], r["width"], r["height"], r["channels"]) == (1, 2, 3, 3)
+    assert abs(r["mean_pixel"] - float(px.mean())) < 1e-12
