@@ -258,6 +258,12 @@ ROWS_ONLY_SUITES: dict[str, list[str]] = {
         # memory-capped Bloom screen, row-group point-lookup verify.
         "streaming_substring_bloom",
     ],
+    # r9: the Gumbel resampling mode with its numpy witness columns —
+    # numpy_flag_diff_rows == 0 iff the seeded sample reproduces
+    # outside Spark (VERDICT r8 next-round #5).
+    "selection_gallery": [
+        "dsir_select_gumbel",
+    ],
 }
 
 # Rows-only queries (no SQL oracle) that keep their own driver entry.

@@ -288,6 +288,7 @@ def dsir_select(
     bigrams: bool = True,
     gumbel_seed: int | None = None,
     hash_fn: str = "md5",
+    emit_key: bool = False,
 ) -> DataFrame:
     """Deterministic top-k data selection on the cross-entropy-difference
     score: rank by per-feature mean score descending with the id as the
@@ -372,12 +373,91 @@ def dsir_select(
         .limit(int(k))
         .agg(F.min("r").alias("thr"))
     )
-    return scores.crossJoin(F.broadcast(thr)).withColumn(
+    out = scores.crossJoin(F.broadcast(thr)).withColumn(
         "selected",
         F.when(F.col("thr").isNull(), F.lit(False)).otherwise(
             ranked >= F.col("thr")
         ),
     ).drop("thr")
+    if emit_key:
+        # The raw ranking key, for external witnesses (the Gumbel
+        # gallery recomputes it from (id, mean_milli) in pure Python
+        # and compares — see queries.dsir_select_gumbel).
+        out = out.withColumn("rank_key", rank_key)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python XXH64 twin of Spark's ``xxhash64`` expression, for the
+# Gumbel sampler's OUT-OF-ENGINE witness (VERDICT r8 next-round #5):
+# ``dsir_select(gumbel_seed=s)`` ranks on a key derived from
+# ``xxhash64(id, lit(s))``, and the gallery query recomputes that key
+# from (id, mean_milli, s) alone in Python/numpy and counts
+# disagreements — a driver-visible proof the seeded sample is
+# reproducible outside Spark.  Constants and short-input folds follow
+# the public XXH64 spec (Collet), matching Spark's XXH64.hashLong /
+# hashInt; the multi-column convention is seed-chaining in argument
+# order.  Equality with F.xxhash64 is pinned in tests/test_selection.py.
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_long_py(value: int, seed: int) -> int:
+    """XXH64 of one 64-bit integer (Spark ``XXH64.hashLong``), as a
+    SIGNED 64-bit int — the value ``F.xxhash64(bigint_col)`` returns."""
+    v = value & _M64
+    h = ((seed & _M64) + _XXP5 + 8) & _M64
+    k1 = (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+    h = _xxh_fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_int_py(value: int, seed: int) -> int:
+    """XXH64 of one 32-bit integer (Spark ``XXH64.hashInt`` — how an
+    IntegerType literal like the Gumbel seed is folded in)."""
+    v = value & 0xFFFFFFFF
+    h = ((seed & _M64) + _XXP5 + 4) & _M64
+    h ^= (v * _XXP1) & _M64
+    h = ((_rotl64(h, 23) * _XXP2) + _XXP3) & _M64
+    h = _xxh_fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+_LN2 = 0.6931471805599453
+
+
+def gumbel_rank_key_py(doc_id: int, mean_milli: int, seed: int) -> float:
+    """Python twin of ``dsir_select(gumbel_seed=seed)``'s ranking key:
+    the same hash chain (``xxhash64(id, lit(seed))`` = hashInt(seed)
+    seeded by hashLong(id, 42)), the same pmod/(2^53+2) uniform, the
+    same ``log w + Gumbel`` combination, each step the identical IEEE
+    double op."""
+    import math
+
+    h = xxh64_int_py(seed, xxh64_long_py(doc_id, 42) & _M64)
+    u = ((h % (1 << 53)) + 1) / float((1 << 53) + 2)
+    return mean_milli / 1000.0 * _LN2 + (-math.log(-math.log(u)))
 
 
 def score_hashed_linear(

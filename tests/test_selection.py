@@ -338,3 +338,48 @@ class TestTrainLogreg:
         df = spark.createDataFrame([], "doc_id bigint, text string, y int")
         with pytest.raises(ValueError, match="no labeled"):
             S.train_logreg_hashed(df, "y", m=16, iters=1)
+
+
+class TestXxh64PythonTwin:
+    def test_matches_spark_xxhash64(self, spark):
+        """The from-spec pure-Python XXH64 (the Gumbel witness's hash)
+        equals Spark's xxhash64 expression for longs, for int literals
+        folded in via seed-chaining, and for the doc-id+seed chain the
+        sampler actually uses."""
+        ids = [0, 1, 7, -3, 42, 123456789012345, -987654321,
+               2**62, -(2**62), 2**63 - 1, -(2**63)]
+        df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+        rows = df.select(
+            "id",
+            F.xxhash64("id").alias("h1"),
+            F.xxhash64("id", F.lit(7)).alias("h2"),
+            F.xxhash64("id", F.lit(-12345)).alias("h3"),
+        ).collect()
+        for r in rows:
+            base = S.xxh64_long_py(r["id"], 42)
+            assert base == r["h1"]
+            assert S.xxh64_int_py(7, base) == r["h2"]
+            assert S.xxh64_int_py(-12345, base) == r["h3"]
+
+    def test_gumbel_key_matches_to_ulp_and_flags_exactly(self, corpus):
+        """gumbel_rank_key_py reproduces the Spark ranking key to within
+        float-log ulp noise, and the top-k SET under the Python keys is
+        identical (the dsir_select_gumbel witness contract)."""
+        _, df = corpus
+        tgt = F.col("doc_id").isin(1, 2)
+        out = S.dsir_select(
+            df, tgt, k=2, m=64, gumbel_seed=11, emit_key=True
+        ).collect()
+        for r in out:
+            ref = S.gumbel_rank_key_py(r["doc_id"], r["mean_milli"], 11)
+            assert abs(ref - r["rank_key"]) < 1e-9
+        ref_sorted = sorted(
+            out,
+            key=lambda r: (
+                S.gumbel_rank_key_py(r["doc_id"], r["mean_milli"], 11),
+                -r["doc_id"],
+            ),
+            reverse=True,
+        )
+        ref_sel = {r["doc_id"] for r in ref_sorted[:2]}
+        assert ref_sel == {r["doc_id"] for r in out if r["selected"]}
