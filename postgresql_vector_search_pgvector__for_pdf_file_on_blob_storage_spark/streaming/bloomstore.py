@@ -82,6 +82,15 @@ from pyspark.sql import SparkSession
 MANIFEST_NAME = "manifest.json"
 _FLOOR_BUCKET_BYTES = 16  # 16 B x 64 buckets = the r7 1 KiB floor
 
+# Below these job counts the footer reads / bucket folds run inline on
+# the driver instead of as a Spark job (task overhead would dominate).
+# Module constants so tests can force the driver path while
+# monkeypatching the filesystem seam (the scheme-path test needs every
+# I/O call in-process — a pickled-by-reference executor task reimports
+# this module and would not see the patch).
+_DRIVER_FOOTER_MAX = 256
+_DRIVER_FOLD_MAX = 4
+
 # ---------------------------------------------------------------------------
 # Bloom kernels (moved from streaming/substring.py r7; public-domain
 # SplitMix64 constants; Kirsch-Mitzenmacher double hashing).
@@ -563,7 +572,7 @@ def ensure_artifacts(
     indexed = {e[2] for e in kept}
     new_jobs = [(e, b, p) for (e, b, p) in files if p not in indexed]
     sc = spark.sparkContext
-    if len(new_jobs) > 256:
+    if len(new_jobs) > _DRIVER_FOOTER_MAX:
         new_entries = (
             sc.parallelize(
                 new_jobs,
@@ -626,7 +635,7 @@ def ensure_artifacts(
                 fixed_bucket,
             )
         )
-    if len(jobs) > 4:
+    if len(jobs) > _DRIVER_FOLD_MAX:
         results = sc.parallelize(jobs, len(jobs)).map(_fold_bucket_task).collect()
     else:
         results = [_fold_bucket_task(j) for j in jobs]
