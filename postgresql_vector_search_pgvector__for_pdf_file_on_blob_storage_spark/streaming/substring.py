@@ -979,6 +979,7 @@ def bloom_substring_stream(
     max_bucket_bloom_bytes: int = 256 * 1024 * 1024,
     metrics: dict | None = None,
     compact_every: int | None = None,
+    auto_compact_runs: int | None = 8,
 ):
     """Streaming substring-dedup stats with BOUNDED-MEMORY history (see
     section comment): per-bucket persisted Bloom bitmaps screen batch
@@ -1009,7 +1010,23 @@ def bloom_substring_stream(
     to the one-run floor.  The Bloom bitmaps are membership-equivalent
     before and after a fold, so they are NOT rebuilt.  A restart after
     a mid-swap death repairs the store at session start, before the
-    guards or the artifact reconcile read it."""
+    guards or the artifact reconcile read it.
+
+    ``auto_compact_runs`` (default 8) is the UNATTENDED compaction
+    policy (VERDICT r8 next-round #4): at session start, if any bucket's
+    committed history holds MORE than this many run files (the
+    persisted run index counts them — one file per touched bucket per
+    epoch), the pre-session history is folded to one run per bucket
+    right there, before the first batch — the same single-writer window
+    a manual maintenance call uses, since the streaming query has not
+    started.  Within a session the pre-session set only shrinks (the
+    session's own epochs are delta-probed, not history), so a
+    session-start check is the complete policy: runs/bucket is bounded
+    by ``auto_compact_runs + epochs-per-session`` across ANY number of
+    sessions with no manual ``compact_store`` call, and verify
+    row-group reads stay capped instead of growing with session count
+    (scripts/substring_stream_probe.py --auto-compact).  ``None``
+    disables the policy."""
     from .stores import recover_store
 
     # Unconditional: a crash inside a MANUAL maintenance-window
@@ -1035,6 +1052,38 @@ def bloom_substring_stream(
             n_buckets=N_BUCKETS,
             metrics=setup_metrics,
         )
+        # Unattended maintenance (see docstring): fold the pre-session
+        # history when any bucket's run count crossed the threshold.
+        # The stream has not started, so this IS the single-writer
+        # window; bitmaps are membership-equivalent across the fold and
+        # only the run index is reconciled (new consolidated paths in,
+        # dead paths out — no bitmap rebuild, watermark unchanged).
+        runs_max = (
+            max((len(v) for v in art["index"].values()), default=0)
+            if art is not None
+            else 0
+        )
+        if (
+            auto_compact_runs is not None
+            and runs_max > int(auto_compact_runs)
+        ):
+            from .stores import compact_store
+
+            result = compact_store(
+                spark, gram_dir, "bucket", sort_cols=["gk"],
+                below_epoch=int(committed) + 1,
+            )
+            if result.get("compacted"):
+                art = ensure_artifacts(
+                    spark,
+                    gram_dir,
+                    int(committed),
+                    bits_per_gram=bits_per_gram,
+                    fixed_total_bytes=bloom_bytes,
+                    max_bucket_bytes=max_bucket_bloom_bytes,
+                    n_buckets=N_BUCKETS,
+                )
+                setup_metrics["auto_compacted_from_runs"] = runs_max
         if art is not None and art["total_grams"] > 0:
             k_hashes = art["k"]
             m_bytes = art["total_bytes"]

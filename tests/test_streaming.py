@@ -1993,6 +1993,73 @@ class TestBloomArtifacts:
             if t[0] < 100
         ) == baseline
 
+    def test_auto_compaction_caps_runs_across_sessions(
+        self, spark, tmp_path
+    ):
+        """The unattended policy (auto_compact_runs): across 7 sessions
+        with NO manual compact_store call, committed runs/bucket stays
+        at the one-run floor + the uncompacted tail instead of growing
+        one per session, the fold is driver-visible in setup metrics,
+        and flags stay exact (the final cross-session dup is found)."""
+        import glob as _glob
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "auto" / "src")
+        gram_d = str(tmp_path / "auto" / "grams")
+        stats_d = str(tmp_path / "auto" / "stats")
+        ckpt = str(tmp_path / "auto" / "ckpt")
+        schema = "doc_id long, text string"
+        span = "c1 c2 c3 c4 c5 c6 c7 c8"
+        sessions = []
+        max_committed_runs = []
+        for s in range(7):
+            text = (
+                f"pre {span} post"  # dup vs session 0 from session 1 on
+                if s
+                else f"{span} tail"
+            )
+            # enough novel grams (>64) that every session touches most
+            # of the 64 buckets — committed runs/bucket then really does
+            # grow one per session without the policy
+            extra = " ".join(f"s{s}n{i}" for i in range(80))
+            spark.createDataFrame(
+                [(s * 10, text), (s * 10 + 1, extra)], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+            m: dict = {}
+            q = SB.bloom_substring_stream(
+                spark, src, schema, gram_d, stats_d, ckpt, n=8,
+                metrics=m, auto_compact_runs=2,
+            )
+            q.awaitTermination()
+            sessions.append(m)
+            files = _glob.glob(f"{gram_d}/epoch=*/bucket=*/*.parquet")
+            per_bucket: dict = {}
+            for f in files:
+                b = f.split("bucket=")[1].split("/")[0]
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+            max_committed_runs.append(max(per_bucket.values()))
+        # without the policy runs/bucket would reach 7; the threshold-2
+        # policy folds pre-session history whenever it exceeds 2
+        assert max(max_committed_runs) <= 4
+        fired = [
+            s
+            for s, m in enumerate(sessions)
+            for e in m.values()
+            if "setup_auto_compacted_from_runs" in e
+        ]
+        assert fired, "the policy never fired in 7 sessions"
+        got = {r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()}
+        # session 1 shares one window with session 0 ("c1..c8"); from
+        # session 2 on the whole text is a session-1 re-run — all three
+        # windows are history dups, across every fold the policy did
+        assert got[10]["n_dup_grams"] == 1
+        for s in range(2, 7):
+            assert got[s * 10]["n_dup_grams"] == 3, s
+        assert got[0]["n_dup_grams"] == 0
+
     def test_scheme_paths_without_posix_shortcut(
         self, spark, tmp_path, monkeypatch
     ):
