@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship RAG pipeline (documents -> normalize ->
 chunk -> deterministic embeddings -> exact L2 top-5) on sf0.001.
 ``queries()`` / ``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 with DuckDB oracles (see the engine's ``queries.py`` for the
+SURVEY.md §2 with DuckDB oracles (see the engine's ``queries`` package for the
 oracle-parity rules that make the value hashes match bit-for-bit).
 """
 

@@ -32,7 +32,7 @@ Canonical-string rules (why the bytes match across engines):
   this reason — /500 terminates at 3 decimals, nowhere near a boundary);
   with that rule the two conventions never diverge.  The member
   queries already emit deterministic doubles (decimal-exact sums, single
-  IEEE ops — see queries.py module doc), so identical inputs reach the
+  IEEE ops — see queries/_core.py module doc), so identical inputs reach the
   formatter on both sides.
 - The suite output is totally ordered by ``(q, row)`` — a deterministic
   ordering both engines produce identically (binary string collation).

@@ -454,7 +454,7 @@ def projection_lsh_join(
 
     Two reasons to exist beside :func:`lsh_similarity_join` (MLlib):
 
-    - **Oracle row** (``embedding_lsh_fixed_planes`` in queries.py, the
+    - **Oracle row** (``embedding_lsh_fixed_planes`` in queries/selection.py, the
       fixed-parameters move): with formula planes every stage — the
       projection dot (a sequential float64 fold, bit-identical to a SQL
       left-to-right ``list_sum``), the floor-bucket, the bucket join,

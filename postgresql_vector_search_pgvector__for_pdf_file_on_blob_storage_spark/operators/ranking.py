@@ -8,7 +8,7 @@ and fuse the two rankings (reciprocal-rank fusion); large-scale training
 pipelines additionally need *decontamination* — dropping training documents
 that share long n-grams with an evaluation/benchmark set.  All three are
 implemented here as native DataFrame expressions (no Python in the hot
-path) and mirrored by DuckDB oracles in ``queries.py``.
+path) and mirrored by DuckDB oracles in the ``queries`` package.
 
 Cross-engine float determinism follows the repo-wide rules
 (``driver_registry`` module doc): per-term BM25 contributions are summed

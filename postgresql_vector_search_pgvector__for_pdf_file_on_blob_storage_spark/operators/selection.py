@@ -24,7 +24,7 @@ Two published data-selection methods re-expressed Spark-first:
   gradients, a map-side-combined ``groupBy(idx).sum`` reduce of at
   most ``m+3`` rows per iteration, weight broadcast via task closure.
 
-Integer-exactness discipline (see queries.py module doc): the scoring
+Integer-exactness discipline (see queries/_core.py module doc): the scoring
 paths that carry a SQL oracle never touch a transcendental — surprisal
 is whole bits (``length(bin(x)) - 1`` on BIGINTs, the
 unigram_surprisal convention) and the fixed-weight classifier logit is

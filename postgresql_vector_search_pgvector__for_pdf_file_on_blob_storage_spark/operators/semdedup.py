@@ -365,7 +365,7 @@ def semantic_dedup_with_centroids(
     With FORMULA centroids this makes the whole mechanism (assignment,
     within-cluster cosine edge set, transitive grouping, min-id keeper)
     SQL-expressible — the fixed-parameters oracle move
-    (``semantic_dedup_fixed_centroids`` in queries.py, the
+    (``semantic_dedup_fixed_centroids`` in queries/selection.py, the
     ivf_fixed_centroids sibling).  Also the natural entry when centroids
     come from an earlier fit or an external system (the streaming form's
     frozen coarse quantizer)."""

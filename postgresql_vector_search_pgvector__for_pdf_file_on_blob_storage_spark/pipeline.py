@@ -256,7 +256,7 @@ def json_escape(c) -> F.Column:
     chunk containing a quote (common in PDF text) produces malformed JSON.
     Control characters are already gone (the normalizer turns newlines into
     spaces before chunking).  Literal ``replace``, mirrored byte-for-byte by
-    the DuckDB oracle (queries.py sse_projection_sql)."""
+    the DuckDB oracle (queries/relational2.py sse_projection_sql)."""
     c = F.col(c) if isinstance(c, str) else c
     c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
     return F.replace(c, F.lit('"'), F.lit('\\"'))

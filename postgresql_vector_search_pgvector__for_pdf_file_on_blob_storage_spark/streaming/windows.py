@@ -4,7 +4,7 @@ sessionization (SURVEY.md §2B B13).
 The reference has no watermark/late-data handling (blob triggers are its
 only streaming semantics); these operators close the capability gap for the
 ``events`` stream fixture.  Every streaming aggregation here has a batch
-twin (queries.py ``events_tumbling_agg``, ``sessionize_events``) so
+twin (queries package: ``events_tumbling_agg``, ``sessionize_events``) so
 correctness is checked batch-vs-stream on the same data.
 """
 

@@ -23,8 +23,12 @@ Probes (all through the exact operator code paths the driver queries use):
    records wall and docs/sec, and trained-classifier accuracy against
    the planted domain label.
 
-Run: ``python scripts/selection_probe.py [n_docs]`` (default 1M).
-Prints one JSON line, BASELINE.md-ready.
+Run: ``python scripts/selection_probe.py [n_docs] [hash_fn]`` (default
+1M, md5).  ``hash_fn=xx64`` probes the PRODUCTION hash family (native
+xxhash64 — no md5 hex parse; ~1.6x faster at 4M docs per the r8
+measurement); md5 stays the default because it is the oracle-twin
+convention the driver queries use.  Prints one JSON line,
+BASELINE.md-ready.
 """
 
 from __future__ import annotations
@@ -71,9 +75,12 @@ def synthetic_corpus(spark, n: int, toks_per_doc: int = 48, parts: int = 64):
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    hash_fn = sys.argv[2] if len(sys.argv) > 2 else "md5"
     m = 65536
     spark = get_spark(app_name="selection-probe")
-    results: dict[str, float | int] = {"n_docs": n_docs, "m_buckets": m}
+    results: dict[str, float | int | str] = {
+        "n_docs": n_docs, "m_buckets": m, "hash_fn": hash_fn,
+    }
 
     docs = synthetic_corpus(spark, n_docs).cache()
     docs.count()
@@ -82,7 +89,7 @@ def main() -> None:
     # 1. DSIR / Moore-Lewis end-to-end (score + rank + flag).
     t0 = time.time()
     sel = S.dsir_select(
-        docs, F.col("is_target"), k=k, m=m, bigrams=True
+        docs, F.col("is_target"), k=k, m=m, bigrams=True, hash_fn=hash_fn
     ).cache()
     n_sel = sel.filter("selected").count()
     results["dsir_sec"] = round(time.time() - t0, 2)
@@ -105,7 +112,7 @@ def main() -> None:
     iters = 5
     t0 = time.time()
     w, b, losses = S.train_logreg_hashed(
-        labeled, "y", m=m, iters=iters, lr=4.0, l2=0.0
+        labeled, "y", m=m, iters=iters, lr=4.0, l2=0.0, hash_fn=hash_fn
     )
     train_sec = time.time() - t0
     results["train_iters"] = iters
@@ -117,7 +124,7 @@ def main() -> None:
     # 3. Serving pass with the trained weights + planted-label accuracy.
     t0 = time.time()
     scored = S.score_hashed_linear(
-        docs, w, m=m, bias=b, score_col="s"
+        docs, w, m=m, bias=b, score_col="s", hash_fn=hash_fn
     )
     acc = (
         scored.join(labeled.select("doc_id", "y"), "doc_id")

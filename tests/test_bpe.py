@@ -184,7 +184,7 @@ def test_tokenize_pack_pipeline_conserves_tokens(spark):
 
 
 def _fixed_formula_merges():
-    """The bpe_encode_fixed_ranks merge table (queries.py): every [a-z]
+    """The bpe_encode_fixed_ranks merge table (queries/curation.py): every [a-z]
     letter pair (ranks 0..675), then every (two-letter, letter)
     extension (ranks 676..18251) — level-1 ranks all sort below level-2,
     so greedy ORDER is what the oracle row actually checks."""
