@@ -51,6 +51,11 @@ EXTRA = [
     "minhash_lsh_pairs_md5",
     # r8: projection-LSH mechanism oracle row (operators/ann.py)
     "embedding_lsh_fixed_planes",
+    # r9: the pipeline-bench suite's most expensive member — gate its
+    # plan shape, not just its recorded wall-clock (operators/dedup.py
+    # curate_corpus: gates -> fingerprint dedup -> df-capped jaccard ->
+    # star components -> anti-join).
+    "corpus_curation_pipeline",
 ]
 
 
