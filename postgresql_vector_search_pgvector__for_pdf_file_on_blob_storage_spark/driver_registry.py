@@ -187,6 +187,12 @@ SUITES: dict[str, list[str]] = {
         # fixed formula weights (both integer-exact; operators/selection.py).
         "dsir_select",
         "quality_classifier_fixed_weights",
+        # r9: cluster-aware train/val/test split — near-dup components
+        # never straddle the boundary (the contamination guard a doc-level
+        # split lacks); same pair graph + closure as dedup_clusters, same
+        # key-hash as dataset_split_shuffle, applied to the component
+        # representative (operators/dedup.leakage_safe_split).
+        "leakage_safe_split",
     ],
     "tpch_suite_a": ["tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
                      "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",

@@ -1037,3 +1037,73 @@ def curate_corpus(
     return kept.join(dropped, "id", "left_anti").select(
         "id", "lang", "n_tokens", "exact_dups"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 5,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-aware train/validation/test split: every near-dup connected
+    component lands WHOLLY on one side of the boundary.
+
+    A doc-level random split (``dataset_split_shuffle``) leaks whenever a
+    near-duplicate pair straddles train/test — the eval set then contains
+    (near-)copies of training documents, inflating benchmark scores (the
+    contamination mechanism Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" measure).  The fix is standard LLM-data
+    practice: split by near-dup CLUSTER, not by document — assign each
+    component's REPRESENTATIVE (min id) a split with the deterministic
+    multiplicative key-hash, and give every member its representative's
+    split.  Singletons hash their own id, so a corpus with no near-dups
+    degrades to exactly the doc-level split.
+
+    Pipeline: df-capped exact-Jaccard pairs (:func:`jaccard_pairs`; pass
+    ``pairs`` to reuse an existing pair table or swap in the banded
+    MinHash form at 100 TB) -> O(log n) star-contraction components ->
+    left join back to ALL docs (components only name non-singletons) ->
+    pure-projection hash of the representative.  Scale shape: the pair
+    step is the bounded near-dup candidate cost the corpus already pays
+    for dedup; everything after is one id-keyed shuffle and scan-shaped
+    expressions — no window, no collect, reusable verbatim on a
+    1000-executor cluster.
+
+    Returns ``(id_col, cluster_rep, split)`` for every input document.
+    Engine-neutral determinism: the hash is the exact integer formula
+    ``dataset_split_shuffle`` uses (split-invariant across partitionings,
+    retries, engines), applied to ``cluster_rep`` instead of the doc id.
+    """
+    if pairs is None:
+        pairs = jaccard_pairs(
+            docs, text_col, id_col, n=n, threshold=threshold, max_df=max_df
+        )
+    comp = connected_components_star(pairs)
+    rep = (
+        docs.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("cluster"), F.col("node")).alias("cluster_rep"),
+        )
+    )
+    lo = F.col("cluster_rep") % F.lit(1000003)
+    hi = F.expr("cluster_rep div 1000003")
+    pct = (
+        (lo * F.lit(2654435761) + hi * F.lit(97)) % F.lit(4294967296)
+    ) % F.lit(100)
+    split = (
+        F.when(pct < F.lit(train_pct), F.lit("train"))
+        .when(pct < F.lit(train_pct + val_pct), F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return rep.select(
+        F.col("node").alias(id_col),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        split.alias("split"),
+    )

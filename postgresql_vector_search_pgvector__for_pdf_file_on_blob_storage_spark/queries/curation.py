@@ -844,3 +844,64 @@ def streaming_substring_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "leakage_safe_split",
+    r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+elig AS (SELECT e.doc_id, e.s FROM ex e JOIN dfreq d ON e.s = d.s
+         WHERE d.df <= 5),
+na AS (SELECT doc_id, count(*) AS n_sh FROM elig GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM elig a JOIN elig b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN na x ON c.id_a = x.doc_id
+  JOIN na y ON c.id_b = y.doc_id
+  WHERE CAST(c.inter AS DOUBLE) / (x.n_sh + y.n_sh - c.inter) >= 0.8),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS grp FROM reach GROUP BY a),
+rep AS (
+  SELECT d.doc_id, coalesce(comp.grp, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id),
+h AS (
+  SELECT doc_id, cluster_rep,
+         (((cluster_rep % 1000003) * 2654435761
+           + (cluster_rep // 1000003) * 97) % 4294967296) % 100 AS pct
+  FROM rep)
+SELECT doc_id, CAST(cluster_rep AS BIGINT) AS cluster_rep,
+       CASE WHEN pct < 90 THEN 'train'
+            WHEN pct < 95 THEN 'validation'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split (SURVEY.md §2B B21,
+    operators/dedup.leakage_safe_split): near-dup connected components
+    never straddle the split boundary — the contamination guard a
+    doc-level split (``dataset_split_shuffle``) lacks.  Same df-capped
+    Jaccard pair graph and recursive-CTE closure as ``dedup_clusters``,
+    same multiplicative key-hash as ``dataset_split_shuffle``, applied to
+    the component REPRESENTATIVE; singletons degrade to the doc-level
+    split exactly.  All-integer + string output -> bit-exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.leakage_safe_split(docs, "text", "doc_id").orderBy("doc_id")

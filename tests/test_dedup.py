@@ -650,3 +650,60 @@ def test_strip_dup_ngrams_consistent_with_stats(spark, sf_dir):
     assert set(stripped) == set(flagged)
     for d, removed in stripped.items():
         assert (removed > 0) == (flagged[d] > 0), d
+
+
+def test_leakage_safe_split_cluster_atomicity(spark, sf_dir):
+    """Every near-dup component gets EXACTLY one split; members inherit
+    their representative's assignment; the doc set is preserved."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.leakage_safe_split(docs, "text", "doc_id").cache()
+    assert out.count() == docs.count()
+    per_cluster = (
+        out.groupBy("cluster_rep")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits"))
+        .first()[0]
+    )
+    assert per_cluster == 1
+    # The representative is a member of its own cluster and maps to itself.
+    reps = out.filter(F.col("doc_id") == F.col("cluster_rep"))
+    assert reps.count() == out.select("cluster_rep").distinct().count()
+
+
+def test_leakage_safe_split_planted_pair_travels_together(spark):
+    """A planted near-dup pair whose members' OWN ids would hash to
+    different splits must land together on the representative's side,
+    while unrelated singletons keep the doc-level assignment."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("upsilon", "phi")
+    # Find two ids whose doc-level pct buckets differ (hash formula below
+    # mirrors dataset_split_shuffle).
+    def pct(i):
+        return ((i % 1000003) * 2654435761 + (i // 1000003) * 97) % 4294967296 % 100
+
+    a = 1
+    b = next(i for i in range(2, 500) if (pct(i) < 90) != (pct(a) < 90))
+    rows = [(a, base), (b, near)] + [
+        (i, f"unique filler document number {i} with entirely distinct words "
+            f"row{i}a row{i}b row{i}c row{i}d row{i}e row{i}f row{i}g row{i}h "
+            f"row{i}i row{i}j row{i}k row{i}l row{i}m row{i}n row{i}o row{i}p "
+            f"row{i}q row{i}r row{i}s row{i}t row{i}u")
+        for i in range(1000, 1010)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.leakage_safe_split(docs, "text", "doc_id").collect()}
+    # The pair shares the min-id representative and therefore the split.
+    assert out[a]["cluster_rep"] == out[b]["cluster_rep"] == a
+    assert out[a]["split"] == out[b]["split"]
+    # Singletons: rep == own id, split == the doc-level hash assignment.
+    for i in range(1000, 1010):
+        assert out[i]["cluster_rep"] == i
+        want = "train" if pct(i) < 90 else ("validation" if pct(i) < 95 else "test")
+        assert out[i]["split"] == want
