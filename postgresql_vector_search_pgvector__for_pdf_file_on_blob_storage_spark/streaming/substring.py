@@ -1063,6 +1063,10 @@ def bloom_substring_stream(
             if art is not None
             else 0
         )
+        # Observability: pre-policy committed-history runs/bucket maximum
+        # (the number the unattended policy bounds) — probe-readable as
+        # ``setup_runs_max`` in every epoch's metrics entry.
+        setup_metrics["runs_max"] = runs_max
         if (
             auto_compact_runs is not None
             and runs_max > int(auto_compact_runs)

@@ -538,6 +538,73 @@ def _compaction_main(n_seed: int, n_batch: int, n_epochs: int = 16) -> None:
     print(json.dumps(results))
 
 
+def _auto_compact_main(n_sessions: int, n_batch: int) -> None:
+    """UNATTENDED-compaction probe (r09, VERDICT r08 next-round #4 "Done"
+    evidence): drive ``n_sessions`` single-arrival sessions into one
+    store with the runs-per-bucket policy ON (threshold 4) and, as the
+    control arm, OFF (``auto_compact_runs=None``) — recording per session
+    the pre-policy committed-history runs/bucket maximum, whether the
+    policy fired, the arrival's verify parquet row-group reads, and
+    setup/batch wall.  The claim under test: with the policy ON the
+    row-group reads and runs/bucket stay CAPPED across any number of
+    sessions nobody babysits; OFF they grow with session count.
+
+    Run: ``python scripts/substring_stream_probe.py [n_sessions]
+    [n_batch] --auto-compact``.
+    """
+    spark = get_spark(app_name="substring-stream-probe-auto-compact")
+    results: dict = {
+        "form": "auto-compact",
+        "n_sessions": n_sessions,
+        "n_batch": n_batch,
+    }
+    all_docs = boilerplate_docs(spark, n_sessions * n_batch).cache()
+    all_docs.count()
+    schema = "doc_id long, text string"
+    tmp = tempfile.mkdtemp(prefix="substr_probe_ac_")
+    try:
+        for arm, policy in (("policy_on", 4), ("policy_off", None)):
+            src = f"{tmp}/{arm}/src"
+            gram_d = f"{tmp}/{arm}/grams"
+            s_d, ckpt = f"{tmp}/{arm}/stats", f"{tmp}/{arm}/ckpt"
+            sessions = []
+            for s in range(n_sessions):
+                lo = s * n_batch
+                all_docs.filter(
+                    f"doc_id >= {lo} AND doc_id < {lo + n_batch}"
+                ).write.mode("append").parquet(src)
+                metrics: dict = {}
+                t0 = time.time()
+                q = SB.bloom_substring_stream(
+                    spark, src, schema, gram_d, s_d, ckpt, n=8,
+                    metrics=metrics, auto_compact_runs=policy,
+                )
+                setup = round(time.time() - t0, 2)
+                q.awaitTermination()
+                wall = round(time.time() - t0 - setup, 2)
+                m = metrics[max(metrics)] if metrics else {}
+                sessions.append(
+                    {
+                        "session": s,
+                        "setup_sec": setup,
+                        "batch_sec": wall,
+                        "runs_max_before": m.get("setup_runs_max"),
+                        "fired": "setup_auto_compacted_from_runs" in m,
+                        "rg_reads": m.get("rg_reads_total"),
+                        "verify_gks": m.get("verify_gks"),
+                    }
+                )
+            results[arm] = sessions
+        flagged = spark.read.parquet(f"{tmp}/policy_on/stats").filter(
+            "n_dup_grams > 0"
+        ).count()
+        results["flagged_policy_on"] = flagged
+        results["expected_flagged"] = (n_sessions * n_batch) // 10
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_seed = int(args[0]) if len(args) > 0 else 900_000
@@ -559,6 +626,10 @@ def main() -> None:
         return
     if "--compaction" in sys.argv[1:]:
         _compaction_main(n_seed, n_batch)
+        return
+    if "--auto-compact" in sys.argv[1:]:
+        _auto_compact_main(n_seed if len(args) > 0 else 8,
+                           n_batch if len(args) > 1 else 30_000)
         return
     spark = get_spark(app_name="substring-stream-probe")
     results: dict = {"n_seed": n_seed, "n_batch": n_batch}

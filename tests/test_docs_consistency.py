@@ -117,3 +117,14 @@ def test_parity_suite_table_matches_registry():
         + len(R.ROWS_ONLY)
     )
     assert f"**{n_ent} entries**" in parity
+
+
+def test_bench_pipeline_queries_resolve():
+    """The frozen pipeline-bench suite (r9): every member must resolve —
+    a renamed/removed registry query would otherwise only fail inside the
+    driver's bench run."""
+    import bench
+
+    p = bench._pipeline_queries()
+    assert len(p) == 7
+    assert all(callable(f) for f in p.values())
