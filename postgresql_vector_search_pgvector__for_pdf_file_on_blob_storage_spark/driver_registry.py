@@ -137,6 +137,10 @@ SUITES: dict[str, list[str]] = {
         # real stdlib P6 parse + mapInPandas stats path gets an oracle
         # twin derived from doc_id alone (VERDICT r8 next-round #6).
         "multimodal_fixed_stats",
+        # r9: the same move for AUDIO — real RIFF/WAVE PCM fixtures
+        # (stdlib chunk-walking parse), rate/length byte-exact and the
+        # rms bit-deterministic via exact int16-square sums.
+        "multimodal_audio_fixed_stats",
     ],
     "join_family_suite": [
         "join_semi_active_customers",

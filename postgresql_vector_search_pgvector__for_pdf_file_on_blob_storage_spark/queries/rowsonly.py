@@ -269,6 +269,56 @@ def multimodal_fixed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return MM.image_info(media).orderBy("media_id")
 
+@query(
+    "multimodal_audio_fixed_stats",
+    """
+WITH m AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+         400 + (doc_id % 7) * 50 AS n
+  FROM documents)
+SELECT doc_id AS media_id, sample_rate, CAST(n AS INTEGER) AS n_samples,
+       sqrt(CAST(list_sum(list_transform(range(0, n),
+              k -> ((doc_id * 37 + k * 11) % 2001 - 1000)
+                   * ((doc_id * 37 + k * 11) % 2001 - 1000)))
+            AS DOUBLE) / n) AS rms
+FROM m ORDER BY media_id
+""",
+)
+def multimodal_audio_fixed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal_fixed_stats move for AUDIO (§2B B15): one REAL
+    RIFF/WAVE PCM 16-bit mono file per document — written by the stdlib
+    ``encode_wav``, parsed back by the chunk-walking ``decode_wav``, no
+    soundfile — with formula samples ``s[k] = (doc_id*37 + k*11) % 2001
+    - 1000`` at formula rate/length, decoded through the real
+    ``mapInPandas`` stats path (sources.multimodal.audio_info).  The
+    container round-trip (rate, n_samples) is byte-exact; the rms is
+    bit-deterministic because int16 squares sum EXACTLY in float64
+    (sums far below 2^53), leaving one IEEE divide + one sqrt — the
+    same single-op discipline as the distance oracles, so the SQL twin
+    derives everything from doc_id alone."""
+    from ..sources import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def wav_of(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in ids:
+            i = int(i)
+            rate = 8000 + (i % 3) * 4000
+            n = 400 + (i % 7) * 50
+            s = ((i * 37 + np.arange(n, dtype=np.int64) * 11) % 2001) - 1000
+            out.append(MM.encode_wav(rate, s.astype(np.int16)))
+        return pd.Series(out)
+
+    media = spread(docs).select(
+        F.col("doc_id").alias("media_id"), wav_of("doc_id").alias("content")
+    )
+    return MM.audio_info(media).orderBy("media_id")
+
 @query("summarize_hits")
 def summarize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's per-hit summarization fan-out (SURVEY.md §2A row 29):

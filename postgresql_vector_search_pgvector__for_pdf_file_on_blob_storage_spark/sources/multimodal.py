@@ -133,6 +133,61 @@ def encode_ppm(w: int, h: int, pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
 
 
+def decode_wav(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Stdlib-only decoder for RIFF/WAVE PCM 16-bit MONO — the real
+    uncompressed public audio format, parsed without soundfile: the
+    ``RIFF``/``WAVE`` preamble, then a chunk walk (any non-fmt/data
+    chunks are skipped per spec, so files with LIST/INFO metadata still
+    parse) to the ``fmt `` chunk (must declare format tag 1 = PCM, one
+    channel, 16 bits — anything else returns None: compressed or
+    multi-channel audio needs a real codec and must not be silently
+    misread) and the ``data`` chunk.  Returns ``(sample_rate,
+    n_samples, samples[int16])`` or None for anything malformed
+    (logged-and-skipped semantics upstream, as with :func:`decode_ppm`)."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, rate, bits, ch, fmt_tag, data = 12, None, None, None, None, None
+    try:
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", b, pos + 4)
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt " and size >= 16:
+                fmt_tag, ch, rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if (fmt_tag, ch, bits) != (1, 1, 16) or rate is None or data is None:
+            return None
+        samples = np.frombuffer(data, dtype="<i2")
+        return int(rate), int(samples.size), samples
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """RIFF/WAVE PCM 16-bit mono encoder — the fixture writer for the
+    real-format audio decode path (:func:`decode_wav`'s exact layout:
+    canonical 44-byte header, little-endian int16 payload)."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, int(rate), int(rate) * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def _decode_image_any(b: bytes):
     """Real decoders first (stdlib PPM/PGM, then PIL if present), FAKE
     fallback; None for undecodable."""
@@ -237,15 +292,29 @@ def audio_info(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ["media_id", "sample_rate", "n_samples", "rms"]}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if not content or not content.startswith(AUDIO_MAGIC):
+                if not content:
                     continue
-                head = content[len(AUDIO_MAGIC) :]
-                rate, _, rest = head.partition(b":")
-                n, _, payload = rest.partition(b":")
-                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                if content.startswith(AUDIO_MAGIC):
+                    head = content[len(AUDIO_MAGIC) :]
+                    rate, _, rest = head.partition(b":")
+                    n, _, payload = rest.partition(b":")
+                    rate, n = int(rate), int(n)
+                    samples = np.frombuffer(payload, dtype=np.uint8).astype(
+                        np.float64
+                    )
+                else:
+                    wav = decode_wav(bytes(content))
+                    if wav is None:
+                        continue
+                    rate, n, raw = wav
+                    # int16 squares sum exactly in float64 (values
+                    # <= 2^30, sums far below 2^53) -> the rms is
+                    # bit-deterministic: one exact sum, one IEEE divide,
+                    # one sqrt.
+                    samples = raw.astype(np.float64)
                 out["media_id"].append(mid)
-                out["sample_rate"].append(int(rate))
-                out["n_samples"].append(int(n))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
                 out["rms"].append(float(np.sqrt((samples**2).mean())))
             yield pd.DataFrame(out)
 

@@ -117,3 +117,59 @@ def test_image_info_decodes_real_ppm(spark):
     r = out[0]
     assert (r["media_id"], r["width"], r["height"], r["channels"]) == (1, 2, 3, 3)
     assert abs(r["mean_pixel"] - float(px.mean())) < 1e-12
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    s = (np.arange(100, dtype=np.int64) * 13 % 2001 - 1000).astype(np.int16)
+    b = MM.encode_wav(16000, s)
+    rate, n, out = MM.decode_wav(b)
+    assert (rate, n) == (16000, 100)
+    assert np.array_equal(out, s)
+    # a LIST metadata chunk between fmt and data must be skipped (spec),
+    # including the word-alignment pad byte after an odd-sized chunk.
+    import struct
+
+    fmt = b[12:36]          # the canonical fmt chunk
+    data = b[36:]           # the data chunk
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    riff_body = b"WAVE" + fmt + meta + data
+    padded = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    rate2, n2, out2 = MM.decode_wav(padded)
+    assert (rate2, n2) == (16000, 100) and np.array_equal(out2, s)
+
+
+def test_wav_refuses_what_it_cannot_represent():
+    import struct
+
+    s = np.zeros(4, dtype=np.int16)
+    good = MM.encode_wav(8000, s)
+    assert MM.decode_wav(b"") is None
+    assert MM.decode_wav(b"RIFFxxxxNOPE") is None
+    # stereo: channels=2 in the fmt chunk -> loud refusal, not misread
+    stereo = bytearray(good)
+    struct.pack_into("<H", stereo, 22, 2)
+    assert MM.decode_wav(bytes(stereo)) is None
+    # non-PCM format tag
+    alaw = bytearray(good)
+    struct.pack_into("<H", alaw, 20, 6)
+    assert MM.decode_wav(bytes(alaw)) is None
+    # 8-bit samples
+    eight = bytearray(good)
+    struct.pack_into("<H", eight, 34, 8)
+    assert MM.decode_wav(bytes(eight)) is None
+
+
+def test_audio_info_decodes_real_wav(spark):
+    s = (np.arange(50, dtype=np.int64) * 7 % 2001 - 1000).astype(np.int16)
+    rows = [
+        (1, MM.encode_wav(8000, s)),
+        (2, b"not audio"),
+        (3, MM.encode_fake_audio(44100, np.arange(10, dtype=np.uint8))),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    out = {r["media_id"]: r for r in MM.audio_info(media).collect()}
+    assert set(out) == {1, 3}  # garbage skipped; fake + real both decode
+    assert (out[1]["sample_rate"], out[1]["n_samples"]) == (8000, 50)
+    want = float(np.sqrt((s.astype(np.float64) ** 2).mean()))
+    assert out[1]["rms"] == want  # exact: integer squares sum exactly
+    assert out[3]["sample_rate"] == 44100
