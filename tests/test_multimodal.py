@@ -173,3 +173,26 @@ def test_audio_info_decodes_real_wav(spark):
     want = float(np.sqrt((s.astype(np.float64) ** 2).mean()))
     assert out[1]["rms"] == want  # exact: integer squares sum exactly
     assert out[3]["sample_rate"] == 44100
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: encode_wav -> decode_wav is the identity for ANY int16
+    sample vector and rate (the container adds no lossy step), including
+    odd byte lengths' word-alignment interaction."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.integers(min_value=1, max_value=384_000),
+        s=arrays(np.int16, st.integers(min_value=0, max_value=300)),
+    )
+    def prop(rate, s):
+        got = MM.decode_wav(MM.encode_wav(rate, s))
+        assert got is not None
+        r2, n2, out = got
+        assert (r2, n2) == (rate, s.size)
+        assert np.array_equal(out, s)
+
+    prop()
