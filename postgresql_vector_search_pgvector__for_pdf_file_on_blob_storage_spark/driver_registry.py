@@ -191,6 +191,10 @@ SUITES: dict[str, list[str]] = {
         # fixed formula weights (both integer-exact; operators/selection.py).
         "dsir_select",
         "quality_classifier_fixed_weights",
+        # r9: CCNet's head/middle/tail partition over the integer-exact
+        # surprisal — tercile cut points from the bounded millibit
+        # histogram, assignment by value (ties share a bucket).
+        "ccnet_perplexity_buckets",
         # r9: cluster-aware train/val/test split — near-dup components
         # never straddle the boundary (the contamination guard a doc-level
         # split lacks); same pair graph + closure as dedup_clusters, same

@@ -23,6 +23,7 @@ __all__ = [
     "pack_token_bins",
     "mixture_sample",
     "unigram_surprisal",
+    "surprisal_tercile_buckets",
 ]
 
 
@@ -429,4 +430,59 @@ def mixture_sample(
         .withColumn("kept_ppm", F.expr("__num div __den").cast("long"))
         .drop("__num", "__den")
         .orderBy(domain_col)
+    )
+
+
+def surprisal_tercile_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. 2020 §4.4:
+    rank every document by LM perplexity, cut the corpus into equal
+    thirds, train preferentially on the "head") over the integer-exact
+    :func:`unigram_surprisal` score — head = lowest bits/token (most
+    corpus-typical text), tail = highest (rare-token noise).
+
+    Boundary discipline, 100 TB-shaped: tercile cut points come from the
+    exact integer HISTOGRAM of ``bits_per_token_ppm div 1000`` (whole
+    millibits per token — a value domain bounded by the maximum plausible
+    per-token surprisal, ~40k distinct values regardless of corpus size),
+    aggregated distributed and cumulated over those few-thousand rows —
+    never a global sort, never a window over the corpus, and the
+    driver-side fold is over the bounded domain, not documents (the
+    dsir_select bounded-threshold move applied to quantiles).  Assignment
+    is by VALUE against the broadcast cut points, so documents tying at a
+    boundary share a bucket (buckets are equal thirds up to ties — the
+    CCNet convention) and the result is independent of partitioning,
+    retries, and engines: the oracle restates the identical cumulative
+    rule.  Returns ``(id_col, bits_per_token_ppm, bucket)``.
+    """
+    scores = unigram_surprisal(df, text_col, id_col).select(
+        id_col, "bits_per_token_ppm"
+    )
+    milli = F.expr("bits_per_token_ppm div 1000")  # exact integer div
+    hist = sorted(
+        (r["m"], r["c"])
+        for r in scores.groupBy(milli.alias("m"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    n = sum(c for _, c in hist)
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3  # ceil(n/3), ceil(2n/3)
+    t1 = t2 = None
+    cum = 0
+    for m, c in hist:
+        cum += c
+        if t1 is None and cum >= k1:
+            t1 = m
+        if t2 is None and cum >= k2:
+            t2 = m
+    bucket = (
+        F.when(milli <= F.lit(t1), F.lit("head"))
+        .when(milli <= F.lit(t2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.select(
+        id_col,
+        F.col("bits_per_token_ppm").cast("long").alias("bits_per_token_ppm"),
+        bucket.alias("bucket"),
     )

@@ -441,6 +441,56 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_surprisal(docs).orderBy("doc_id")
 
 @query(
+    "ccnet_perplexity_buckets",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ 	
+]+'), x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+freq AS (SELECT token, sum(tf) AS freq FROM tf GROUP BY token),
+tot AS (SELECT sum(freq) AS total FROM freq),
+per AS (
+  SELECT tf.doc_id,
+         sum(tf.tf) AS n_tokens,
+         sum(tf.tf * (length(bin(CAST(t.total // f.freq AS BIGINT))) - 1))
+           AS bits
+  FROM tf JOIN freq f USING (token) CROSS JOIN tot t
+  GROUP BY tf.doc_id),
+s AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+              THEN (p.bits * 1000000) // p.n_tokens ELSE 0 END AS BIGINT)
+           AS ppm
+  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id),
+h AS (SELECT ppm // 1000 AS m, count(*) AS c FROM s GROUP BY 1),
+cum AS (SELECT m, sum(c) OVER (ORDER BY m) AS cs FROM h),
+nn AS (SELECT count(*) AS n FROM s),
+t AS (
+  SELECT min(CASE WHEN cs >= (n + 2) // 3 THEN m END) AS t1,
+         min(CASE WHEN cs >= (2 * n + 2) // 3 THEN m END) AS t2
+  FROM cum, nn)
+SELECT s.doc_id, s.ppm AS bits_per_token_ppm,
+       CASE WHEN s.ppm // 1000 <= t.t1 THEN 'head'
+            WHEN s.ppm // 1000 <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s, t ORDER BY s.doc_id
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. 2020 --
+    the stage that CONSUMES the perplexity filter: rank by LM score, cut
+    into equal thirds, train on the head first) over the integer-exact
+    unigram surprisal (operators.textstats.surprisal_tercile_buckets).
+    Tercile cut points come from the exact integer histogram of whole
+    millibits/token (bounded value domain -> no global sort or window,
+    driver fold over the domain not the corpus); assignment is by VALUE,
+    so boundary ties share a bucket and the oracle restates the identical
+    cumulative rule bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.surprisal_tercile_buckets(docs).orderBy("doc_id")
+
+@query(
     "strip_dup_ngrams",
     r"""
 WITH toks AS (

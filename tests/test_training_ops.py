@@ -289,3 +289,34 @@ class TestUnigramSurprisal:
         got1 = sorted(map(tuple, TS.unigram_surprisal(df1).collect()))
         got8 = sorted(map(tuple, TS.unigram_surprisal(df8).collect()))
         assert got1 == got8
+
+
+def test_surprisal_tercile_buckets_properties(spark, sf_dir):
+    """Head/middle/tail are equal thirds up to value ties, ordered by
+    score (max(head) <= min(middle) <= ... at milli granularity), and
+    every document is assigned exactly once."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        textstats as T,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.surprisal_tercile_buckets(docs).collect()
+    assert len(out) == docs.count()
+    by = {}
+    for r in out:
+        by.setdefault(r["bucket"], []).append(r["bits_per_token_ppm"] // 1000)
+    assert set(by) <= {"head", "middle", "tail"}
+    n = len(out)
+    # Ordering: buckets are value-disjoint at milli granularity.
+    if "head" in by and "middle" in by:
+        assert max(by["head"]) < min(by["middle"])
+    if "middle" in by and "tail" in by:
+        assert max(by["middle"]) < min(by["tail"])
+    # Sizes: each cut point is the smallest value whose cumulative count
+    # reaches ceil(n/3) / ceil(2n/3) — so head >= ceil(n/3) (ties can
+    # only ADD members at the boundary) and head+middle >= ceil(2n/3).
+    assert len(by.get("head", [])) >= (n + 2) // 3
+    assert len(by.get("head", [])) + len(by.get("middle", [])) >= (2 * n + 2) // 3
