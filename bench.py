@@ -23,16 +23,10 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark impor
 )
 
 def _scratch(prefix: str) -> str:
-    """Bench-local scratch dir, removed at interpreter exit (same contract
-    as queries._gallery_scratch: streaming results are returned as lazy
-    scans, so the backing files must outlive the timed call)."""
-    import atexit
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+    """Scratch dir removed at interpreter exit — streaming results are
+    returned as lazy scans, so the backing files must outlive the timed
+    call.  Delegates to the one implementation (queries._gallery_scratch)."""
+    return Q._gallery_scratch(prefix)
 
 
 def _q_quality_classifier_1iter(spark, sf_dir):
@@ -335,7 +329,16 @@ def _run_filtered() -> int:
             in_fss = True
             continue
         if in_fss:
-            if _BENIGN_FSS_EXC.match(line) or line.startswith("\tat "):
+            # The attached stack may carry a cause chain ("Caused by: ...",
+            # "\t... N more") or a wrapped IOException on non-local
+            # filesystems — all part of the same benign block.
+            if (
+                _BENIGN_FSS_EXC.match(line)
+                or line.startswith("\tat ")
+                or line.startswith("\t... ")
+                or line.startswith("Caused by: ")
+                or re.match(r"^java\.io\.\w*Exception: ", line)
+            ):
                 continue
             in_fss = False
         if _BENIGN_EXC.match(line):

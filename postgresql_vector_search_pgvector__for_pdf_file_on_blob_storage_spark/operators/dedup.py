@@ -1092,11 +1092,12 @@ def leakage_safe_split(
             F.coalesce(F.col("cluster"), F.col("node")).alias("cluster_rep"),
         )
     )
-    lo = F.col("cluster_rep") % F.lit(1000003)
-    hi = F.expr("cluster_rep div 1000003")
-    pct = (
-        (lo * F.lit(2654435761) + hi * F.lit(97)) % F.lit(4294967296)
-    ) % F.lit(100)
+    from .textstats import hash_bucket
+
+    # The exact engine-neutral split hash dataset_split_shuffle pins —
+    # ONE implementation (textstats.hash_bucket), applied to the
+    # representative instead of the doc id.
+    pct = hash_bucket("cluster_rep", 100)
     split = (
         F.when(pct < F.lit(train_pct), F.lit("train"))
         .when(pct < F.lit(train_pct + val_pct), F.lit("validation"))

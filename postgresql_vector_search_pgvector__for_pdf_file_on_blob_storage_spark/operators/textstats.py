@@ -456,8 +456,13 @@ def surprisal_tercile_buckets(
     retries, and engines: the oracle restates the identical cumulative
     rule.  Returns ``(id_col, bits_per_token_ppm, bucket)``.
     """
-    scores = unigram_surprisal(df, text_col, id_col).select(
-        id_col, "bits_per_token_ppm"
+    # localCheckpoint: the scores subtree feeds TWO actions (the histogram
+    # collect below and the returned frame) — without it the whole
+    # explode->tf->freq->join->sum DAG runs twice per materialization.
+    scores = (
+        unigram_surprisal(df, text_col, id_col)
+        .select(id_col, "bits_per_token_ppm")
+        .localCheckpoint(eager=True)
     )
     milli = F.expr("bits_per_token_ppm div 1000")  # exact integer div
     hist = sorted(

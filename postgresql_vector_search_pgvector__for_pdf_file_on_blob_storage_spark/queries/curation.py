@@ -442,10 +442,14 @@ final AS (
           THEN 1
           ELSE NULL END), x -> x IS NOT NULL)) AS more
     FROM steps) WHERE more IS NULL
-)
-SELECT o.doc_id, CAST(sum(o.n_occ * f.n_toks) AS BIGINT) AS bpe_fixed_tokens
-FROM occ o JOIN final f USING (piece)
-GROUP BY o.doc_id ORDER BY o.doc_id
+),
+per AS (
+  SELECT o.doc_id, sum(o.n_occ * f.n_toks) AS t
+  FROM occ o JOIN final f USING (piece)
+  GROUP BY o.doc_id)
+SELECT d.doc_id, CAST(coalesce(p.t, 0) AS BIGINT) AS bpe_fixed_tokens
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
 """,
 )
 def bpe_encode_fixed_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:

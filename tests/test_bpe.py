@@ -228,3 +228,19 @@ def test_encode_fixed_ranks_greedy_order_pins(spark):
         for r in B.bpe_encode(df, _fixed_formula_merges()).collect()
     }
     assert out == {"abz": 1, "zab": 2, "aaa": 1, "abab": 2, " ab": 2}
+
+
+def test_bpe_encode_empty_doc_emits_zero(spark):
+    """Every input document keeps a row — an empty/whitespace-only text
+    encodes to 0 tokens, not a dropped row (the fixed-ranks oracle
+    mirrors this with its LEFT JOIN back to documents)."""
+    docs = spark.createDataFrame(
+        [(1, "ab cd"), (2, ""), (3, "zz")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in B.bpe_encode(docs, [("a", "b"), ("c", "d")]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2] == 0
+    assert out[1] == 3  # 'ab' -> 1 tok; ' cd' -> [' ', 'cd'] -> 2 toks
