@@ -171,6 +171,10 @@ SUITES: dict[str, list[str]] = {
         # bucket join, candidate dedup, exact-Jaccard verify, all
         # bit-checked incl. which pairs the banding misses.
         "minhash_lsh_pairs_md5",
+        # r9: the Gopher document-level quality ruleset — exact ppm
+        # metrics + the keep conjunction, identical integer arithmetic
+        # restated in the oracle.
+        "gopher_quality_flags",
         # r9: the BPE ENCODE mechanism with fixed formula merge ranks —
         # the real broadcast-ranks greedy encoder vs a recursive-CTE
         # twin over distinct pieces (VERDICT r8 next-round #2).

@@ -24,6 +24,7 @@ __all__ = [
     "mixture_sample",
     "unigram_surprisal",
     "surprisal_tercile_buckets",
+    "gopher_quality_flags",
 ]
 
 
@@ -491,3 +492,103 @@ def surprisal_tercile_buckets(
         F.col("bits_per_token_ppm").cast("long").alias("bits_per_token_ppm"),
         bucket.alias("bucket"),
     )
+
+
+# The Gopher rules' stop-word list (Rae et al. 2021, A1.1 "quality
+# filtering": a document must contain at least TWO of these to pass —
+# the cheap "is this running English prose" check).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher document-level quality rules (Rae et al. 2021 §A1.1 —
+    the named ruleset MassiveText and most dataset papers since apply
+    before model-based filtering), as one scan-shaped native projection
+    with every metric integer-exact (ppm discipline, no formatted
+    doubles):
+
+    - ``n_words`` in [50, 100,000];
+    - mean word length in [3, 10] chars (``mean_word_len_ppm``, exact
+      ``chars*1e6 div words``);
+    - >= 80% of words contain at least one alphabetic character
+      (``alpha_word_ppm``);
+    - symbol-to-word ratio (``#`` or ``...``) <= 0.1
+      (``symbol_word_ppm``);
+    - at least 2 distinct Gopher stop words present
+      (``n_gopher_stops`` over lowercased tokens).
+
+    ``keep`` is the conjunction.  100 TB shape: pure per-row expressions
+    over one column — pushed projection, no shuffle, no Python; the
+    thresholds are the paper's, surfaced as columns so a pipeline can
+    re-gate without recomputing."""
+    toks = X.word_tokens(text_col)
+    lower_toks = X.word_tokens(F.lower(F.col(text_col)))
+    n_words = F.size(toks).cast("long")
+    n_chars_in_words = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    hash_count = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#")))
+    ).cast("long")
+    ellipsis_count = (
+        (
+            F.length(text_col)
+            - F.length(F.replace(F.col(text_col), F.lit("...")))
+        )
+        / F.lit(3)
+    ).cast("long")
+    n_symbols = hash_count + ellipsis_count
+    n_stops = sum(
+        F.array_contains(lower_toks, w).cast("int") for w in GOPHER_STOPS
+    ).cast("int")
+
+    out = spread(df).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, (n_chars_in_words * F.lit(1_000_000)))
+        .otherwise(F.lit(0))
+        .alias("__chars_num"),
+        F.when(n_words > 0, (n_alpha_words * F.lit(1_000_000)))
+        .otherwise(F.lit(0))
+        .alias("__alpha_num"),
+        F.when(n_words > 0, (n_symbols * F.lit(1_000_000)))
+        .otherwise(F.lit(0))
+        .alias("__sym_num"),
+        n_stops.alias("n_gopher_stops"),
+    ).select(
+        id_col,
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("__chars_num div n_words"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_word_len_ppm"),
+        F.when(
+            F.col("n_words") > 0, F.expr("__alpha_num div n_words")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("alpha_word_ppm"),
+        F.when(F.col("n_words") > 0, F.expr("__sym_num div n_words"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("symbol_word_ppm"),
+        "n_gopher_stops",
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len_ppm").between(3_000_000, 10_000_000)
+        & (F.col("alpha_word_ppm") >= 800_000)
+        & (F.col("symbol_word_ppm") <= 100_000)
+        & (F.col("n_gopher_stops") >= 2)
+    )
+    return out.withColumn("keep", keep)

@@ -445,7 +445,8 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ 	
-]+'), x -> x <> '')) AS token
+
+]+'), x -> x <> '')) AS token
   FROM documents),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
 freq AS (SELECT token, sum(tf) AS freq FROM tf GROUP BY token),
@@ -489,6 +490,65 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative rule bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     return T.surprisal_tercile_buckets(docs).orderBy("doc_id")
+
+@query(
+    "gopher_quality_flags",
+    r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '[ 	
+]+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '[ 	
+]+'), x -> x <> '') AS ltoks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS chars,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS alpha,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS syms,
+         CAST(list_contains(ltoks, 'the')::int + list_contains(ltoks, 'be')::int
+            + list_contains(ltoks, 'to')::int + list_contains(ltoks, 'of')::int
+            + list_contains(ltoks, 'and')::int + list_contains(ltoks, 'that')::int
+            + list_contains(ltoks, 'have')::int + list_contains(ltoks, 'with')::int
+            AS INTEGER) AS n_stops
+  FROM t),
+r AS (
+  SELECT doc_id, n_words,
+    CAST(CASE WHEN n_words > 0 THEN (chars * 1000000) // n_words
+         ELSE 0 END AS BIGINT) AS mean_word_len_ppm,
+    CAST(CASE WHEN n_words > 0 THEN (alpha * 1000000) // n_words
+         ELSE 0 END AS BIGINT) AS alpha_word_ppm,
+    CAST(CASE WHEN n_words > 0 THEN (syms * 1000000) // n_words
+         ELSE 0 END AS BIGINT) AS symbol_word_ppm,
+    n_stops AS n_gopher_stops
+  FROM m)
+SELECT doc_id, n_words, mean_word_len_ppm, alpha_word_ppm,
+       symbol_word_ppm, n_gopher_stops,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len_ppm BETWEEN 3000000 AND 10000000)
+       AND (alpha_word_ppm >= 800000)
+       AND (symbol_word_ppm <= 100000)
+       AND (n_gopher_stops >= 2) AS keep
+FROM r ORDER BY doc_id
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-level quality ruleset (Rae et al. 2021 §A1.1
+    — the named pre-filter MassiveText and most dataset papers apply
+    before model-based scoring), integer-exact
+    (operators.textstats.gopher_quality_flags): word-count bounds, mean
+    word length, alphabetic-word fraction, symbol-to-word ratio, and
+    the >= 2 stop-words prose check, each surfaced as an exact ppm/count
+    column with the conjunction as ``keep``.  Pure per-row expressions
+    over one scan — no shuffle, no Python — and the oracle restates the
+    identical integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gopher_quality_flags(docs).orderBy("doc_id")
 
 @query(
     "strip_dup_ngrams",

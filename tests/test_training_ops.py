@@ -320,3 +320,26 @@ def test_surprisal_tercile_buckets_properties(spark, sf_dir):
     # only ADD members at the boundary) and head+middle >= ceil(2n/3).
     assert len(by.get("head", [])) >= (n + 2) // 3
     assert len(by.get("head", [])) + len(by.get("middle", [])) >= (2 * n + 2) // 3
+
+
+def test_gopher_quality_flags_thresholds(spark):
+    """Constructed documents on each side of every Gopher rule."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        textstats as T,
+    )
+
+    prose = " ".join(
+        ["the quick brown fox and that dog have fun with all of them be"] * 5
+    )  # 60 words, mean len ~3.5, plenty of stops
+    short = "the cat and dog"  # < 50 words
+    symbols = " ".join(["x#y"] * 30 + ["the and of be that have with to"])  # symbol-heavy
+    nonalpha = " ".join(["1234 5678"] * 30 + ["the of"])  # <80% alpha words
+    rows = [(1, prose), (2, short), (3, symbols), (4, nonalpha)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.gopher_quality_flags(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 4
+    assert out[3]["keep"] is False and out[3]["symbol_word_ppm"] > 100_000
+    assert out[4]["keep"] is False and out[4]["alpha_word_ppm"] < 800_000
+    # stop-word counting is distinct-presence, lowercased
+    assert out[1]["n_gopher_stops"] >= 2
