@@ -114,7 +114,14 @@ def _pipeline_queries() -> dict:
     curation / bloom-stream / IVFPQ shows in BENCH_r{N}.json, not only
     in hand-run probes.  Same methodology (3 passes, per-query min, noop
     sink).  Do not edit members — comparability across rounds is the
-    point; add new operators as NEW names."""
+    point; add new operators as NEW names.
+
+    r10 adds ONE new member (``curation_v2_pipeline`` — the composed
+    gopher -> ccnet -> dedup -> leakage-split -> DSIR run, VERDICT r9
+    next-round #1).  Per the suite-growth rule, BENCH_r10 reports both
+    totals: ``value`` covers all members, ``value_r9_members`` the
+    original frozen seven — comparable to BENCH_r08/r09's
+    pipeline_suite.value."""
     return {
         "semantic_dedup_fixed_centroids": Q.QUERIES[
             "semantic_dedup_fixed_centroids"
@@ -125,7 +132,22 @@ def _pipeline_queries() -> dict:
         "corpus_curation_pipeline": Q.QUERIES["corpus_curation_pipeline"],
         "bloom_stream_arrival": _q_bloom_stream_arrival,
         "ivfpq_search": _q_ivfpq_search,
+        # r10 member — NOT part of the r8/r9-comparable frozen seven.
+        "curation_v2_pipeline": Q.QUERIES["curation_v2_pipeline"],
     }
+
+
+# The original frozen members (BENCH_r08/r09-comparable); later additions
+# are excluded from the cross-round-comparable subtotal.
+PIPELINE_FROZEN_R9 = [
+    "semantic_dedup_fixed_centroids",
+    "dsir_select",
+    "quality_classifier_1iter",
+    "minhash_lsh_pairs",
+    "corpus_curation_pipeline",
+    "bloom_stream_arrival",
+    "ivfpq_search",
+]
 
 
 HEADLINE = [
@@ -233,6 +255,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     ptotal = round(sum(ptimings.values()), 3)
+    ptotal_frozen = round(
+        sum(ptimings[n] for n in PIPELINE_FROZEN_R9 if n in ptimings), 3
+    )
     print(
         json.dumps(
             {
@@ -244,6 +269,11 @@ def main() -> None:
                 "pipeline_suite": {
                     "metric": "pipeline_suite_wall_clock",
                     "value": ptotal,
+                    # Subtotal over the original frozen seven members —
+                    # the number comparable to BENCH_r08/r09's
+                    # pipeline_suite.value (the suite gained
+                    # curation_v2_pipeline in r10).
+                    "value_r9_members": ptotal_frozen,
                     "unit": "sec",
                     "queries": ptimings,
                 },

@@ -205,6 +205,12 @@ SUITES: dict[str, list[str]] = {
         # key-hash as dataset_split_shuffle, applied to the component
         # representative (operators/dedup.leakage_safe_split).
         "leakage_safe_split",
+        # r10: the COMPOSED curation run — gopher gate -> ccnet terciles
+        # (drop tail) -> exact dedup -> one shared near-dup pair graph ->
+        # leakage-safe split + near-dup drop -> DSIR top-k; the stage
+        # BOUNDARIES are oracle-checked, not just each operator
+        # (operators/dedup.curate_corpus_v2, VERDICT r9 next-round #1).
+        "curation_v2_pipeline",
     ],
     "tpch_suite_a": ["tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
                      "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",

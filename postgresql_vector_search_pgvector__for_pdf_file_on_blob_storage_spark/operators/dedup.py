@@ -45,6 +45,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "curate_corpus",
+    "curate_corpus_v2",
 ]
 
 
@@ -1107,4 +1108,150 @@ def leakage_safe_split(
         F.col("node").alias(id_col),
         F.col("cluster_rep").cast("long").alias("cluster_rep"),
         split.alias("split"),
+    )
+
+
+def curate_corpus_v2(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    min_stops: int = 2,
+    jaccard_threshold: float = 0.8,
+    max_df: int | None = 5,
+    k_select: int = 100,
+    m_buckets: int = 1024,
+    use_minhash: bool = False,
+    observation=None,
+) -> DataFrame:
+    """The composed pretraining-data curation pipeline a real corpus run
+    executes end-to-end (the v2 of :func:`curate_corpus` — every stage is
+    an already-implemented operator, chained with no driver round-trips
+    beyond the two bounded folds the stages themselves own):
+
+    1. **Gopher quality gate** (textstats.gopher_quality_flags — Rae et
+       al. 2021 §A1.1): word-count / mean-word-length / alphabetic /
+       symbol-ratio rules plus ``n_gopher_stops >= min_stops``.  Pure
+       scan predicates; ``keep_cols`` carries text+lang through so no
+       re-join touches the corpus.
+    2. **CCNet perplexity terciles** (textstats.surprisal_tercile_buckets
+       — Wenzek et al. 2020 §4.4) over the GATE SURVIVORS (the LM stats
+       are fit on what the gate kept, as CCNet fits on its own corpus):
+       drop the ``tail`` third, keep head+middle.
+    3. **Exact dedup**: keep min id per 64-bit normalized-text
+       fingerprint, count ``exact_dups``.  8-byte shuffle key.
+    4. **Near-dup pair graph, computed ONCE** (df-capped exact Jaccard,
+       or MinHash+LSH banding with ``use_minhash=True`` — the 100 TB
+       form) and consumed by BOTH remaining stages:
+    5. **Leakage-safe split** (:func:`leakage_safe_split` with
+       ``pairs=``): every near-dup component lands wholly in
+       train/validation/test — assigned BEFORE the near-dup drop, so a
+       kept representative carries the split its dropped variants share.
+    6. **Near-dup dedup**: keep the component representative
+       (``id == cluster_rep``), emit ``near_dups`` = component size.
+    7. **DSIR selection** (selection.dsir_select — Moore-Lewis
+       cross-entropy difference, target = ``lang_col == target_lang``):
+       integer-exact scores + the top-``k_select`` flag, over the final
+       survivors.
+
+    Returns one row per surviving document: ``(id_col, lang, n_words,
+    bits_per_token_ppm, bucket, exact_dups, near_dups, split, n_feats,
+    score_bits, mean_milli, selected)``.  Every stage is individually
+    oracle-verified (gopher_quality_flags / ccnet_perplexity_buckets /
+    dedup_exact / jaccard_similar_pairs / leakage_safe_split /
+    dsir_select); the ``curation_v2_pipeline`` driver query verifies the
+    COMPOSITION bit-for-bit against the chained-CTE DuckDB restatement.
+
+    Scale shape: stages 1-2 are scan predicates plus the
+    bounded-histogram tercile fold; 3 shuffles fingerprints; 4's pair
+    cost is df-capped/banded and paid once; 5-6 are id-keyed joins
+    against the (small) component table; 7's bucket stats are <= m rows
+    broadcast back.  The survivor set is ``localCheckpoint``-ed before
+    selection because DSIR's threshold and flag branches both consume it
+    — without the boundary the whole upstream pipeline would execute
+    three times (AQE exchange reuse does not cross the TakeOrdered
+    threshold branch).
+
+    ``min_stops`` exists because the stop-word rule is corpus-specific:
+    on non-English or synthetic corpora (the driver fixtures are
+    multilingual token soup with zero English function words) the
+    faithful ``>= 2`` keeps nothing; the fixture query runs
+    ``min_stops=0`` (the rule trivially true, the other four rules
+    live) and says so."""
+    from .selection import dsir_select as _dsir_select
+    from .textstats import gopher_quality_flags, surprisal_tercile_buckets
+
+    flags = gopher_quality_flags(
+        docs, text_col, id_col, keep_cols=(lang_col, text_col)
+    )
+    gate = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len_ppm").between(3_000_000, 10_000_000)
+        & (F.col("alpha_word_ppm") >= 800_000)
+        & (F.col("symbol_word_ppm") <= 100_000)
+        & (F.col("n_gopher_stops") >= int(min_stops))
+    )
+    gated = flags.filter(gate).select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+        F.col("n_words"),
+    )
+    terc = surprisal_tercile_buckets(gated, "text", "id")
+    gated2 = gated.join(
+        terc.filter(F.col("bucket") != F.lit("tail")), "id"
+    )
+    keep = (
+        gated2.select(X.fingerprint64("text").alias("fp"), "id")
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("id"),
+            F.count("*").cast("long").alias("exact_dups"),
+        )
+        .drop("fp")
+    )
+    kept = gated2.join(keep, "id")
+    if use_minhash:
+        pairs = minhash_lsh_pairs(
+            kept, "text", "id", n=3, threshold=jaccard_threshold,
+            max_df=max_df, observation=observation,
+        )
+    else:
+        pairs = jaccard_pairs(
+            kept, "text", "id", n=3, threshold=jaccard_threshold,
+            max_df=max_df, observation=observation,
+        )
+    assign = leakage_safe_split(kept, "text", "id", pairs=pairs)
+    csize = assign.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("near_dups")
+    )
+    surv = (
+        kept.join(assign, "id")
+        .filter(F.col("id") == F.col("cluster_rep"))
+        .join(csize, "cluster_rep")
+        .localCheckpoint(eager=False)
+    )
+    sel = _dsir_select(
+        surv.select("id", "lang", "text"),
+        F.col("lang") == F.lit(target_lang),
+        k=k_select,
+        m=m_buckets,
+        text_col="text",
+        id_col="id",
+        bigrams=True,
+    )
+    return surv.join(sel, "id").select(
+        F.col("id").alias(id_col),
+        "lang",
+        "n_words",
+        "bits_per_token_ppm",
+        "bucket",
+        "exact_dups",
+        "near_dups",
+        "split",
+        "n_feats",
+        "score_bits",
+        "mean_milli",
+        "selected",
     )

@@ -501,7 +501,10 @@ GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_quality_flags(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher document-level quality rules (Rae et al. 2021 §A1.1 —
     the named ruleset MassiveText and most dataset papers since apply
@@ -522,7 +525,13 @@ def gopher_quality_flags(
     ``keep`` is the conjunction.  100 TB shape: pure per-row expressions
     over one column — pushed projection, no shuffle, no Python; the
     thresholds are the paper's, surfaced as columns so a pipeline can
-    re-gate without recomputing."""
+    re-gate without recomputing.
+
+    ``keep_cols`` names extra input columns carried through unchanged
+    (still a pure projection — a composed pipeline like
+    :func:`~..operators.dedup.curate_corpus_v2` gates on ``keep`` and
+    continues with the text/lang WITHOUT re-joining the corpus on id,
+    which at 100 TB would be a full extra shuffle)."""
     toks = X.word_tokens(text_col)
     lower_toks = X.word_tokens(F.lower(F.col(text_col)))
     n_words = F.size(toks).cast("long")
@@ -551,6 +560,7 @@ def gopher_quality_flags(
 
     out = spread(df).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.alias("n_words"),
         F.when(n_words > 0, (n_chars_in_words * F.lit(1_000_000)))
         .otherwise(F.lit(0))
@@ -564,6 +574,7 @@ def gopher_quality_flags(
         n_stops.alias("n_gopher_stops"),
     ).select(
         id_col,
+        *keep_cols,
         "n_words",
         F.when(
             F.col("n_words") > 0,

@@ -909,3 +909,196 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split exactly.  All-integer + string output -> bit-exact oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return D.leakage_safe_split(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "curation_v2_pipeline",
+    r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS ltoks
+  FROM documents),
+gm AS (
+  SELECT doc_id, lang, text, toks,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS chars,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS alpha,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS syms,
+         CAST(list_contains(ltoks, 'the')::int + list_contains(ltoks, 'be')::int
+            + list_contains(ltoks, 'to')::int + list_contains(ltoks, 'of')::int
+            + list_contains(ltoks, 'and')::int + list_contains(ltoks, 'that')::int
+            + list_contains(ltoks, 'have')::int + list_contains(ltoks, 'with')::int
+            AS INTEGER) AS n_stops
+  FROM tok),
+g1 AS MATERIALIZED (
+  SELECT doc_id, lang, text, toks, n_words
+  FROM gm
+  WHERE (n_words BETWEEN 50 AND 100000)
+    AND (CASE WHEN n_words > 0 THEN (chars * 1000000) // n_words ELSE 0 END
+         BETWEEN 3000000 AND 10000000)
+    AND (CASE WHEN n_words > 0 THEN (alpha * 1000000) // n_words ELSE 0 END
+         >= 800000)
+    AND (CASE WHEN n_words > 0 THEN (syms * 1000000) // n_words ELSE 0 END
+         <= 100000)
+    AND (n_stops >= 0)),
+u1 AS (SELECT doc_id, unnest(toks) AS token FROM g1),
+tf1 AS (SELECT doc_id, token, count(*) AS tf FROM u1 GROUP BY 1, 2),
+fr1 AS (SELECT token, sum(tf) AS freq FROM tf1 GROUP BY token),
+to1 AS (SELECT sum(freq) AS total FROM fr1),
+pe1 AS (
+  SELECT tf1.doc_id, sum(tf1.tf) AS n_tokens,
+         sum(tf1.tf * (length(bin(CAST(t.total // f.freq AS BIGINT))) - 1))
+           AS bits
+  FROM tf1 JOIN fr1 f USING (token) CROSS JOIN to1 t
+  GROUP BY tf1.doc_id),
+sc AS (
+  SELECT g.doc_id,
+         CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+              THEN (p.bits * 1000000) // p.n_tokens ELSE 0 END AS BIGINT)
+           AS ppm
+  FROM g1 g LEFT JOIN pe1 p ON g.doc_id = p.doc_id),
+hh AS (SELECT ppm // 1000 AS m, count(*) AS c FROM sc GROUP BY 1),
+cu AS (SELECT m, sum(c) OVER (ORDER BY m) AS cs FROM hh),
+nn AS (SELECT count(*) AS n FROM sc),
+th AS (
+  SELECT min(CASE WHEN cs >= (n + 2) // 3 THEN m END) AS t1,
+         min(CASE WHEN cs >= (2 * n + 2) // 3 THEN m END) AS t2
+  FROM cu, nn),
+g2p AS (
+  SELECT g.doc_id, g.lang, g.text, g.toks, g.n_words,
+         sc.ppm AS bits_per_token_ppm,
+         CASE WHEN sc.ppm // 1000 <= th.t1 THEN 'head'
+              WHEN sc.ppm // 1000 <= th.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM g1 g JOIN sc ON g.doc_id = sc.doc_id CROSS JOIN th),
+g2 AS MATERIALIZED (SELECT * FROM g2p WHERE bucket <> 'tail'),
+ek AS (
+  SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS exact_dups
+  FROM g2
+  GROUP BY regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')),
+kept AS MATERIALIZED (
+  SELECT g.doc_id, g.lang, g.text, g.toks, g.n_words, g.bits_per_token_ppm,
+         g.bucket, k.exact_dups
+  FROM g2 g JOIN ek k USING (doc_id)),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM kept),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+elig AS MATERIALIZED (SELECT e.doc_id, e.s FROM ex e JOIN dfreq d ON e.s = d.s
+         WHERE d.df <= 5),
+na AS (SELECT doc_id, count(*) AS n_sh FROM elig GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM elig a JOIN elig b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+prs AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN na x ON c.id_a = x.doc_id
+  JOIN na y ON c.id_b = y.doc_id
+  WHERE CAST(c.inter AS DOUBLE) / (x.n_sh + y.n_sh - c.inter) >= 0.8),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION SELECT id_b, id_a FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS grp FROM reach GROUP BY a),
+rep AS (
+  SELECT k.doc_id, coalesce(comp.grp, k.doc_id) AS cluster_rep
+  FROM kept k LEFT JOIN comp ON comp.node = k.doc_id),
+asg AS (
+  SELECT doc_id, cluster_rep,
+         CASE WHEN (((cluster_rep % 1000003) * 2654435761
+                     + (cluster_rep // 1000003) * 97) % 4294967296) % 100 < 90
+              THEN 'train'
+              WHEN (((cluster_rep % 1000003) * 2654435761
+                     + (cluster_rep // 1000003) * 97) % 4294967296) % 100 < 95
+              THEN 'validation'
+              ELSE 'test' END AS split
+  FROM rep),
+cs2 AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS near_dups
+        FROM asg GROUP BY cluster_rep),
+surv AS MATERIALIZED (
+  SELECT k.doc_id, k.lang, k.text, k.toks, k.n_words, k.bits_per_token_ppm,
+         k.bucket, k.exact_dups, c.near_dups, a.split
+  FROM kept k JOIN asg a USING (doc_id)
+  JOIN cs2 c ON a.cluster_rep = c.cluster_rep
+  WHERE k.doc_id = a.cluster_rep),
+fe AS (
+  SELECT doc_id, lang,
+         unnest(toks || list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS f
+  FROM surv),
+tf2 AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 1024 AS b,
+         count(*) AS tf
+  FROM fe GROUP BY 1, 2, 3),
+bu AS (
+  SELECT b,
+         sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS ct,
+         sum(tf) AS cs
+  FROM tf2 GROUP BY b),
+to2 AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM bu),
+de AS (
+  SELECT b,
+         (length(bin(CAST((ts + 1024) // (cs + 1) AS BIGINT))) - 1)
+       - (length(bin(CAST((tt + 1024) // (ct + 1) AS BIGINT))) - 1) AS d
+  FROM bu CROSS JOIN to2),
+pe2 AS (
+  SELECT tf2.doc_id, sum(tf2.tf) AS n_feats, sum(tf2.tf * de.d) AS score_bits
+  FROM tf2 JOIN de USING (b) GROUP BY tf2.doc_id),
+sc2 AS (
+  SELECT s.doc_id,
+         CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+         CAST(coalesce(p.score_bits, 0) AS BIGINT) AS score_bits,
+         CAST(CASE WHEN coalesce(p.n_feats, 0) > 0
+              THEN floor(CAST(p.score_bits AS DOUBLE) * 1000.0
+                         / CAST(p.n_feats AS DOUBLE))
+              ELSE 0 END AS BIGINT) AS mean_milli
+  FROM surv s LEFT JOIN pe2 p USING (doc_id))
+SELECT s.doc_id, s.lang, s.n_words, s.bits_per_token_ppm, s.bucket,
+       s.exact_dups, s.near_dups, s.split,
+       c.n_feats, c.score_bits, c.mean_milli,
+       (row_number() OVER (ORDER BY c.mean_milli DESC, s.doc_id ASC) <= 100)
+         AS selected
+FROM surv s JOIN sc2 c USING (doc_id)
+ORDER BY s.doc_id
+""",
+)
+def curation_v2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED pretraining-data curation run (VERDICT r9 next-round
+    #1; operators/dedup.curate_corpus_v2): Gopher quality gate ->
+    CCNet perplexity terciles (keep head+middle) -> exact dedup ->
+    near-dup pair graph computed ONCE and consumed by BOTH the
+    leakage-safe split and the near-dup drop -> DSIR top-k selection.
+    Every stage is an individually-oracle-verified operator
+    (gopher_quality_flags, ccnet_perplexity_buckets, dedup_exact,
+    jaccard_similar_pairs, leakage_safe_split, dsir_select); THIS entry
+    verifies their composition end-to-end against the chained-CTE DuckDB
+    restatement — stage boundaries (which docs each gate passes to the
+    next stage) are part of what the hash checks.
+
+    Reference seed: the ingest dataflow is one fixed pipeline
+    (Function.java:85-176 — detect -> parse -> normalize -> chunk ->
+    embed -> insert); this is the same fixed-pipeline property at
+    corpus-curation scale.
+
+    ``min_stops=0``: the driver fixtures are synthetic multilingual
+    token soup with ZERO English function words (measured: no document
+    at any sf contains 2 Gopher stop words), so the faithful stop-word
+    rule would keep nothing and make every downstream stage vacuous.
+    The other four Gopher rules run live (the word-count bound alone
+    gates ~45% of the fixture); the full conjunction stays
+    oracle-verified in ``gopher_quality_flags``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.curate_corpus_v2(docs, min_stops=0).orderBy("doc_id")

@@ -56,6 +56,10 @@ EXTRA = [
     # curate_corpus: gates -> fingerprint dedup -> df-capped jaccard ->
     # star components -> anti-join).
     "corpus_curation_pipeline",
+    # r10: the composed curation-v2 run (gopher -> ccnet terciles ->
+    # exact dedup -> shared pair graph -> leakage split + near-dup drop
+    # -> DSIR) — the new pipeline-bench member gets the same plan gate.
+    "curation_v2_pipeline",
 ]
 
 

@@ -395,6 +395,92 @@ def test_corpus_curation_pipeline_invariants(spark, sf_dir):
     assert leftover.count() == 0
 
 
+def test_curate_corpus_v2_invariants(spark, sf_dir):
+    """The composed curation-v2 run (r10): stage contracts hold end-to-end
+    on the fixture — schema, gate monotonicity (every survivor passes the
+    live Gopher rules), no tail-bucket survivor, exact-dup keepers are
+    group minima, no surviving near-dup pair, split atomicity (a kept
+    representative carries the split its cluster hashed to), and the DSIR
+    flag counts exactly min(k, survivors).  The oracle entry
+    (curation_v2_pipeline) pins exact values; this pins semantics."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        queries as Q,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as DD,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        textstats as TS,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    out = Q.QUERIES["curation_v2_pipeline"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "curated corpus must be non-empty"
+    assert [c for c, _ in out.dtypes] == [
+        "doc_id", "lang", "n_words", "bits_per_token_ppm", "bucket",
+        "exact_dups", "near_dups", "split", "n_feats", "score_bits",
+        "mean_milli", "selected",
+    ]
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) and ids == sorted(ids)
+    # Gate monotonicity: every survivor passes the four live Gopher rules
+    # (min_stops=0 on the fixture — see the query docstring).
+    docs = load_table(spark, sf_dir, "documents")
+    flags = {
+        r["doc_id"]: r
+        for r in TS.gopher_quality_flags(docs)
+        .filter(F.col("doc_id").isin(ids))
+        .collect()
+    }
+    for i in ids:
+        f = flags[i]
+        assert 50 <= f["n_words"] <= 100_000
+        assert 3_000_000 <= f["mean_word_len_ppm"] <= 10_000_000
+        assert f["alpha_word_ppm"] >= 800_000
+        assert f["symbol_word_ppm"] <= 100_000
+    # CCNet stage: the tail third never survives.
+    assert all(r["bucket"] in ("head", "middle") for r in rows)
+    assert any(r["bucket"] == "head" for r in rows)
+    # Dedup stage: exact_dups/near_dups are >= 1 and no surviving pair is
+    # still near-duplicate at the threshold.
+    assert all(r["exact_dups"] >= 1 and r["near_dups"] >= 1 for r in rows)
+    survivors = docs.filter(F.col("doc_id").isin(ids))
+    leftover = DD.jaccard_pairs(
+        survivors, "text", "doc_id", n=3, threshold=0.8, max_df=5
+    )
+    assert leftover.count() == 0
+    # Split: a survivor IS its cluster representative, so its split is the
+    # hash of its own id — the doc-level rule (cluster members that were
+    # dropped shared this value by construction, pinned separately in
+    # test_leakage_safe_split_cluster_atomicity).
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators.textstats import (  # noqa: E501
+        hash_bucket,
+    )
+
+    expect = {
+        r["doc_id"]: r["s"]
+        for r in survivors.select(
+            "doc_id",
+            F.when(hash_bucket("doc_id", 100) < 90, "train")
+            .when(hash_bucket("doc_id", 100) < 95, "validation")
+            .otherwise("test")
+            .alias("s"),
+        ).collect()
+    }
+    assert all(r["split"] == expect[r["doc_id"]] for r in rows)
+    assert {r["split"] for r in rows} == {"train", "validation", "test"}
+    # Selection: exactly min(k, survivors) flagged, and the flagged set is
+    # the top of the (mean_milli, -id) total order.
+    k = min(100, len(rows))
+    sel = [r for r in rows if r["selected"]]
+    assert len(sel) == k
+    order = sorted(rows, key=lambda r: (-r["mean_milli"], r["doc_id"]))
+    assert {r["doc_id"] for r in sel} == {r["doc_id"] for r in order[:k]}
+
+
 def test_minhash_max_df_drops_boilerplate(spark):
     """A boilerplate prefix shared by every doc must not band random pairs
     together under max_df, while planted near-dups still surface — the
