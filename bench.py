@@ -150,6 +150,156 @@ PIPELINE_FROZEN_R9 = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Contention self-adjudication (VERDICT r9 next-round #2).
+#
+# BENCH_r09 recorded 34.91 s at a HEAD that measures 24.3 s idle — the
+# artifact alone could not show that the delta was shared-host contention
+# (uniform ~1.25x inflation) rather than a plan regression.  Three fixes:
+#
+# 1. **Load context**: os.getloadavg() is recorded before every pass (and
+#    at start/end) into the JSON — a reader sees whether passes ran on a
+#    loaded host without re-running anything.
+# 2. **Pass spreads**: every per-query sample is kept (``samples``), not
+#    just the min — contention shows as a wide spread whose min is normal;
+#    a regression shows as a tight spread uniformly above band.
+# 3. **Band-triggered retries**: when a query's min-of-3 still exceeds
+#    1.5x its recorded idle band level (below), bench spends up to 2
+#    extra passes on JUST that query — materially raising the odds the
+#    artifact itself catches an uncontended window instead of requiring a
+#    manual idle re-run.  Retry counts are recorded (``retries``), and
+#    queries still over band after retries are flagged (``over_band``)
+#    with their min/band ratio.
+#
+# Band levels are the best recorded idle minima at sf0.1 (BENCH_r08's
+# artifact + the r9 idle A/B adjudication, BASELINE.md) — REFERENCE data
+# for retry triggering only; they do not alter any reported timing.  A
+# query without a band (first recording) never triggers retries.
+# ---------------------------------------------------------------------------
+
+IDLE_BAND_SF01 = {
+    "knn_l2_top5": 0.25,
+    "knn_cosine_top5": 0.24,
+    "knn_join_l2": 0.61,
+    "flagship_rag_search": 1.13,
+    "tpch_q1_pricing_summary": 1.40,
+    "tpch_q3_shipping_priority": 0.55,
+    "tpch_q5_local_supplier_volume": 0.78,
+    "tpch_q6_forecast_revenue": 0.23,
+    "tpch_q10_returned_items": 0.62,
+    "tpch_q13_custdist": 0.50,
+    "tpch_q18_large_volume_customers": 1.40,
+    "window_top_orders_per_customer": 0.56,
+    "window_running_total": 0.55,
+    "agg_rollup_lineitem": 0.94,
+    "events_tumbling_agg": 0.64,
+    "events_sliding_window": 0.93,
+    "sessionize_events": 0.61,
+    "asof_join_last_click_before_purchase": 0.38,
+    "dedup_exact": 0.47,
+    "token_frequencies_top100": 0.48,
+    "doc_quality_scores": 0.51,
+    "doc_rolling_fingerprints": 0.79,
+    "jaccard_similar_pairs": 4.01,
+    "minhash_lsh_pairs": 1.45,
+    "embedding_near_dup": 1.17,
+    "chunk_explode": 0.54,
+    # pipeline suite (r9 recorded idle levels)
+    "semantic_dedup_fixed_centroids": 4.14,
+    "dsir_select": 2.27,
+    "quality_classifier_1iter": 2.59,
+    "corpus_curation_pipeline": 9.08,
+    "bloom_stream_arrival": 6.64,
+    "ivfpq_search": 5.10,
+}
+
+RETRY_TRIGGER = 1.5  # min > 1.5x band -> extra passes
+MAX_RETRIES = 2
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover — non-POSIX fallback
+        return []
+
+
+def _timed_passes(
+    spark,
+    sf_dir: str,
+    fns: list,
+    label: str,
+    use_band: bool,
+    rounds: int = 3,
+) -> tuple[dict, dict, list, dict]:
+    """Run ``rounds`` full passes over ``fns`` (list of (name, fn)), then
+    band-triggered targeted retries.  Returns (min_timings, samples,
+    per-pass loadavgs, retry_counts)."""
+    samples: dict[str, list[float]] = {n: [] for n, _ in fns}
+    loads: list[list[float]] = []
+
+    def one(name, fn):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # Materialize through the noop sink: count() lets Catalyst prune
+        # projected columns and drop sorts, so map-only plans would be
+        # timed without executing their expressions.  noop evaluates
+        # every output column of every row and discards the bytes.
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    for rnd in range(rounds):
+        # Each pass pays the full pipeline cost (chunk+embed UDFs) —
+        # otherwise pass 2's flagship would just read the ingest cache.
+        Q.clear_ingest_cache()
+        loads.append(_loadavg())
+        for name, fn in fns:
+            elapsed = one(name, fn)
+            samples[name].append(elapsed)
+            print(f"# {label} pass{rnd} {name}: {elapsed:.2f}s", file=sys.stderr)
+
+    retries: dict[str, int] = {}
+    if use_band:
+        over = [
+            (n, f)
+            for n, f in fns
+            if n in IDLE_BAND_SF01
+            and min(samples[n]) > RETRY_TRIGGER * IDLE_BAND_SF01[n]
+        ]
+        for attempt in range(MAX_RETRIES):
+            if not over:
+                break
+            Q.clear_ingest_cache()
+            loads.append(_loadavg())
+            still = []
+            for name, fn in over:
+                elapsed = one(name, fn)
+                samples[name].append(elapsed)
+                retries[name] = retries.get(name, 0) + 1
+                print(
+                    f"# {label} retry{attempt} {name}: {elapsed:.2f}s"
+                    f" (band {IDLE_BAND_SF01[name]:.2f}s)",
+                    file=sys.stderr,
+                )
+                if min(samples[name]) > RETRY_TRIGGER * IDLE_BAND_SF01[name]:
+                    still.append((name, fn))
+            over = still
+
+    timings = {n: min(v) for n, v in samples.items()}
+    return timings, samples, loads, retries
+
+
+def _over_band(timings: dict) -> dict:
+    """min/band ratio for queries still above the retry trigger — the
+    JSON's 'look here' flag: tight spread + low load + over_band = real
+    regression; wide spread or high load = contention."""
+    return {
+        n: round(t / IDLE_BAND_SF01[n], 2)
+        for n, t in timings.items()
+        if n in IDLE_BAND_SF01 and t > RETRY_TRIGGER * IDLE_BAND_SF01[n]
+    }
+
+
 HEADLINE = [
     "knn_l2_top5",
     "knn_cosine_top5",
@@ -219,39 +369,21 @@ def main() -> None:
     # with plan quality.  The min is the steady-state cost of the plan,
     # which is what the 2x-of-baseline gate is meant to measure; a third
     # pass materially raises the odds that each query catches at least one
-    # uncontended window.
-    timings: dict[str, float] = {}
-    for rnd in range(3):
-        # Each pass pays the full pipeline cost (chunk+embed UDFs) —
-        # otherwise pass 2's flagship would just read the ingest cache.
-        Q.clear_ingest_cache()
-        for name in HEADLINE:
-            fn = Q.QUERIES[name]
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            # Materialize through the noop sink: count() lets Catalyst prune
-            # projected columns and drop sorts, so map-only plans would be
-            # timed without executing their expressions.  noop evaluates
-            # every output column of every row and discards the bytes.
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            prev = timings.get(name)
-            timings[name] = elapsed if prev is None else min(prev, elapsed)
-            print(f"# pass{rnd} {name}: {elapsed:.2f}s", file=sys.stderr)
+    # uncontended window — and queries whose min is still >1.5x their
+    # recorded idle band get up to 2 targeted extra passes (see the
+    # contention-adjudication block above HEADLINE).
+    load_start = _loadavg()
+    use_band = abs(sf - 0.1) < 1e-9  # bands are sf0.1 levels
+    timings, samples, loads, retries = _timed_passes(
+        spark, sf_dir, [(n, Q.QUERIES[n]) for n in HEADLINE], "headline",
+        use_band,
+    )
 
-    # Pipeline suite — same 3-pass / per-query-min / noop methodology, its
-    # own loop so headline timings stay strictly comparable to r1-r8.
-    ptimings: dict[str, float] = {}
-    for rnd in range(3):
-        Q.clear_ingest_cache()
-        for name, fn in pipeline.items():
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            prev = ptimings.get(name)
-            ptimings[name] = elapsed if prev is None else min(prev, elapsed)
-            print(f"# pipeline pass{rnd} {name}: {elapsed:.2f}s", file=sys.stderr)
+    # Pipeline suite — same methodology, its own loop so headline timings
+    # stay strictly comparable to r1-r8.
+    ptimings, psamples, ploads, pretries = _timed_passes(
+        spark, sf_dir, list(pipeline.items()), "pipeline", use_band
+    )
 
     total = round(sum(timings.values()), 3)
     ptotal = round(sum(ptimings.values()), 3)
@@ -266,6 +398,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Contention self-adjudication context (VERDICT r9 #2):
+                # loadavg per pass, full per-query pass spreads, targeted
+                # retry counts, and min/band ratios for anything still
+                # over 1.5x its recorded idle level.  Adjudication rule in
+                # BASELINE.md ("Reading BENCH_r{N}.json under contention").
+                "loadavg": {"start": load_start, "per_pass": loads,
+                            "pipeline_per_pass": ploads,
+                            "end": _loadavg()},
+                "samples": samples,
+                "retries": retries,
+                "over_band": _over_band(timings),
                 "pipeline_suite": {
                     "metric": "pipeline_suite_wall_clock",
                     "value": ptotal,
@@ -276,6 +419,9 @@ def main() -> None:
                     "value_r9_members": ptotal_frozen,
                     "unit": "sec",
                     "queries": ptimings,
+                    "samples": psamples,
+                    "retries": pretries,
+                    "over_band": _over_band(ptimings),
                 },
             }
         )
