@@ -141,6 +141,12 @@ SUITES: dict[str, list[str]] = {
         # (stdlib chunk-walking parse), rate/length byte-exact and the
         # rms bit-deterministic via exact int16-square sums.
         "multimodal_audio_fixed_stats",
+        # r10: the TRANSFORM paths get the same move (VERDICT r9 #4) —
+        # the real mapInPandas nearest-neighbor resize and the
+        # every-2nd-frame video explode, each reduced to a
+        # position-weighted pixel/byte checksum derivable from doc_id.
+        "multimodal_resize_fixed",
+        "multimodal_framesample_fixed",
     ],
     "join_family_suite": [
         "join_semi_active_customers",

@@ -319,6 +319,136 @@ def multimodal_audio_fixed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return MM.audio_info(media).orderBy("media_id")
 
+@query(
+    "multimodal_resize_fixed",
+    """
+WITH m AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(3 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+       CAST(list_sum(list_transform(range(0, 18),
+            j -> (j + 1) * ((doc_id * 31
+                  + (((((j // 9) * h) // 2) * w
+                      + ((((j % 9) // 3) * w) // 3)) * 3 + (j % 3)) * 7)
+                 % 256))) AS BIGINT) AS pixel_wsum
+FROM m ORDER BY media_id
+""",
+)
+def multimodal_resize_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal TRANSFORM path's oracle row (VERDICT r9 next-round
+    #4 — resize was the last mechanism family with no oracle presence):
+    the same formula-pixel P6 PPM fixtures as ``multimodal_fixed_stats``,
+    pushed through the REAL ``mapInPandas`` nearest-neighbor resize
+    (sources.multimodal.image_resize, 3x2 output), whose emitted
+    container is then decoded and reduced to a POSITION-WEIGHTED pixel
+    checksum ``sum (j+1) * px[j]`` — sensitive to every output byte and
+    its layout, not just the mean.  Resize selects source pixel
+    ``(y*h div 2, x*w div 3)`` per output ``(y, x)`` and the source
+    pixels are ``(doc_id*31 + k*7) % 256`` at ``k = (sy*w + sx)*3 + ch``,
+    so the SQL twin derives the checksum from doc_id alone —
+    all-integer, bit-exact.  The codec seam (PIL swap-in) stays
+    rows-only via multimodal_image_pipeline."""
+    import numpy as np
+
+    from ..sources import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def ppm_of(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 4 + i % 5, 3 + i % 4
+            n = w * h * 3
+            px = (i * 31 + np.arange(n, dtype=np.int64) * 7) % 256
+            out.append(MM.encode_ppm(w, h, px.astype(np.uint8)))
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def wsum(content: pd.Series) -> pd.Series:
+        vals = []
+        for b in content:
+            w, h, c, px = MM.decode_fake_image(bytes(b))
+            flat = px.reshape(-1).astype(np.int64)
+            vals.append(int(((np.arange(flat.size) + 1) * flat).sum()))
+        return pd.Series(vals)
+
+    media = spread(docs).select(
+        F.col("doc_id").alias("media_id"), ppm_of("doc_id").alias("content")
+    )
+    return (
+        MM.image_resize(media, out_w=3, out_h=2)
+        .select(
+            "media_id", "width", "height",
+            wsum("content").alias("pixel_wsum"),
+        )
+        .orderBy("media_id")
+    )
+
+@query(
+    "multimodal_framesample_fixed",
+    """
+WITH m AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+fr AS (
+  SELECT doc_id, unnest(list_filter(range(0, nf), i -> i % 2 = 0))
+           AS frame_idx
+  FROM m)
+SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(list_sum(list_transform(range(0, 5),
+            t -> (t + 1) * ((doc_id * 13 + frame_idx * 17 + t * 3) % 256)))
+         AS BIGINT) AS frame_wsum
+FROM fr ORDER BY media_id, frame_idx
+""",
+)
+def multimodal_framesample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal FRAME-SAMPLE path's oracle row (same VERDICT r9 #4
+    move): formula videos — ``2 + doc_id%4`` frames of 5 bytes,
+    ``frame[i][t] = (doc_id*13 + i*17 + t*3) % 256`` — through the real
+    ``mapInPandas`` every-2nd-frame explode
+    (sources.multimodal.video_sample_frames), each emitted frame reduced
+    to the position-weighted checksum.  Verifies WHICH frames are
+    sampled (the stride/index arithmetic and the explode row shape) and
+    every payload byte, from doc_id alone."""
+    import numpy as np
+
+    from ..sources import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def vid_of(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            frames = [
+                bytes(
+                    ((i * 13 + fi * 17 + np.arange(5, dtype=np.int64) * 3)
+                     % 256).astype(np.uint8)
+                )
+                for fi in range(2 + i % 4)
+            ]
+            out.append(MM.encode_fake_video(frames))
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def wsum(frame: pd.Series) -> pd.Series:
+        vals = []
+        for b in frame:
+            flat = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+            vals.append(int(((np.arange(flat.size) + 1) * flat).sum()))
+        return pd.Series(vals)
+
+    media = spread(docs).select(
+        F.col("doc_id").alias("media_id"), vid_of("doc_id").alias("content")
+    )
+    return (
+        MM.video_sample_frames(media, every=2)
+        .select("media_id", "frame_idx", wsum("frame").alias("frame_wsum"))
+        .orderBy("media_id", "frame_idx")
+    )
+
 @query("summarize_hits")
 def summarize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's per-hit summarization fan-out (SURVEY.md §2A row 29):

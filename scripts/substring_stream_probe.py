@@ -563,7 +563,13 @@ def _auto_compact_main(n_sessions: int, n_batch: int) -> None:
     schema = "doc_id long, text string"
     tmp = tempfile.mkdtemp(prefix="substr_probe_ac_")
     try:
-        for arm, policy in (("policy_on", 4), ("policy_off", None)):
+        # "policy_default" passes NO knob at all — the r10 arm proving the
+        # unattended guarantee holds for a caller who never heard of the
+        # parameter (VERDICT r9 next-round #5: "an unattended guarantee
+        # that requires a knob isn't unattended").
+        arms = (("policy_default", "DEFAULT"), ("policy_on", 4),
+                ("policy_off", None))
+        for arm, policy in arms:
             src = f"{tmp}/{arm}/src"
             gram_d = f"{tmp}/{arm}/grams"
             s_d, ckpt = f"{tmp}/{arm}/stats", f"{tmp}/{arm}/ckpt"
@@ -574,10 +580,13 @@ def _auto_compact_main(n_sessions: int, n_batch: int) -> None:
                     f"doc_id >= {lo} AND doc_id < {lo + n_batch}"
                 ).write.mode("append").parquet(src)
                 metrics: dict = {}
+                kw = {} if policy == "DEFAULT" else {
+                    "auto_compact_runs": policy
+                }
                 t0 = time.time()
                 q = SB.bloom_substring_stream(
                     spark, src, schema, gram_d, s_d, ckpt, n=8,
-                    metrics=metrics, auto_compact_runs=policy,
+                    metrics=metrics, **kw,
                 )
                 setup = round(time.time() - t0, 2)
                 q.awaitTermination()
@@ -595,10 +604,11 @@ def _auto_compact_main(n_sessions: int, n_batch: int) -> None:
                     }
                 )
             results[arm] = sessions
-        flagged = spark.read.parquet(f"{tmp}/policy_on/stats").filter(
-            "n_dup_grams > 0"
-        ).count()
-        results["flagged_policy_on"] = flagged
+        for arm in ("policy_on", "policy_default"):
+            flagged = spark.read.parquet(f"{tmp}/{arm}/stats").filter(
+                "n_dup_grams > 0"
+            ).count()
+            results[f"flagged_{arm}"] = flagged
         results["expected_flagged"] = (n_sessions * n_batch) // 10
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
