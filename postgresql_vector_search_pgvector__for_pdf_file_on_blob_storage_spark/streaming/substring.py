@@ -1216,8 +1216,18 @@ def bloom_substring_stream(
             if e < int(epoch_id)
         ]
         if delta_paths:
+            # basePath: with TWO OR MORE epoch dirs Spark's partition
+            # discovery refuses the "conflicting directory structures"
+            # it infers from sibling epoch=N roots; anchoring discovery
+            # at the store root makes epoch/bucket ordinary partition
+            # columns.  (Latent until a session drained 3+ micro-batches
+            # — every earlier probe was one-arrival-per-session; caught
+            # by the r10 steady-state probe's first run.)
             delta = (
-                spark.read.parquet(*delta_paths).select("gk").distinct()
+                spark.read.option("basePath", gram_dir)
+                .parquet(*delta_paths)
+                .select("gk")
+                .distinct()
             )
             known = screened.join(
                 delta.withColumn("in_delta", F.lit(1)), "gk", "left"

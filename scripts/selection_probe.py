@@ -29,6 +29,18 @@ xxhash64 — no md5 hex parse; ~1.6x faster at 4M docs per the r8
 measurement); md5 stays the default because it is the oracle-twin
 convention the driver queries use.  Prints one JSON line,
 BASELINE.md-ready.
+
+``--gumbel`` (r10, VERDICT r9 next-round #7) adds probe 4: the Gumbel
+top-k RESAMPLING mode (``dsir_select(gumbel_seed=7)``) at the same
+corpus size — wall + features/sec, the planted-signal precision of the
+SAMPLE, and the out-of-engine reproducibility witness at scale: every
+row's ranking key is recomputed by the pure-Python XXH64+Gumbel
+reference (``gumbel_rank_key_py``) in a distributed pandas UDF, keys
+compared within 1e-9 (bitwise equality is impossible across JVM
+Math.log vs libm log), and the reference's OWN top-k flag set diffed
+against Spark's — both counts must be 0 for the seeded sample to be
+reproducible outside Spark at production scale, the same witness the
+``dsir_select_gumbel`` fixture query carries at 500 docs.
 """
 
 from __future__ import annotations
@@ -39,6 +51,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -74,8 +88,10 @@ def synthetic_corpus(spark, n: int, toks_per_doc: int = 48, parts: int = 64):
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    hash_fn = sys.argv[2] if len(sys.argv) > 2 else "md5"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    gumbel = "--gumbel" in sys.argv[1:]
+    n_docs = int(args[0]) if len(args) > 0 else 1_000_000
+    hash_fn = args[1] if len(args) > 1 else "md5"
     m = 65536
     spark = get_spark(app_name="selection-probe")
     results: dict[str, float | int | str] = {
@@ -140,6 +156,69 @@ def main() -> None:
         n_docs / results["serve_sec"] / 1e6, 3
     )
     results["classifier_accuracy"] = round(acc, 4)
+
+    # 4. (--gumbel) The resampling mode at scale + its out-of-engine
+    #    reproducibility witness (module docstring).
+    if gumbel:
+        t0 = time.time()
+        gsel = S.dsir_select(
+            docs, F.col("is_target"), k=k, m=m, bigrams=True,
+            hash_fn=hash_fn, gumbel_seed=7, emit_key=True,
+        ).cache()
+        n_gsel = gsel.filter("selected").count()
+        results["gumbel_sec"] = round(time.time() - t0, 2)
+        feats = 2 * 48 - 1
+        results["gumbel_mfeat_per_sec"] = round(
+            n_docs * feats / results["gumbel_sec"] / 1e6, 3
+        )
+        results["gumbel_selected"] = n_gsel
+        ghits = (
+            gsel.filter("selected")
+            .join(docs.select("doc_id", "is_target"), "doc_id")
+            .filter("is_target")
+            .count()
+        )
+        results["gumbel_target_precision"] = round(ghits / n_gsel, 4)
+
+        ref_fn = S.gumbel_rank_key_py
+
+        @F.pandas_udf("double")
+        def ref_key(doc_id: pd.Series, mean_milli: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    ref_fn(int(i), int(mm), 7)
+                    for i, mm in zip(doc_id, mean_milli)
+                ]
+            )
+
+        t0 = time.time()
+        keyed = gsel.withColumn(
+            "ref_key", ref_key("doc_id", "mean_milli")
+        ).localCheckpoint(eager=True)
+        key_diff = keyed.filter(
+            F.abs(F.col("rank_key") - F.col("ref_key")) > 1e-9
+        ).count()
+        # The reference's own top-k under the same (key, -id) total order
+        # — the TakeOrdered threshold trick, applied to the ref keys.
+        ranked = F.struct(
+            F.col("ref_key").alias("key"), (-F.col("doc_id")).alias("neg_id")
+        )
+        thr = (
+            keyed.select(ranked.alias("r"))
+            .orderBy(F.col("r").desc())
+            .limit(k)
+            .agg(F.min("r").alias("thr"))
+        )
+        flag_diff = (
+            keyed.crossJoin(F.broadcast(thr))
+            .filter((ranked >= F.col("thr")) != F.col("selected"))
+            .count()
+        )
+        results["gumbel_witness_sec"] = round(time.time() - t0, 2)
+        results["gumbel_key_diff_gt_1e9"] = key_diff
+        results["gumbel_flag_diff"] = flag_diff
+        assert key_diff == 0 and flag_diff == 0, (key_diff, flag_diff)
+        gsel.unpersist()
 
     docs.unpersist()
     print(json.dumps(results))

@@ -45,6 +45,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (  # noqa: E402
     get_spark,
 )
@@ -538,6 +540,92 @@ def _compaction_main(n_seed: int, n_batch: int, n_epochs: int = 16) -> None:
     print(json.dumps(results))
 
 
+def _steady_state_main(n_docs: int, n_batches: int) -> None:
+    """STEADY-STATE many-batch session probe (r10, VERDICT r9 next-round
+    #8): every recorded bloom number so far is one-arrival-per-session,
+    so the design's amortization claim (session setup ÷ N batches) had no
+    multi-batch datapoint.  One ``bloom_substring_stream`` session drains
+    the whole corpus as ``n_batches`` micro-batches
+    (``maxFilesPerTrigger=1`` over an ``n_batches``-file source),
+    recording per-batch wall (via the ``on_batch`` hook), the per-epoch
+    verify/row-group counters, and the Bloom state footprint
+    (``bloom_bytes`` / ``hist_grams``) — the claim under test: per-batch
+    cost is FLAT within a session (history grows, but the session's own
+    epochs answer session-novel grams and the Bloom screen keeps the
+    verify set proportional to true overlap), and state bytes grow
+    sub-linearly with drained grams.
+
+    Run: ``python scripts/substring_stream_probe.py [n_docs] [n_batches]
+    --steady-state`` (default 1,200,000 / 12).
+    """
+    spark = get_spark(app_name="substring-stream-probe-steady")
+    n_seed = n_docs // 2
+    results: dict = {
+        "form": "steady-state", "n_docs": n_docs, "n_seed": n_seed,
+        "n_batches": n_batches,
+    }
+    docs = boilerplate_docs(spark, n_docs)
+    schema = "doc_id long, text string"
+    tmp = tempfile.mkdtemp(prefix="substr_probe_ss_")
+    try:
+        src = f"{tmp}/src"
+        gram_d, s_d, ckpt = f"{tmp}/grams", f"{tmp}/stats", f"{tmp}/ckpt"
+        # Session 1 seeds the committed history (one drain over the first
+        # half), so session 2's batches exercise the FULL tier stack —
+        # Bloom screen over persisted bitmaps + row-group verify + session
+        # delta — not the fresh-store degenerate case.
+        docs.filter(F.col("doc_id") < n_seed).coalesce(8).write.parquet(
+            src
+        )
+        t0 = time.time()
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, s_d, ckpt, n=8
+        )
+        q.awaitTermination()
+        results["seed_session_sec"] = round(time.time() - t0, 2)
+
+        # Session 2: the second half as n_batches id-contiguous files,
+        # drained one file per micro-batch (the real ingest cadence).
+        docs.filter(F.col("doc_id") >= n_seed).repartitionByRange(
+            n_batches, "doc_id"
+        ).write.mode("append").parquet(src)
+        walls: list[float] = []
+        last = [time.time()]
+
+        def on_batch(epoch_id):
+            now = time.time()
+            walls.append(round(now - last[0], 2))
+            last[0] = now
+
+        metrics: dict = {}
+        t0 = time.time()
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, s_d, ckpt, n=8,
+            max_files_per_trigger=1, on_batch=on_batch, metrics=metrics,
+        )
+        q.awaitTermination()
+        results["session_sec"] = round(time.time() - t0, 2)
+        results["n_epochs"] = len(metrics)
+        results["per_batch_sec"] = walls
+        results["per_epoch"] = [
+            {
+                "epoch": e,
+                "batch_gks": m["batch_gks"],
+                "verify_gks": m["verify_gks"],
+                "rg_reads_total": m["rg_reads_total"],
+                "bloom_bytes": m["bloom_bytes"],
+                "hist_grams": m["hist_grams"],
+            }
+            for e, m in sorted(metrics.items())
+        ]
+        flagged = spark.read.parquet(s_d).filter("n_dup_grams > 0").count()
+        results["flagged"] = flagged
+        results["expected_flagged"] = n_docs // 10
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(results))
+
+
 def _auto_compact_main(n_sessions: int, n_batch: int) -> None:
     """UNATTENDED-compaction probe (r09, VERDICT r08 next-round #4 "Done"
     evidence): drive ``n_sessions`` single-arrival sessions into one
@@ -640,6 +728,10 @@ def main() -> None:
     if "--auto-compact" in sys.argv[1:]:
         _auto_compact_main(n_seed if len(args) > 0 else 8,
                            n_batch if len(args) > 1 else 30_000)
+        return
+    if "--steady-state" in sys.argv[1:]:
+        _steady_state_main(n_seed if len(args) > 0 else 1_200_000,
+                           n_batch if len(args) > 1 else 12)
         return
     spark = get_spark(app_name="substring-stream-probe")
     results: dict = {"n_seed": n_seed, "n_batch": n_batch}

@@ -1764,6 +1764,46 @@ class TestBloomSubstring:
         grams = spark.read.parquet(gram_d).select("gk").collect()
         assert len(grams) == len({r["gk"] for r in grams})
 
+    def test_many_batch_single_session_delta(self, spark, tmp_path):
+        """One UNINTERRUPTED session draining 4 micro-batches: from epoch
+        2 on, the session-delta probe reads MULTIPLE sibling epoch dirs —
+        which Spark's partition discovery refuses without a basePath
+        anchor ("conflicting directory structures", latent until r10's
+        steady-state probe because every earlier test/probe drained one
+        batch per session or resumed between batches).  Flags must come
+        out exactly as the batch semantics say."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+            substring as SB,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        span = "alpha beta gamma delta epsilon zeta eta theta"
+        for rows in [
+            [(10, f"{span} one")],
+            [(20, "nothing shared here at all truly unique words")],
+            [(30, f"prefix {span} suffix")],
+            [(40, f"{span} once more")],
+        ]:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        gram_d = str(tmp_path / "grams")
+        stats_d, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+        q = SB.bloom_substring_stream(
+            spark, src, schema, gram_d, stats_d, ckpt,
+            n=8, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        by_doc = {
+            r["doc_id"]: r["n_dup_grams"]
+            for r in spark.read.parquet(stats_d).collect()
+        }
+        # doc 30's span grams were registered by epoch 0 (doc 10) — at
+        # epoch 2 the delta probe reads epochs {0, 1}, two sibling dirs.
+        assert by_doc == {10: 0, 20: 0, 30: 1, 40: 1}
+
     def test_guards_shared_with_history_forms(self, spark, tmp_path):
         """Missing store behind a marked checkpoint and a brand-new
         checkpoint against a store with history both refuse loudly
