@@ -1199,9 +1199,18 @@ def curate_corpus_v2(
         F.col("n_words"),
     )
     terc = surprisal_tercile_buckets(gated, "text", "id")
+    # The gate+tercile survivor set feeds FIVE downstream consumers
+    # (fingerprint agg, kept join, pair graph, split join, survivor
+    # join); without a boundary each re-evaluates the scan + the
+    # interpreted Gopher HOF projection + the surprisal join.  One
+    # lazy localCheckpoint here measured 21.8 s -> 12.9 s for the whole
+    # pipeline at sf0.1 (A/B r10; also tried kept — materializing a
+    # second copy LOST ~1.5 s, so only this boundary ships).  The
+    # 100 TB analog is staging the gated corpus to storage between
+    # pipeline phases — which a real multi-job curation run does anyway.
     gated2 = gated.join(
         terc.filter(F.col("bucket") != F.lit("tail")), "id"
-    )
+    ).localCheckpoint(eager=False)
     keep = (
         gated2.select(X.fingerprint64("text").alias("fp"), "id")
         .groupBy("fp")

@@ -56,7 +56,83 @@ def synthetic_vectors(spark, n: int, dim: int = 64, parts: int = 32):
     )
 
 
+def _curation_v2_main(n_cur: int) -> None:
+    """Focused probe for the COMPOSED curation run at corpus scale (r10):
+    ``curate_corpus_v2(use_minhash=True)`` — gopher gate -> ccnet
+    terciles -> exact dedup -> banded pair graph shared by the
+    leakage-safe split and the near-dup drop -> DSIR top-5% — over an
+    N-doc corpus with 10% planted exact dups, ~1% planted near-dups
+    (3-gram Jaccard ~0.95), a df=N hot 5-gram prefix the banding's df
+    cap must drop, and 60-word docs (the Gopher word-count floor is 50;
+    the fixture-scale pipeline runs min_stops=0 and so does this —
+    synthetic word salad has one stop word, "the", in the hot prefix).
+
+    Run: ``python scripts/scale_probe.py [n_docs] --curation-v2``
+    (default 300,000).  Prints one JSON line, BASELINE.md-ready.
+    """
+    spark = get_spark(app_name="scale-probe-curation-v2")
+    results: dict = {"form": "curation-v2", "n_docs": n_cur}
+    n_base = int(n_cur * 0.9)
+    base = F.pmod(F.col("id"), F.lit(n_base))
+    near = F.when(F.pmod(base, F.lit(101)) == 100, base - 1).otherwise(base)
+    cur = spark.range(0, n_cur, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")]),
+            (F.pmod(base, F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.lit("the quick brown fox jumps "),  # hot prefix, df = n_cur
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(F.hash(near, F.lit(j)), F.lit(1_000_000)),
+                    )
+                    for j in range(54)
+                ],
+            ),
+            F.lit(" w"),
+            F.pmod(F.hash(base, F.lit(99)), F.lit(1_000_000)).cast("string"),
+        ).alias("text"),
+    )
+    # Materialize the synthetic corpus (as every probe section does): a
+    # real corpus is storage-backed; feeding the raw 54-expression
+    # generator tree instead lets CollapseProject inline the text
+    # construction into EVERY downstream token expression (measured 164 s
+    # for the tercile stage alone at 5k docs vs ~2 s cached — the probe
+    # would time expression re-evaluation, not the operator).
+    cur = cur.cache()
+    cur.count()
+    t0 = time.time()
+    out = D.curate_corpus_v2(
+        cur, min_stops=0, use_minhash=True, k_select=n_cur // 20
+    ).cache()
+    survivors = out.count()
+    results["wall_sec"] = round(time.time() - t0, 2)
+    results["survivors"] = survivors
+    results["kdoc_per_sec"] = round(n_cur / results["wall_sec"] / 1e3, 1)
+    results["selected"] = out.filter("selected").count()
+    results["split_distribution"] = {
+        r["split"]: r["c"]
+        for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    results["buckets"] = {
+        r["bucket"]: r["c"]
+        for r in out.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    }
+    results["max_exact_dups"] = out.agg(F.max("exact_dups")).first()[0]
+    results["max_near_dups"] = out.agg(F.max("near_dups")).first()[0]
+    out.unpersist()
+    print(json.dumps(results))
+
+
 def main() -> None:
+    if "--curation-v2" in sys.argv[1:]:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        _curation_v2_main(int(args[0]) if args else 300_000)
+        return
     n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_text = 10 * n_vec
     spark = get_spark(app_name="scale-probe")
