@@ -211,6 +211,8 @@ IDLE_BAND_SF01 = {
     "corpus_curation_pipeline": 9.08,
     "bloom_stream_arrival": 6.64,
     "ivfpq_search": 5.10,
+    # r10 member — idle A/B level at the post-checkpoint-boundary HEAD.
+    "curation_v2_pipeline": 12.9,
 }
 
 RETRY_TRIGGER = 1.5  # min > 1.5x band -> extra passes
