@@ -1019,7 +1019,14 @@ def curate_corpus(
         )
         .drop("fp")
     )
-    kept = gated.join(keep, "id")
+    # One lazy boundary on the exact-dedup survivors: they feed the pair
+    # graph AND the final anti-join, each otherwise re-running the scan +
+    # tokenize + fingerprint agg + join.  A/B at sf0.1 (r10): 9.0 s ->
+    # 4.2 s for the whole pipeline; a second boundary on `gated` adds
+    # nothing once this one exists.  (The v2 composition instead bounds
+    # the gate+tercile set — there the survivor copy LOST; which side of
+    # the dedup join to materialize depends on what's upstream.)
+    kept = gated.join(keep, "id").localCheckpoint(eager=False)
     if use_minhash:
         pairs = minhash_lsh_pairs(
             kept, "text", "id", n=3, threshold=jaccard_threshold,
