@@ -37,6 +37,8 @@ __all__ = [
     "hash_embedder",
     "retrying_embedder",
     "flaky_transport",
+    "http_transport",
+    "local_embedding_server",
 ]
 
 # Test-scale dim matches the fixtures' embeddings table (FIXTURES.md: dim 64
@@ -141,6 +143,107 @@ def retrying_embedder(
         return pd.DataFrame({"embedding": embs, "attempts": atts})
 
     return _embed
+
+
+def http_transport(url: str, dim: int | None = None, timeout_s: float = 10.0):
+    """A REAL network transport for :func:`retrying_embedder` (r10 —
+    closes SURVEY §7.4 item 2's "no vendor HTTP client" gap as far as a
+    sandbox can): one HTTP POST per attempt in the vendor embedding API's
+    wire shape — request ``{"input": <text>}``, response
+    ``{"data": [{"embedding": [...]}]}`` (the Azure OpenAI
+    ``text-embedding-ada-002`` call the reference makes,
+    Function.java:181-210) — stdlib ``urllib`` only, no SDK.
+
+    Raises on HTTP status / timeout / malformed body / wrong
+    dimension — exactly the failures the retry loop exists for, now
+    arriving through a real socket instead of an injected exception.
+    Point it at the vendor endpoint in production, or at
+    :func:`local_embedding_server` for a deterministic loopback twin
+    (the tests and the ``embed_http_pipeline`` driver query do).
+
+    The closure captures only the URL string, so the pandas UDF ships it
+    to executors intact; each Python worker opens its own connections
+    (no shared session state — retries are per-row, per-worker, exactly
+    like the reference's per-invocation HttpClient)."""
+
+    def transport(text: str, attempt: int) -> list[float]:
+        import json as _json
+        import urllib.request
+
+        if text is None:
+            raise ValueError("null text")
+        req = urllib.request.Request(
+            url,
+            data=_json.dumps({"input": text}).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = _json.loads(resp.read().decode("utf-8"))
+        emb = body["data"][0]["embedding"]
+        if dim is not None and len(emb) != dim:
+            raise ValueError(f"embedding dim {len(emb)} != expected {dim}")
+        return [float(x) for x in emb]
+
+    return transport
+
+
+def local_embedding_server(
+    dim: int = DEFAULT_DIM,
+    fail_first: int = 0,
+    transient_marker: str = "<<TRANSIENT>>",
+    fatal_marker: str = "<<FATAL>>",
+):
+    """Loopback stand-in for the vendor embeddings endpoint (stdlib
+    ``ThreadingHTTPServer``, daemon thread): answers the
+    :func:`http_transport` wire shape with the deterministic hash
+    embedding, so the whole retry/pacing/HTTP stack runs over a REAL
+    socket while results stay bit-reproducible.
+
+    Failure injection mirrors :func:`flaky_transport`, but as real HTTP
+    errors: texts containing ``fatal_marker`` always get 503; texts
+    containing ``transient_marker`` get 429 for their first
+    ``fail_first`` requests (counted per text, thread-safe) and the
+    hash embedding afterwards.
+
+    Returns ``(server, url)``; call ``server.shutdown()`` when done.
+    """
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    seen: dict[str, int] = {}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 — http.server API
+            n = int(self.headers.get("Content-Length", 0))
+            text = _json.loads(self.rfile.read(n).decode("utf-8"))["input"]
+            if fatal_marker in text:
+                self.send_error(503, "simulated terminal vendor failure")
+                return
+            if transient_marker in text:
+                with lock:
+                    seen[text] = seen.get(text, 0) + 1
+                    if seen[text] <= fail_first:
+                        self.send_error(429, "simulated rate limit")
+                        return
+            body = _json.dumps(
+                {"data": [{"embedding": hash_embed_py(text, dim)}]}
+            ).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # silence request logging
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/embeddings"
+    return server, url
 
 
 def flaky_transport(

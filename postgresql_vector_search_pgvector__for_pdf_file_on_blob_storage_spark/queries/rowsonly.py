@@ -449,6 +449,206 @@ def multimodal_framesample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id", "frame_idx")
     )
 
+@query("embed_http_roundtrip")
+def embed_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The network embedding transport, driver-visible over REAL sockets
+    (r10 — SURVEY §7.4 item 2, VERDICT r9 "missing" #2): executors POST
+    each text to a loopback twin of the vendor embeddings endpoint
+    (functions/embed.local_embedding_server — the Azure OpenAI wire
+    shape) through retrying_embedder + http_transport; marked texts get
+    real 429s for two attempts (retry-to-success) or 503 always
+    (terminal empty-embedding path, Function.java:207-209).
+
+    Witness columns (0 iff the HTTP path is faithful):
+    ``http_diff_rows`` — rows whose HTTP-fetched embedding differs from
+    the in-process deterministic hash embedding (or, for terminal
+    failures, is non-empty).  Expected attempts ride along per row."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 9)
+        .select("doc_id", "text")
+    )
+    marked = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat("text", F.lit(" <<TRANSIENT>>")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2, F.concat("text", F.lit(" <<FATAL>>"))
+        )
+        .otherwise(F.col("text")),
+    )
+    server, url = E.local_embedding_server(dim=16, fail_first=2)
+    try:
+        emb = E.retrying_embedder(
+            E.http_transport(url, dim=16), max_attempts=3, backoff_s=0.0
+        )
+        ref = E.hash_embedder(16)
+        scored = marked.select(
+            "doc_id",
+            emb("text").alias("e"),
+            ref("text").alias("ref_emb"),
+            (F.col("doc_id") % 3 == 2).alias("is_fatal"),
+        ).localCheckpoint(eager=True)  # materialize BEFORE server shutdown
+    finally:
+        server.shutdown()
+    bad = F.when(
+        F.col("is_fatal"), F.size(F.col("e.embedding")) != 0
+    ).otherwise(F.col("e.embedding") != F.col("ref_emb"))
+    n_bad = scored.filter(bad).count()
+    return (
+        scored.select(
+            "doc_id",
+            F.col("e.attempts").alias("attempts"),
+            F.size("e.embedding").alias("emb_len"),
+            "is_fatal",
+            F.lit(n_bad).cast("long").alias("http_diff_rows"),
+        )
+        .orderBy("doc_id")
+    )
+
+@query("sse_http_roundtrip")
+def sse_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTTP/SSE serving layer, driver-visible over REAL sockets (r10
+    — SURVEY §7.4 item 3, VERDICT r9 "missing" #3): the probe stream is
+    kNN-joined per micro-batch, executors POST the ordered event rows to
+    the loopback SSE gateway (streaming/serve.sse_http_server), and a
+    ``text/event-stream`` CLIENT reads each user's frames back —
+    create -> createLink -> addMessage per hit in relevance order, done
+    frame terminating the stream (SSEOpenAIController.java:96-133 made
+    literal).
+
+    Witness column ``batch_diff_rows``: symmetric bag difference between
+    what the SSE client READ (user, position, payload) and the batch
+    serving path's own ordered projection (batch_search -> sse_events,
+    sorted by the push contract's (rank, id, seq)) — 0 iff the gateway
+    delivered exactly the batch answer, in order, over HTTP."""
+    from .. import pipeline as P
+    from ..streaming import serve as SV
+
+    chunks = _ingested_chunks(spark, sf_dir)
+    probes = [
+        ("alice", "spark shuffle join vector search"),
+        ("bob", "embedding distance metric"),
+    ]
+    server, url = SV.sse_http_server(drain_timeout_s=1.0)
+    tmp = _gallery_scratch("sse_http_")
+    try:
+        spark.createDataFrame(
+            probes, "user_id string, query_text string"
+        ).write.parquet(f"{tmp}/src")
+        ps = spark.readStream.schema(
+            "user_id string, query_text string"
+        ).parquet(f"{tmp}/src")
+        SV.serve_push_stream(
+            ps, chunks, SV.http_push_sink_factory(url),
+            checkpoint=f"{tmp}/ckpt", k=3,
+        ).awaitTermination()
+        rows = []
+        for u, _ in probes:
+            for i, payload in enumerate(SV.read_sse_events(url, u)):
+                rows.append((u, i, payload))
+    finally:
+        server.shutdown()
+    got = spark.createDataFrame(
+        rows, "userId string, ord int, event_json string"
+    )
+    hits = SV.batch_search(
+        spark.createDataFrame(probes, "user_id string, query_text string"),
+        chunks,
+        k=3,
+    )
+    twin = P.sse_events(hits, user_col="user_id")
+    w = Window.partitionBy("userId").orderBy("rank", "id", "seq")
+    twin_ord = twin.select(
+        "userId",
+        (F.row_number().over(w) - 1).cast("int").alias("ord"),
+        "event_json",
+    )
+    diff = _bag_diff_count(got, twin_ord, ["userId", "ord", "event_json"])
+    return (
+        got.withColumn("batch_diff_rows", F.lit(diff).cast("long"))
+        .orderBy("userId", "ord")
+    )
+
+@query("blob_event_ingest")
+def blob_event_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blob-trigger connector, driver-visible (r10 — SURVEY §7.4
+    item 1, VERDICT r9 "missing" #1): ingest driven by Event-Grid-shaped
+    BlobCreated notifications (streaming/blobevents.py) instead of a
+    directory listing — events stream in, the ``.pdf`` suffix gate runs
+    on the SUBJECT before any fetch, blob bytes are fetched executor-side
+    (the storage-SDK seam), and a missing blob is isolated into the
+    fetch-failure log without failing the batch.
+
+    Witness columns: ``batch_diff_rows`` — bag difference between the
+    event-driven chunks (fileName, pageNumber, origntext) and the direct
+    binary-scan ingest of the same blob store (0 iff the two trigger
+    mechanisms produce identical rows); ``fetch_failed_rows`` — count of
+    isolated fetch failures (exactly 1, the planted ghost event)."""
+    import os as _os
+
+    from ..sources import binary as BIN
+    from ..streaming import blobevents as BE
+    from ..streaming import ingest as IG
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 6)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = _gallery_scratch("blobev_")
+    blobs = f"{tmp}/blobs"
+    _os.makedirs(blobs)
+    # three 2-page fake PDFs from fixture texts + one non-PDF
+    for i in range(3):
+        with open(f"{blobs}/doc{i}.pdf", "wb") as fh:
+            fh.write(
+                BIN.make_fake_pdf(
+                    [docs[2 * i]["text"], docs[2 * i + 1]["text"]]
+                )
+            )
+    with open(f"{blobs}/note.txt", "wb") as fh:
+        fh.write(b"not a pdf")
+    events_dir = f"{tmp}/events"
+    _os.makedirs(events_dir)
+    import json as _json
+
+    evs = [BE.make_blob_created_event("pdf", f"doc{i}.pdf") for i in range(3)]
+    evs.append(BE.make_blob_created_event("pdf", "note.txt"))
+    evs.append(BE.make_blob_created_event("pdf", "ghost.pdf"))
+    with open(f"{events_dir}/batch1.json", "w") as fh:
+        for e in evs:
+            fh.write(_json.dumps(e) + "\n")
+    chunks_out, status_out = f"{tmp}/chunks", f"{tmp}/status"
+    BE.blob_event_stream(
+        spark, events_dir, blobs, chunks_out, status_out, f"{tmp}/ckpt"
+    ).awaitTermination()
+
+    got = spark.read.parquet(chunks_out).select(
+        "fileName", "pageNumber", "origntext"
+    )
+    twin_chunks, _ = IG.ingest_batch(spark, blobs)
+    twin = twin_chunks.select(
+        F.element_at(F.split("fileName", "/"), -1).alias("fileName"),
+        "pageNumber",
+        "origntext",
+    )
+    diff = _bag_diff_count(got, twin, ["fileName", "pageNumber", "origntext"])
+    n_failed = spark.read.parquet(status_out + "_fetch_failures").count()
+    return (
+        got.select(
+            "fileName",
+            "pageNumber",
+            F.length("origntext").cast("long").alias("chunk_len"),
+            F.lit(diff).cast("long").alias("batch_diff_rows"),
+            F.lit(n_failed).cast("long").alias("fetch_failed_rows"),
+        )
+        .orderBy("fileName", "pageNumber", "chunk_len")
+    )
+
 @query("summarize_hits")
 def summarize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's per-hit summarization fan-out (SURVEY.md §2A row 29):

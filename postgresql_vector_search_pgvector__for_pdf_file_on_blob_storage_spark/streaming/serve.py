@@ -147,6 +147,145 @@ def serve_push_stream(
     return writer.start()
 
 
+def sse_http_server(drain_timeout_s: float = 2.0):
+    """A REAL ``text/event-stream`` gateway for :func:`serve_push_stream`
+    (r10 — closes SURVEY §7.4 item 3's "no web server" gap as far as a
+    sandbox can): the reference streams per-hit JSON events to the
+    browser over SSE (SSEOpenAIController.java:96-133, a per-user
+    ``Flux<String>``); this is the same surface on stdlib HTTP, two
+    endpoints:
+
+    - ``POST /push`` — executors deliver event lines
+      (``userId\\trank\\tseq\\tevent_json``, the serve_push_stream wire
+      format; one body may carry many newline-separated lines, order
+      preserved).  Events enqueue per user.
+    - ``GET /events?user=U`` — streams U's queued events as SSE frames
+      ``data: <event_json>\\n\\n`` in queue order (create → createLink →
+      addMessage per hit, ranks ascending — the order the push stream's
+      per-user sort guarantees).  When the queue stays empty for
+      ``drain_timeout_s`` the response ends with ``event: done`` — the
+      hermetic-test analog of the reference completing its Flux after
+      the last hit.
+
+    Executors and clients are separate PROCESSES, so both directions go
+    over real sockets — the same gateway topology a production
+    deployment has (executors -> gateway -> SSE clients), minus TLS and
+    auth.  Returns ``(server, url)``; ``server.shutdown()`` when done.
+    """
+    import queue as _queue
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    queues: dict[str, _queue.Queue] = {}
+    lock = threading.Lock()
+
+    def q_of(user: str) -> _queue.Queue:
+        with lock:
+            if user not in queues:
+                queues[user] = _queue.Queue()
+            return queues[user]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 — http.server API
+            if urlparse(self.path).path != "/push":
+                self.send_error(404)
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8")
+            for line in body.splitlines():
+                if not line:
+                    continue
+                user = line.split("\t", 1)[0]
+                q_of(user).put(line)
+            self.send_response(204)
+            self.end_headers()
+
+        def do_GET(self):  # noqa: N802
+            u = urlparse(self.path)
+            if u.path != "/events":
+                self.send_error(404)
+                return
+            user = parse_qs(u.query).get("user", [""])[0]
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            q = q_of(user)
+            while True:
+                try:
+                    line = q.get(timeout=drain_timeout_s)
+                except _queue.Empty:
+                    self.wfile.write(b"event: done\ndata: \n\n")
+                    self.wfile.flush()
+                    return
+                event_json = line.split("\t", 3)[3]
+                self.wfile.write(
+                    b"data: " + event_json.encode("utf-8") + b"\n\n"
+                )
+                self.wfile.flush()
+
+        def log_message(self, *args):  # silence request logging
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}"
+
+
+def http_push_sink_factory(base_url: str):
+    """``sink_factory`` for :func:`serve_push_stream` that delivers a
+    partition's event lines to the :func:`sse_http_server` gateway with
+    ONE ``POST /push`` per partition (lines buffered, order preserved —
+    per-user order is already guaranteed by the partition sort).  The
+    closure captures only the URL string, so executors pickle it
+    cleanly; each partition opens its own connection."""
+
+    def factory():
+        class _Sink:
+            def __init__(self):
+                self.lines: list[str] = []
+
+            def send(self, line: str) -> None:
+                self.lines.append(line)
+
+            def close(self) -> None:
+                if not self.lines:
+                    return
+                import urllib.request
+
+                req = urllib.request.Request(
+                    f"{base_url}/push",
+                    data="\n".join(self.lines).encode("utf-8"),
+                    method="POST",
+                )
+                urllib.request.urlopen(req, timeout=10.0).close()
+
+        return _Sink()
+
+    return factory
+
+
+def read_sse_events(base_url: str, user: str, timeout_s: float = 30.0):
+    """Minimal SSE client (stdlib): GET ``/events?user=`` and return the
+    list of ``data:`` payload strings up to the ``event: done`` frame —
+    what a browser's EventSource would observe, for tests and the driver
+    query."""
+    import urllib.request
+
+    out: list[str] = []
+    with urllib.request.urlopen(
+        f"{base_url}/events?user={user}", timeout=timeout_s
+    ) as resp:
+        for raw in resp:
+            line = raw.decode("utf-8").rstrip("\n")
+            if line.startswith("event: done"):
+                break
+            if line.startswith("data: ") and line != "data: ":
+                out.append(line[len("data: "):])
+    return out
+
+
 def serve_search_stream(
     probes_stream: DataFrame,
     chunks: DataFrame,
