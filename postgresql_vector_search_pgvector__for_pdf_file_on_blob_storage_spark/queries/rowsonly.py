@@ -707,15 +707,31 @@ def status_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ivf_ann_search")
 def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via the IVF index (SURVEY.md §2B B3) — opt-in scale
-    path; results are approximate so there is deliberately no SQL oracle
-    (recall vs exact is asserted in tests/test_ann.py)."""
+    path; results are approximate so there is deliberately no SQL oracle.
+    r10: the recall evidence is driver-visible, not just test-pinned —
+    every row carries ``exact_top5_hits``, the overlap between this
+    search's top-5 and the exact brute-force kNN's top-5 on the same
+    probe (5 = perfect recall at the fixture; tests pin the CI floor)."""
+    from ..operators import knn as KN
     from ..operators.ann import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    idx = IVFIndex(emb.filter(F.col("vec_id") != 0), k_clusters=8)
-    return idx.search(probe, k=5, nprobe=3).select(
+    items = emb.filter(F.col("vec_id") != 0)
+    idx = IVFIndex(items, k_clusters=8)
+    approx = idx.search(probe, k=5, nprobe=3).select(
         "vec_id", "label", F.round("dist", 4).alias("dist")
+    ).localCheckpoint(eager=True)
+    exact_ids = {
+        r["vec_id"]
+        for r in KN.knn(items, probe, k=5, tie_cols=("vec_id",)).collect()
+    }
+    hits = sum(
+        1 for r in approx.select("vec_id").collect()
+        if r["vec_id"] in exact_ids
+    )
+    return approx.withColumn(
+        "exact_top5_hits", F.lit(hits).cast("int")
     )
 
 @query("chunk_explode")
@@ -805,9 +821,24 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hash_tables=5,
     )
     cos_dist = F.col("dist") * F.col("dist") / 2
-    return (
+    lsh = (
         pairs.filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", F.round(cos_dist, 4).alias("cos_dist"))
+        .localCheckpoint(eager=True)
+    )
+    # r10: driver-visible recall witness — the pairs the bucketing missed
+    # (and, provably 0, any extra pairs: candidates are exact-verified)
+    # against the exact quadratic sibling.  The CI floor lives in
+    # tests/test_ann.py; the driver row now shows the actual gap.
+    exact = QUERIES["embedding_near_dup"](spark, sf_dir).select(
+        "left_id", "right_id"
+    )
+    keys = ["left_id", "right_id"]
+    missed = exact.join(lsh, keys, "left_anti").count()
+    extra = lsh.join(exact, keys, "left_anti").count()
+    return (
+        lsh.withColumn("missed_pairs", F.lit(missed).cast("long"))
+        .withColumn("extra_pairs", F.lit(extra).cast("long"))
         .orderBy("left_id", "right_id")
     )
 
