@@ -1,7 +1,11 @@
 """Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print the
+full result JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a compact
+{"metric": "bench_summary", ...} line as the LAST stdout line — the
+driver artifact keeps only the final 2,000 chars of stdout, so the
+summary line guarantees the headline/pipeline totals and loadavg context
+survive even when the full line is truncated (VERDICT r10 #4).
 """
 
 from __future__ import annotations
@@ -134,6 +138,11 @@ def _pipeline_queries() -> dict:
         "ivfpq_search": _q_ivfpq_search,
         # r10 member — NOT part of the r8/r9-comparable frozen seven.
         "curation_v2_pipeline": Q.QUERIES["curation_v2_pipeline"],
+        # r11 member — v3 composition: + span-strip stage and the live
+        # stop-word gate (deterministic overlay).  New name per the
+        # suite-growth rule; the 8-member total stays comparable via
+        # value_r10_members.
+        "curation_v3_pipeline": Q.QUERIES["curation_v3_pipeline"],
     }
 
 
@@ -148,6 +157,11 @@ PIPELINE_FROZEN_R9 = [
     "bloom_stream_arrival",
     "ivfpq_search",
 ]
+
+# The r10 8-member set (BENCH_r10-comparable; BASELINE.md band
+# 40.3–41.0 s) — the suite gained curation_v3_pipeline in r11, so this
+# subtotal keeps the r10 band meaningful.
+PIPELINE_FROZEN_R10 = PIPELINE_FROZEN_R9 + ["curation_v2_pipeline"]
 
 
 # ---------------------------------------------------------------------------
@@ -392,6 +406,15 @@ def main() -> None:
     ptotal_frozen = round(
         sum(ptimings[n] for n in PIPELINE_FROZEN_R9 if n in ptimings), 3
     )
+    ptotal_frozen_r10 = round(
+        sum(ptimings[n] for n in PIPELINE_FROZEN_R10 if n in ptimings), 3
+    )
+    load_end = _loadavg()
+    # over_band is only meaningful against the sf0.1 idle levels — an sf1
+    # run (a recorded BASELINE.md workflow) would otherwise flag nearly
+    # every query as a false regression (ADVICE r10, medium).
+    over = _over_band(timings) if use_band else {}
+    pover = _over_band(ptimings) if use_band else {}
     print(
         json.dumps(
             {
@@ -407,24 +430,58 @@ def main() -> None:
                 # BASELINE.md ("Reading BENCH_r{N}.json under contention").
                 "loadavg": {"start": load_start, "per_pass": loads,
                             "pipeline_per_pass": ploads,
-                            "end": _loadavg()},
+                            "end": load_end},
                 "samples": samples,
                 "retries": retries,
-                "over_band": _over_band(timings),
+                "over_band": over,
                 "pipeline_suite": {
                     "metric": "pipeline_suite_wall_clock",
                     "value": ptotal,
                     # Subtotal over the original frozen seven members —
                     # the number comparable to BENCH_r08/r09's
                     # pipeline_suite.value (the suite gained
-                    # curation_v2_pipeline in r10).
+                    # curation_v2_pipeline in r10, curation_v3 in r11).
                     "value_r9_members": ptotal_frozen,
+                    # The r10 8-member subtotal — comparable to the
+                    # BASELINE.md 40.3–41.0 s band.
+                    "value_r10_members": ptotal_frozen_r10,
                     "unit": "sec",
                     "queries": ptimings,
                     "samples": psamples,
                     "retries": pretries,
-                    "over_band": _over_band(ptimings),
+                    "over_band": pover,
                 },
+            }
+        )
+    )
+    # Compact one-line summary as the LAST stdout line (VERDICT r10 #4):
+    # the driver's artifact keeps only the final 2,000 chars of stdout,
+    # and BENCH_r10 lost its entire headline block to that cap (the full
+    # JSON above is ~4k chars).  This line is ~500 chars, so the tail
+    # ALWAYS retains the headline total, both pipeline totals, the
+    # loadavg context, and the over-band flags — enough to adjudicate
+    # contention vs regression without the full spreads.
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary",
+                "headline_sec": total,
+                "pipeline_sec": ptotal,
+                "pipeline_frozen7_sec": ptotal_frozen,
+                "pipeline_frozen8_sec": ptotal_frozen_r10,
+                "sf": sf,
+                "unit": "sec",
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
+                "retries_total": sum(retries.values())
+                + sum(pretries.values()),
+                "over_band_n": len(over) + len(pover),
+                "over_band_worst": dict(
+                    sorted(
+                        {**over, **pover}.items(),
+                        key=lambda kv: -kv[1],
+                    )[:6]
+                ),
             }
         )
     )

@@ -93,6 +93,12 @@ SUITES: dict[str, list[str]] = {
         # hyperplanes — buckets, candidate join, and exact verify all
         # bit-checked incl. which pairs the bucketing misses.
         "embedding_lsh_fixed_planes",
+        # r11: the COMPOSED IVFADC+R path (coarse assign -> residual PQ
+        # encode -> nprobe pruning -> residual-LUT ADC -> exact refine)
+        # with fixed formula centroids AND codebooks
+        # (IVFPQIndex.from_params) — ivfpq_search semantics no longer
+        # rest on rows-only + recall floors (VERDICT r10 #2).
+        "ivfpq_fixed_books",
     ],
     # reference listing / scalar-transform shapes over documents
     "doc_listing_suite": [
@@ -217,6 +223,12 @@ SUITES: dict[str, list[str]] = {
         # BOUNDARIES are oracle-checked, not just each operator
         # (operators/dedup.curate_corpus_v2, VERDICT r9 next-round #1).
         "curation_v2_pipeline",
+        # r11: the v3 composition — the Lee et al. span-strip stage live
+        # between exact dedup and the pair graph (cleaned text feeds the
+        # shingles/split/DSIR), and the Gopher stop-word rule live at
+        # min_stops=2 over a deterministic stop-word overlay (VERDICT
+        # r10 next-round #1 + #8).  Sibling of v2, not a replacement.
+        "curation_v3_pipeline",
     ],
     "tpch_suite_a": ["tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
                      "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
@@ -287,6 +299,12 @@ ROWS_ONLY_SUITES: dict[str, list[str]] = {
         # r07: the bounded-memory form — on-disk sorted runs, a
         # memory-capped Bloom screen, row-group point-lookup verify.
         "streaming_substring_bloom",
+        # r11: incremental CURATION maintenance — gate + fingerprint log
+        # + banded near-dup stores composed per arrival batch through
+        # the real stream; survivor view converges to
+        # curate_corpus(use_minhash=True, max_df=None) (witness
+        # batch_diff_rows — VERDICT r10 next-round #7).
+        "streaming_curation_maintenance",
     ],
     # r9: the Gumbel resampling mode with its numpy witness columns —
     # numpy_flag_diff_rows == 0 iff the seeded sample reproduces

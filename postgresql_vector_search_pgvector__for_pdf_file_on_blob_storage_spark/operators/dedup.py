@@ -970,6 +970,38 @@ def connected_components_star(
     ).select("node", F.coalesce("b", "node").alias("cluster"))
 
 
+def curation_v1_survivors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    min_tokens: int = 25,
+) -> DataFrame:
+    """The pre-checkpoint exact-dedup survivor subtree of
+    :func:`curate_corpus` (language/token gate -> 64-bit fingerprint agg
+    -> survivor join), exposed as its own function so the plan-signature
+    gate can pin the UPSTREAM stages: ``curate_corpus`` truncates lineage
+    at its ``localCheckpoint`` boundary, so its golden signature only
+    covers the post-boundary sub-plan (ADVICE r10)."""
+    gated = spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+        F.size(X.word_tokens(text_col)).cast("long").alias("n_tokens"),
+    ).filter(F.col("lang").isin(*langs) & (F.col("n_tokens") >= min_tokens))
+    keep = (
+        gated.select(X.fingerprint64("text").alias("fp"), "id")
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("id"),
+            F.count("*").cast("long").alias("exact_dups"),
+        )
+        .drop("fp")
+    )
+    return gated.join(keep, "id")
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -1004,21 +1036,6 @@ def curate_corpus(
     materialized — ``utils.log_observed_drops(observation)`` logs and
     returns it (no-silent-caps, checkable — VERDICT r02 #8).
     """
-    gated = spread(docs).select(
-        F.col(id_col).alias("id"),
-        F.col(lang_col).alias("lang"),
-        F.col(text_col).alias("text"),
-        F.size(X.word_tokens(text_col)).cast("long").alias("n_tokens"),
-    ).filter(F.col("lang").isin(*langs) & (F.col("n_tokens") >= min_tokens))
-    keep = (
-        gated.select(X.fingerprint64("text").alias("fp"), "id")
-        .groupBy("fp")
-        .agg(
-            F.min("id").alias("id"),
-            F.count("*").cast("long").alias("exact_dups"),
-        )
-        .drop("fp")
-    )
     # One lazy boundary on the exact-dedup survivors: they feed the pair
     # graph AND the final anti-join, each otherwise re-running the scan +
     # tokenize + fingerprint agg + join.  A/B at sf0.1 (r10): 9.0 s ->
@@ -1026,7 +1043,9 @@ def curate_corpus(
     # nothing once this one exists.  (The v2 composition instead bounds
     # the gate+tercile set — there the survivor copy LOST; which side of
     # the dedup join to materialize depends on what's upstream.)
-    kept = gated.join(keep, "id").localCheckpoint(eager=False)
+    kept = curation_v1_survivors(
+        docs, text_col, id_col, lang_col, langs, min_tokens
+    ).localCheckpoint(eager=False)
     if use_minhash:
         pairs = minhash_lsh_pairs(
             kept, "text", "id", n=3, threshold=jaccard_threshold,
@@ -1118,6 +1137,102 @@ def leakage_safe_split(
     )
 
 
+def curation_v2_gated(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_stops: int = 2,
+) -> DataFrame:
+    """The pre-checkpoint gate+tercile subtree of :func:`curate_corpus_v2`
+    (Gopher quality gate -> CCNet tercile join, ``tail`` dropped) —
+    exposed so the plan gate can pin these upstream stages, which the
+    composition's ``localCheckpoint`` boundary truncates out of its own
+    golden signature (ADVICE r10, same move as
+    :func:`curation_v1_survivors`)."""
+    from .textstats import gopher_quality_flags, surprisal_tercile_buckets
+
+    flags = gopher_quality_flags(
+        docs, text_col, id_col, keep_cols=(lang_col, text_col)
+    )
+    gate = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len_ppm").between(3_000_000, 10_000_000)
+        & (F.col("alpha_word_ppm") >= 800_000)
+        & (F.col("symbol_word_ppm") <= 100_000)
+        & (F.col("n_gopher_stops") >= int(min_stops))
+    )
+    gated = flags.filter(gate).select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+        F.col("n_words"),
+    )
+    terc = surprisal_tercile_buckets(gated, "text", "id")
+    return gated.join(terc.filter(F.col("bucket") != F.lit("tail")), "id")
+
+
+def curation_v2_kept(
+    gated2: DataFrame,
+    strip_spans: bool = False,
+    strip_n: int = 8,
+    strip_min_docs: int = 2,
+) -> DataFrame:
+    """Exact dedup + optional span strip over :func:`curation_v2_gated`'s
+    output — the middle section of :func:`curate_corpus_v2`, exposed as a
+    named function so the plan gate can pin it un-truncated (the
+    composition's two ``localCheckpoint`` boundaries otherwise hide this
+    whole stage from the final plan's golden signature).
+
+    With ``strip_spans=True``, applies the substring-level span strip
+    (Lee et al. 2022 — the second half of the paper, VERDICT r10 #1)
+    BETWEEN exact dedup and the pair graph: corpus-duplicated word
+    ``strip_n``-gram spans are cut out of the survivors, the word count
+    is recomputed over the cleaned text, and every later stage (near-dup
+    shingles, split, DSIR features) operates on the CLEANED text —
+    boilerplate that survived doc-level dedup can no longer glue
+    unrelated docs into one near-dup component or inflate selection
+    scores.  Same scale shape as :func:`strip_dup_ngrams` standalone:
+    one distinct (doc, gram-hash) exchange + doc-frequency agg; the span
+    cut is per-doc native array math.  Docs stripped to EMPTY text are
+    kept (they still carry their metadata row; a production run would
+    re-apply a length gate downstream — composing the gate twice here
+    would hide the stage's own output)."""
+    keep = (
+        gated2.select(X.fingerprint64("text").alias("fp"), "id")
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("id"),
+            F.count("*").cast("long").alias("exact_dups"),
+        )
+        .drop("fp")
+    )
+    kept = gated2.join(keep, "id")
+    if not strip_spans:
+        return kept.withColumn("stripped_tokens", F.lit(0).cast("long"))
+    stripped = strip_dup_ngrams(
+        kept, n=strip_n, text_col="text", id_col="id",
+        min_docs=strip_min_docs,
+    )
+    return (
+        kept.drop("text", "n_words")
+        .join(stripped, "id")
+        .select(
+            "id",
+            "lang",
+            F.col("clean_text").alias("text"),
+            (F.col("n_tokens") - F.col("n_removed_tokens"))
+            .cast("long").alias("n_words"),
+            "bits_per_token_ppm",
+            "bucket",
+            "exact_dups",
+            F.col("n_removed_tokens").cast("long").alias(
+                "stripped_tokens"
+            ),
+        )
+    )
+
+
 def curate_corpus_v2(
     docs: DataFrame,
     text_col: str = "text",
@@ -1130,6 +1245,9 @@ def curate_corpus_v2(
     k_select: int = 100,
     m_buckets: int = 1024,
     use_minhash: bool = False,
+    strip_spans: bool = False,
+    strip_n: int = 8,
+    strip_min_docs: int = 2,
     observation=None,
 ) -> DataFrame:
     """The composed pretraining-data curation pipeline a real corpus run
@@ -1148,6 +1266,14 @@ def curate_corpus_v2(
        drop the ``tail`` third, keep head+middle.
     3. **Exact dedup**: keep min id per 64-bit normalized-text
        fingerprint, count ``exact_dups``.  8-byte shuffle key.
+    3b. **Substring span strip** (``strip_spans=True`` — Lee et al. 2022,
+       :func:`strip_dup_ngrams`): corpus-duplicated word
+       ``strip_n``-gram spans are cut from the survivors and ``n_words``
+       is recounted over the cleaned text; all later stages see the
+       cleaned text.  Off by default so the v1-of-this-composition
+       (``curation_v2_pipeline``) stays bench-comparable; the
+       ``curation_v3_pipeline`` driver query runs it live with its own
+       chained-CTE oracle.
     4. **Near-dup pair graph, computed ONCE** (df-capped exact Jaccard,
        or MinHash+LSH banding with ``use_minhash=True`` — the 100 TB
        form) and consumed by BOTH remaining stages:
@@ -1163,8 +1289,9 @@ def curate_corpus_v2(
        survivors.
 
     Returns one row per surviving document: ``(id_col, lang, n_words,
-    bits_per_token_ppm, bucket, exact_dups, near_dups, split, n_feats,
-    score_bits, mean_milli, selected)``.  Every stage is individually
+    bits_per_token_ppm, bucket, exact_dups, stripped_tokens, near_dups,
+    split, n_feats, score_bits, mean_milli, selected)`` —
+    ``stripped_tokens`` is constant 0 when ``strip_spans=False``.  Every stage is individually
     oracle-verified (gopher_quality_flags / ccnet_perplexity_buckets /
     dedup_exact / jaccard_similar_pairs / leakage_safe_split /
     dsir_select); the ``curation_v2_pipeline`` driver query verifies the
@@ -1187,25 +1314,7 @@ def curate_corpus_v2(
     ``min_stops=0`` (the rule trivially true, the other four rules
     live) and says so."""
     from .selection import dsir_select as _dsir_select
-    from .textstats import gopher_quality_flags, surprisal_tercile_buckets
 
-    flags = gopher_quality_flags(
-        docs, text_col, id_col, keep_cols=(lang_col, text_col)
-    )
-    gate = (
-        F.col("n_words").between(50, 100_000)
-        & F.col("mean_word_len_ppm").between(3_000_000, 10_000_000)
-        & (F.col("alpha_word_ppm") >= 800_000)
-        & (F.col("symbol_word_ppm") <= 100_000)
-        & (F.col("n_gopher_stops") >= int(min_stops))
-    )
-    gated = flags.filter(gate).select(
-        F.col(id_col).alias("id"),
-        F.col(lang_col).alias("lang"),
-        F.col(text_col).alias("text"),
-        F.col("n_words"),
-    )
-    terc = surprisal_tercile_buckets(gated, "text", "id")
     # The gate+tercile survivor set feeds FIVE downstream consumers
     # (fingerprint agg, kept join, pair graph, split join, survivor
     # join); without a boundary each re-evaluates the scan + the
@@ -1215,19 +1324,10 @@ def curate_corpus_v2(
     # second copy LOST ~1.5 s, so only this boundary ships).  The
     # 100 TB analog is staging the gated corpus to storage between
     # pipeline phases — which a real multi-job curation run does anyway.
-    gated2 = gated.join(
-        terc.filter(F.col("bucket") != F.lit("tail")), "id"
+    gated2 = curation_v2_gated(
+        docs, text_col, id_col, lang_col, min_stops
     ).localCheckpoint(eager=False)
-    keep = (
-        gated2.select(X.fingerprint64("text").alias("fp"), "id")
-        .groupBy("fp")
-        .agg(
-            F.min("id").alias("id"),
-            F.count("*").cast("long").alias("exact_dups"),
-        )
-        .drop("fp")
-    )
-    kept = gated2.join(keep, "id")
+    kept = curation_v2_kept(gated2, strip_spans, strip_n, strip_min_docs)
     if use_minhash:
         pairs = minhash_lsh_pairs(
             kept, "text", "id", n=3, threshold=jaccard_threshold,
@@ -1264,6 +1364,7 @@ def curate_corpus_v2(
         "bits_per_token_ppm",
         "bucket",
         "exact_dups",
+        "stripped_tokens",
         "near_dups",
         "split",
         "n_feats",

@@ -779,6 +779,42 @@ class IVFPQIndex:
             self._residual_codes(resid).repartition("cluster_id").cache()
         )
 
+    @classmethod
+    def from_params(
+        cls,
+        items: DataFrame,
+        centroids,
+        books,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFPQIndex":
+        """Build the composed IVFADC layout from FIXED coarse centroids
+        and PQ sub-codebooks — no k-means anywhere, so the ENTIRE
+        coarse-assign -> residual-encode -> ADC-shortlist -> exact-refine
+        composition becomes deterministic and DuckDB-expressible.  The
+        ``IVFIndex.from_centroids`` x ``PQCodebook.from_books`` move
+        applied to the composition itself (VERDICT r10 #2); the
+        ``ivfpq_fixed_books`` oracle query is the consumer.  Also the
+        deserialization seam for externally-fitted parameters."""
+        self = cls.__new__(cls)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.base = None
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.pq = PQCodebook.from_books(books)
+        if self.pq.dim != self.centroids.shape[1]:
+            raise ValueError(
+                f"IVFPQIndex.from_params: books dim {self.pq.dim} !="
+                f" centroid dim {self.centroids.shape[1]}"
+            )
+        self.indexed = (
+            self._residual_codes(
+                self._residuals(self._assign(spread(items)))
+            )
+            .repartition("cluster_id")
+            .cache()
+        )
+        return self
+
     def _residuals(self, assigned: DataFrame) -> DataFrame:
         """Append ``__resid`` (vector minus its cluster centroid) to a
         table that already carries ``cluster_id`` — broadcast join with

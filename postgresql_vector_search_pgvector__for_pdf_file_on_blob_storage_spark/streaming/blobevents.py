@@ -22,8 +22,17 @@ feed itself.
   Event-Grid-to-storage capture path (or a Kafka topic of the same
   payloads) with zero code change.
 - **Trigger semantics**: the checkpointed file source gives exactly-once
-  EVENT processing — strictly stronger than the reference's
-  at-least-once trigger, same as ingest_stream's upgrade.
+  processing of each event FILE; duplicate BlobCreated deliveries — the
+  normal Event Grid at-least-once behavior, arriving as distinct event
+  rows — are deduplicated on blob NAME, both within a batch
+  (``dropDuplicates``) and across batches (anti-join against the
+  ingested-names log this stream maintains beside the status dir), so a
+  redelivered notification never re-ingests a blob.  The parquet appends
+  themselves are non-transactional: a crash BETWEEN the chunk write and
+  the names-log write replays the epoch and can double-append that
+  epoch's chunks (at-least-once on failure recovery, exactly-once in
+  steady state — the same contract as the reference's trigger, stated
+  honestly; ADVICE r10).
 - **Fetch**: blob bytes are read ON EXECUTORS inside ``mapInPandas``
   (one Python crossing per Arrow batch of events), from
   ``blobs_root/<name>`` — the sandbox stand-in for
@@ -126,12 +135,27 @@ def blob_event_stream(
         )
     events = reader.json(events_dir)
 
+    ingested_log = status_out.rstrip("/") + "_ingested"
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os as _os
+
         wanted = (
             batch_df.filter(F.col("eventType") == F.lit(BLOB_CREATED))
             .select(blob_name_from_subject(F.col("subject")).alias("path"))
             .filter(F.col("path").endswith(".pdf"))  # Function.java:83
+            # Event Grid is at-least-once: duplicate deliveries of the
+            # same BlobCreated arrive as distinct rows.  Dedupe on blob
+            # name within the batch, then against every name already
+            # ingested by a prior batch (the log is one tiny row per
+            # blob — a broadcast anti-join, never a scan of chunks_out).
+            .dropDuplicates(["path"])
         )
+        if _os.path.isdir(ingested_log):
+            seen = batch_df.sparkSession.read.parquet(ingested_log)
+            wanted = wanted.join(
+                F.broadcast(seen), "path", "left_anti"
+            )
         fetched = wanted.mapInPandas(
             _fetch_blobs(blobs_root), FETCHED_SCHEMA
         ).localCheckpoint(eager=True)  # fetch once; feeds two outputs
@@ -161,6 +185,14 @@ def blob_event_stream(
             fetch_status.write.mode("append").parquet(
                 status_out.rstrip("/") + "_fetch_failures"
             )
+        # Ingested-names log LAST: a crash before this point replays the
+        # epoch (at-least-once on recovery); once it lands, any future
+        # redelivery of these names anti-joins away.  Failed fetches are
+        # NOT logged as ingested — a redelivered event for a blob whose
+        # first fetch failed gets retried, matching the reference's
+        # per-invocation retry behavior.
+        if not ok.isEmpty():
+            ok.select("path").write.mode("append").parquet(ingested_log)
 
     return (
         events.writeStream.foreachBatch(process_batch)

@@ -271,11 +271,16 @@ def read_sse_events(base_url: str, user: str, timeout_s: float = 30.0):
     list of ``data:`` payload strings up to the ``event: done`` frame —
     what a browser's EventSource would observe, for tests and the driver
     query."""
+    import urllib.parse
     import urllib.request
 
     out: list[str] = []
+    # The server parses the query string with parse_qs, so a user id with
+    # spaces / '&' / non-ASCII must be percent-encoded here or the GET
+    # queries the wrong key (ADVICE r10).
     with urllib.request.urlopen(
-        f"{base_url}/events?user={user}", timeout=timeout_s
+        f"{base_url}/events?user={urllib.parse.quote(user, safe='')}",
+        timeout=timeout_s,
     ) as resp:
         for raw in resp:
             line = raw.decode("utf-8").rstrip("\n")

@@ -60,14 +60,25 @@ EXTRA = [
     # exact dedup -> shared pair graph -> leakage split + near-dup drop
     # -> DSIR) — the new pipeline-bench member gets the same plan gate.
     "curation_v2_pipeline",
+    # r11: the v3 composition (span strip + live stop-word gate).
+    "curation_v3_pipeline",
 ]
 
 
 def main() -> None:
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans.probes import (  # noqa: E402,E501
+        PLAN_PROBES,
+    )
+
     spark = get_spark(app_name="plan-goldens", cpus=8, driver_memory="8g")
     out: dict[str, dict[str, int]] = {}
     for name in list(bench.HEADLINE) + EXTRA:
         out[name] = E.plan_signature(Q.QUERIES[name](spark, SF_DIR))
+    # Plan-only pre-boundary probes (ADVICE r10): the localCheckpoint
+    # boundaries truncate the composed pipelines' signatures, so the
+    # upstream subtrees get their own golden entries.
+    for name, fn in PLAN_PROBES.items():
+        out[name] = E.plan_signature(fn(spark, SF_DIR))
     path = os.path.join(REPO, "tests", "golden_plans.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)

@@ -125,6 +125,55 @@ def _curation_v2_main(n_cur: int) -> None:
     results["max_exact_dups"] = out.agg(F.max("exact_dups")).first()[0]
     results["max_near_dups"] = out.agg(F.max("near_dups")).first()[0]
     out.unpersist()
+    # Per-stage wall breakdown (VERDICT r10 #6) so the NEXT bottleneck is
+    # named, not guessed: the same operator code paths the composition
+    # chains (the exposed subtree functions), each stage materialized via
+    # an EAGER localCheckpoint so the next stage's clock starts from a
+    # realized predecessor.  The composed run above keeps its lazy
+    # boundaries — its wall is the headline; these walls are diagnostic
+    # (their sum exceeds the composed wall exactly where the lazy
+    # boundaries dedupe work).
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators.selection import (  # noqa: E501
+        dsir_select,
+    )
+
+    stages: dict = {}
+    t = time.time()
+    g2 = D.curation_v2_gated(cur, min_stops=0).localCheckpoint(eager=True)
+    stages["gate_terciles_sec"] = round(time.time() - t, 2)
+    t = time.time()
+    kept = D.curation_v2_kept(g2).localCheckpoint(eager=True)
+    stages["exact_dedup_sec"] = round(time.time() - t, 2)
+    t = time.time()
+    pairs = D.minhash_lsh_pairs(
+        kept, "text", "id", n=3, threshold=0.8, max_df=5
+    ).localCheckpoint(eager=True)
+    stages["pair_graph_sec"] = round(time.time() - t, 2)
+    t = time.time()
+    assign = D.leakage_safe_split(kept, "text", "id", pairs=pairs)
+    csize = assign.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("near_dups")
+    )
+    surv = (
+        kept.join(assign, "id")
+        .filter(F.col("id") == F.col("cluster_rep"))
+        .join(csize, "cluster_rep")
+        .localCheckpoint(eager=True)
+    )
+    stages["split_drop_sec"] = round(time.time() - t, 2)
+    t = time.time()
+    sel = dsir_select(
+        surv.select("id", "lang", "text"),
+        F.col("lang") == F.lit("en"),
+        k=n_cur // 20,
+        m=1024,
+        text_col="text",
+        id_col="id",
+        bigrams=True,
+    )
+    stages["dsir_selected"] = sel.filter("selected").count()
+    stages["dsir_sec"] = round(time.time() - t, 2)
+    results["stage_walls"] = stages
     print(json.dumps(results))
 
 

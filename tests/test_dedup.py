@@ -421,9 +421,11 @@ def test_curate_corpus_v2_invariants(spark, sf_dir):
     assert rows, "curated corpus must be non-empty"
     assert [c for c, _ in out.dtypes] == [
         "doc_id", "lang", "n_words", "bits_per_token_ppm", "bucket",
-        "exact_dups", "near_dups", "split", "n_feats", "score_bits",
-        "mean_milli", "selected",
+        "exact_dups", "stripped_tokens", "near_dups", "split", "n_feats",
+        "score_bits", "mean_milli", "selected",
     ]
+    # strip_spans=False -> the witness column is constant 0.
+    assert all(r["stripped_tokens"] == 0 for r in rows)
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids)) and ids == sorted(ids)
     # Gate monotonicity: every survivor passes the four live Gopher rules
@@ -479,6 +481,58 @@ def test_curate_corpus_v2_invariants(spark, sf_dir):
     assert len(sel) == k
     order = sorted(rows, key=lambda r: (-r["mean_milli"], r["doc_id"]))
     assert {r["doc_id"] for r in sel} == {r["doc_id"] for r in order[:k]}
+
+
+def test_curation_v3_invariants(spark, sf_dir):
+    """The v3 composition (r11): the stop-word gate runs LIVE (every odd
+    doc_id — no overlay, zero fixture stop words — is gated out; every
+    survivor is even), the span-strip stage is non-vacuous and agrees
+    with the standalone oracle-verified operator run over the same
+    exact-dedup survivor set, and n_words is the post-strip recount.
+    The oracle entry (curation_v3_pipeline) pins exact values; this pins
+    the stage semantics against the standalone operators."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (
+        queries as Q,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as DD,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.queries.curation import (  # noqa: E501
+        _V3_OVERLAY,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    out = Q.QUERIES["curation_v3_pipeline"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "curated corpus must be non-empty"
+    # Stop-word gate live: the overlay only touches even ids, so odd ids
+    # (0 stop words < min_stops=2) cannot survive.
+    assert all(r["doc_id"] % 2 == 0 for r in rows)
+    # Strip stage non-vacuous on the fixture, and never negative.
+    assert all(r["stripped_tokens"] >= 0 for r in rows)
+    assert any(r["stripped_tokens"] > 0 for r in rows)
+    # Stage agreement: rebuild the pipeline's exact-dedup survivor set
+    # via the exposed subtree functions and run the STANDALONE
+    # (oracle-verified) strip operator over it — per-doc clean token
+    # counts must match the composition's n_words/stripped_tokens.
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(_V3_OVERLAY), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    kept = DD.curation_v2_kept(
+        DD.curation_v2_gated(docs, min_stops=2), strip_spans=True
+    )
+    got = {
+        r["id"]: (r["n_words"], r["stripped_tokens"])
+        for r in kept.select("id", "n_words", "stripped_tokens").collect()
+    }
+    for r in rows:
+        assert got[r["doc_id"]] == (r["n_words"], r["stripped_tokens"])
 
 
 def test_minhash_max_df_drops_boilerplate(spark):

@@ -126,7 +126,10 @@ def test_bench_pipeline_queries_resolve():
     import bench
 
     p = bench._pipeline_queries()
-    assert len(p) == 8  # frozen seven + curation_v2_pipeline (r10)
+    # frozen seven + curation_v2_pipeline (r10) + curation_v3 (r11)
+    assert len(p) == 9
     assert set(bench.PIPELINE_FROZEN_R9) < set(p)
     assert len(bench.PIPELINE_FROZEN_R9) == 7
+    assert set(bench.PIPELINE_FROZEN_R10) < set(p)
+    assert len(bench.PIPELINE_FROZEN_R10) == 8
     assert all(callable(f) for f in p.values())

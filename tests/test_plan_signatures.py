@@ -21,6 +21,9 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark impor
 from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans import (
     explain as E,
 )
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.plans.probes import (
+    PLAN_PROBES,
+)
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden_plans.json")
 
@@ -36,7 +39,8 @@ def test_plan_signature_matches_golden(spark, sf_dir, name):
     # the printed plan (InMemoryTableScan subtree), so signatures are
     # always taken from the fresh, unmaterialized state.
     Q.clear_ingest_cache()
-    got = E.plan_signature(Q.QUERIES[name](spark, sf_dir))
+    fn = PLAN_PROBES.get(name) or Q.QUERIES[name]
+    got = E.plan_signature(fn(spark, sf_dir))
     want = _goldens()[name]
     assert got == want, (
         f"{name}: plan shape changed.\n golden: {want}\n    got: {got}\n"

@@ -2471,3 +2471,118 @@ class TestBloomArtifacts:
             r["doc_id"]: r for r in spark.read.parquet(stats_d).collect()
         }
         assert got[900]["n_dup_grams"] == 5  # aside epoch's grams seen
+
+
+def test_curation_maintenance_converges_to_batch(spark, sf_dir, tmp_path):
+    """Incremental curation (streaming/curation.py, r11): after draining
+    the same corpus — in EITHER arrival order — the accepted-survivor
+    view equals curate_corpus(use_minhash=True, max_df=None) row for
+    row: the gate is stateless, min-id-per-fingerprint is a property of
+    the fingerprint-log SET, and the kept-kept restriction of the
+    incremental pair graph reproduces the batch operator's pair set
+    (per-doc MinHash signatures make banding pair-local)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as D,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        curation as SC,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    lo, hi = docs.filter(F.col("doc_id") <= mid), docs.filter(
+        F.col("doc_id") > mid
+    )
+    twin = {
+        (r["id"], r["lang"], r["n_tokens"], r["exact_dups"])
+        for r in D.curate_corpus(
+            docs, use_minhash=True, max_df=None
+        ).collect()
+    }
+    assert twin
+    for name, parts in {"fwd": [lo, hi], "rev": [hi, lo]}.items():
+        store = str(tmp_path / f"store_{name}")
+        for part in parts:
+            SC.curation_maintain_batch(part, store)
+        got = {
+            (r["id"], r["lang"], r["n_tokens"], r["exact_dups"])
+            for r in SC.curation_survivors(spark, store).collect()
+        }
+        assert got == twin, name
+
+
+def test_curation_maintenance_stream_replay_and_restart(spark, tmp_path):
+    """The real streaming path: two micro-batches (maxFilesPerTrigger=1)
+    into fresh stores, then a RESTART with one more arrival file — the
+    checkpoint skips processed files and the stores carry state, so the
+    survivor view reflects all three arrivals exactly once (epoch-keyed
+    store writes make replays idempotent, the neardup-store contract)."""
+    import os as _os
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as D,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        curation as SC,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+        "psi omega one two three four five six seven"
+    )
+    batches = [
+        [(1, "en", base), (2, "en", base)],                 # exact dup pair
+        [(10, "en", base + " extra"), (11, "de", base + " other tail")],
+        [(20, "en", "short"), (21, "fr", base + " extra indeed")],
+    ]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(i: int) -> None:
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            batches[i], "doc_id long, lang string, text string"
+        ).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in _os.listdir(stage) if f.endswith(".parquet")
+        )
+        _os.rename(f"{stage}/{part}", f"{src}/batch{i}.parquet")
+
+    add_file(0)
+    add_file(1)
+    SC.curation_maintenance_stream(
+        spark, src, "doc_id long, lang string, text string", store, ckpt,
+        max_files_per_trigger=1,
+    ).awaitTermination()
+    add_file(2)
+    SC.curation_maintenance_stream(
+        spark, src, "doc_id long, lang string, text string", store, ckpt,
+        max_files_per_trigger=1,
+    ).awaitTermination()
+
+    surv = {
+        (r["id"], r["exact_dups"])
+        for r in SC.curation_survivors(spark, store).collect()
+    }
+    # doc 2 is an exact dup of 1 (dropped, counted); 10/21 near-dup 1's
+    # cluster (dropped: 1 is the min-id representative); 11 survives (its
+    # tail differs enough only if jaccard < 0.8 — assert against the
+    # batch twin rather than hand-derived) ; 20 fails the token gate.
+    docs = spark.createDataFrame(
+        [r for b in batches for r in b],
+        "doc_id long, lang string, text string",
+    )
+    twin = {
+        (r["id"], r["exact_dups"])
+        for r in D.curate_corpus(
+            docs, use_minhash=True, max_df=None
+        ).collect()
+    }
+    assert surv == twin
+    assert (1, 2) in surv  # rep of the exact-dup pair, dup counted
+    assert all(i != 20 for i, _ in surv)  # gate
