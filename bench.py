@@ -195,7 +195,11 @@ IDLE_BAND_SF01 = {
     "knn_l2_top5": 0.25,
     "knn_cosine_top5": 0.24,
     "knn_join_l2": 0.61,
-    "flagship_rag_search": 1.13,
+    # r11: the in-row alt-path witness (VERDICT r10 #3) added two bounded
+    # collects (one native-kNN snapshot, one Arrow/NumPy-kNN pass) on top
+    # of the former 1.13 s level — measured min-of-3 2.46 s at sf0.1
+    # (loadavg ~7); intentional, not a regression.
+    "flagship_rag_search": 2.46,
     "tpch_q1_pricing_summary": 1.40,
     "tpch_q3_shipping_priority": 0.55,
     "tpch_q5_local_supplier_volume": 0.78,

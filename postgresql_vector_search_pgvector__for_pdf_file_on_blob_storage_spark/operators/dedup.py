@@ -1248,6 +1248,7 @@ def curate_corpus_v2(
     strip_spans: bool = False,
     strip_n: int = 8,
     strip_min_docs: int = 2,
+    checkpoint_kept: bool = False,
     observation=None,
 ) -> DataFrame:
     """The composed pretraining-data curation pipeline a real corpus run
@@ -1307,6 +1308,14 @@ def curate_corpus_v2(
     three times (AQE exchange reuse does not cross the TakeOrdered
     threshold branch).
 
+    ``checkpoint_kept=True`` adds a lazy boundary on the exact-dedup
+    survivor set — the corpus-scale setting (r11 3M probe: the composed
+    run otherwise pays ~2x its staged-eager stage sum re-evaluating that
+    subtree for the pair graph / split / surv consumers); off by default
+    because at fixture scale the copy measurably loses (~1.5 s at
+    sf0.1).  With ``strip_spans=True`` the boundary is always on (the
+    strip subtree tips the tradeoff at every scale measured).
+
     ``min_stops`` exists because the stop-word rule is corpus-specific:
     on non-English or synthetic corpora (the driver fixtures are
     multilingual token soup with zero English function words) the
@@ -1328,6 +1337,23 @@ def curate_corpus_v2(
         docs, text_col, id_col, lang_col, min_stops
     ).localCheckpoint(eager=False)
     kept = curation_v2_kept(gated2, strip_spans, strip_n, strip_min_docs)
+    if strip_spans or checkpoint_kept:
+        # The exact-dedup (+ optional strip) survivor set feeds the pair
+        # graph, the split join, and the surv join — WITHOUT a boundary
+        # each consumer re-runs the subtree past the gated2 checkpoint
+        # (fingerprint agg + join; with strip also the distinct-gram
+        # exchange + doc-frequency agg + span cut).  Measured:
+        # - strip path, sf0.1 (r11, loadavg ~5-8 both sides): min-of-3
+        #   21.4 s -> 17.5 s for curation_v3_pipeline — always on.
+        # - plain path: at sf0.1 the copy LOSES ~1.5 s (4.4k survivors —
+        #   the write costs more than the re-evaluations it saves), but
+        #   the r11 3M-doc probe's per-stage walls showed the composed
+        #   run paying ~2x its staged-eager sum to repeated kept
+        #   evaluation — ``checkpoint_kept=True`` is the corpus-scale
+        #   setting (the probe's recorded A/B in BASELINE.md); the
+        #   fixture default stays False so the bench rows remain
+        #   comparable and honest about the small-scale tradeoff.
+        kept = kept.localCheckpoint(eager=False)
     if use_minhash:
         pairs = minhash_lsh_pairs(
             kept, "text", "id", n=3, threshold=jaccard_threshold,

@@ -311,7 +311,14 @@ def sse_events(
         ),
     )
     ucol = F.col(user_col) if user_col else F.lit(user_id)
-    extra = [F.col("rank")] if "rank" in hits.columns else []
+    # rank (kNN relevance) and query_text (the submit) ride along when
+    # present so push sinks can deliver each SUBMIT's events contiguously
+    # in relevance order — the reference opens one Flux per POST /submit
+    # (SSEOpenAIController.java:96-133), so two concurrent queries from
+    # the same user are separate ordered streams, not an interleave.
+    extra = [
+        F.col(c) for c in ("rank", "query_text") if c in hits.columns
+    ]
     return hits.select(
         ucol.alias("userId"),
         *extra,

@@ -131,9 +131,18 @@ def serve_push_stream(
                 if sink is not None:
                     sink.close()
 
+        # Sort = (user, SUBMIT, rank, id, seq): each submit's events are
+        # contiguous and relevance-ordered within its user's connection —
+        # without query_text in the key, two concurrent same-user queries
+        # whose top-k overlap produce identical (rank, id, seq) tuples
+        # and the create/createLink/addMessage triples interleave
+        # (measured: 3/32 users at the r11 concurrency probe).  The
+        # reference has the same per-submit scope: one Flux per POST.
+        sort_cols = [c for c in ("userId", "query_text", "rank", "id", "seq")
+                     if c in events.columns]
         (
             events.repartition("userId")
-            .sortWithinPartitions("userId", "rank", "id", "seq")
+            .sortWithinPartitions(*sort_cols)
             .foreachPartition(push)
         )
 

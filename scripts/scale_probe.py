@@ -106,8 +106,13 @@ def _curation_v2_main(n_cur: int) -> None:
     cur = cur.cache()
     cur.count()
     t0 = time.time()
+    # checkpoint_kept=True is the corpus-scale setting: the r11 3M A/B
+    # (recorded in BASELINE.md) measured the composed run without it
+    # paying ~2x its staged-eager stage sum re-evaluating the exact-dedup
+    # survivor subtree for the pair-graph/split/surv consumers.
     out = D.curate_corpus_v2(
-        cur, min_stops=0, use_minhash=True, k_select=n_cur // 20
+        cur, min_stops=0, use_minhash=True, k_select=n_cur // 20,
+        checkpoint_kept=True,
     ).cache()
     survivors = out.count()
     results["wall_sec"] = round(time.time() - t0, 2)

@@ -483,6 +483,32 @@ def test_curate_corpus_v2_invariants(spark, sf_dir):
     assert {r["doc_id"] for r in sel} == {r["doc_id"] for r in order[:k]}
 
 
+def test_curate_corpus_v2_checkpoint_kept_is_pure_optimization(spark, sf_dir):
+    """``checkpoint_kept=True`` (the corpus-scale boundary, r11 3M A/B)
+    changes the execution plan only — the output must be bit-identical
+    to the default path."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as DD,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, DD.curate_corpus_v2(docs, min_stops=0).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            DD.curate_corpus_v2(
+                docs, min_stops=0, checkpoint_kept=True
+            ).collect(),
+        )
+    )
+    assert a == b and a
+
+
 def test_curation_v3_invariants(spark, sf_dir):
     """The v3 composition (r11): the stop-word gate runs LIVE (every odd
     doc_id — no overlay, zero fixture stop words — is gated out; every
