@@ -231,6 +231,9 @@ IDLE_BAND_SF01 = {
     "ivfpq_search": 5.10,
     # r10 member — idle A/B level at the post-checkpoint-boundary HEAD.
     "curation_v2_pipeline": 12.9,
+    # r11 member — first idle recording (bench run at the r11 HEAD,
+    # loadavg ~5, min-of-3).
+    "curation_v3_pipeline": 12.96,
 }
 
 RETRY_TRIGGER = 1.5  # min > 1.5x band -> extra passes

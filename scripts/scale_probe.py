@@ -56,7 +56,7 @@ def synthetic_vectors(spark, n: int, dim: int = 64, parts: int = 32):
     )
 
 
-def _curation_v2_main(n_cur: int) -> None:
+def _curation_v2_main(n_cur: int, strip_spans: bool = False) -> None:
     """Focused probe for the COMPOSED curation run at corpus scale (r10):
     ``curate_corpus_v2(use_minhash=True)`` — gopher gate -> ccnet
     terciles -> exact dedup -> banded pair graph shared by the
@@ -68,10 +68,16 @@ def _curation_v2_main(n_cur: int) -> None:
     synthetic word salad has one stop word, "the", in the hot prefix).
 
     Run: ``python scripts/scale_probe.py [n_docs] --curation-v2``
-    (default 300,000).  Prints one JSON line, BASELINE.md-ready.
+    (default 300,000).  ``--curation-v3`` additionally turns on the r11
+    span-strip stage (``strip_spans=True`` — corpus-duplicated 8-gram
+    spans cut between exact dedup and the pair graph; the hot prefix and
+    the planted near-dups guarantee the stage is non-vacuous at scale)
+    and reports stripped-token stats.  Prints one JSON line,
+    BASELINE.md-ready.
     """
     spark = get_spark(app_name="scale-probe-curation-v2")
-    results: dict = {"form": "curation-v2", "n_docs": n_cur}
+    form = "curation-v3" if strip_spans else "curation-v2"
+    results: dict = {"form": form, "n_docs": n_cur}
     n_base = int(n_cur * 0.9)
     base = F.pmod(F.col("id"), F.lit(n_base))
     near = F.when(F.pmod(base, F.lit(101)) == 100, base - 1).otherwise(base)
@@ -112,7 +118,7 @@ def _curation_v2_main(n_cur: int) -> None:
     # survivor subtree for the pair-graph/split/surv consumers.
     out = D.curate_corpus_v2(
         cur, min_stops=0, use_minhash=True, k_select=n_cur // 20,
-        checkpoint_kept=True,
+        checkpoint_kept=True, strip_spans=strip_spans,
     ).cache()
     survivors = out.count()
     results["wall_sec"] = round(time.time() - t0, 2)
@@ -129,6 +135,13 @@ def _curation_v2_main(n_cur: int) -> None:
     }
     results["max_exact_dups"] = out.agg(F.max("exact_dups")).first()[0]
     results["max_near_dups"] = out.agg(F.max("near_dups")).first()[0]
+    if strip_spans:
+        agg = out.agg(
+            F.sum("stripped_tokens").alias("s"),
+            F.count(F.when(F.col("stripped_tokens") > 0, 1)).alias("n"),
+        ).first()
+        results["stripped_tokens_total"] = int(agg["s"])
+        results["docs_with_strips"] = int(agg["n"])
     out.unpersist()
     # Per-stage wall breakdown (VERDICT r10 #6) so the NEXT bottleneck is
     # named, not guessed: the same operator code paths the composition
@@ -147,8 +160,13 @@ def _curation_v2_main(n_cur: int) -> None:
     g2 = D.curation_v2_gated(cur, min_stops=0).localCheckpoint(eager=True)
     stages["gate_terciles_sec"] = round(time.time() - t, 2)
     t = time.time()
-    kept = D.curation_v2_kept(g2).localCheckpoint(eager=True)
-    stages["exact_dedup_sec"] = round(time.time() - t, 2)
+    # strip mode: the diagnostic stage matches the composed form (dedup
+    # + span strip together — the curation_v2_kept unit).
+    kept = D.curation_v2_kept(g2, strip_spans=strip_spans).localCheckpoint(
+        eager=True
+    )
+    key = "dedup_strip_sec" if strip_spans else "exact_dedup_sec"
+    stages[key] = round(time.time() - t, 2)
     t = time.time()
     pairs = D.minhash_lsh_pairs(
         kept, "text", "id", n=3, threshold=0.8, max_df=5
@@ -183,9 +201,12 @@ def _curation_v2_main(n_cur: int) -> None:
 
 
 def main() -> None:
-    if "--curation-v2" in sys.argv[1:]:
+    if "--curation-v2" in sys.argv[1:] or "--curation-v3" in sys.argv[1:]:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
-        _curation_v2_main(int(args[0]) if args else 300_000)
+        _curation_v2_main(
+            int(args[0]) if args else 300_000,
+            strip_spans="--curation-v3" in sys.argv[1:],
+        )
         return
     n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_text = 10 * n_vec
