@@ -1249,6 +1249,7 @@ def curate_corpus_v2(
     strip_n: int = 8,
     strip_min_docs: int = 2,
     checkpoint_kept: bool = False,
+    dsir_hash: str = "md5",
     observation=None,
 ) -> DataFrame:
     """The composed pretraining-data curation pipeline a real corpus run
@@ -1374,6 +1375,14 @@ def curate_corpus_v2(
         .join(csize, "cluster_rep")
         .localCheckpoint(eager=False)
     )
+    # dsir_hash: the feature-string hash family.  "md5" (default) is the
+    # oracle-checkable family the fixture queries pin; at corpus scale
+    # the DSIR stage is HASH-BOUND (r11 10M diagnostic: 558 s ≈ 690M
+    # features at md5's ~1.2M feat/s/core-set) and "xx64" — the same
+    # engine-native family the selection probe records at 2.45M feat/s —
+    # roughly halves it.  Selection SEMANTICS are hash-family-independent
+    # (both are uniform bucket maps); only the exact bucket assignment
+    # differs, which is why the oracle pins one family.
     sel = _dsir_select(
         surv.select("id", "lang", "text"),
         F.col("lang") == F.lit(target_lang),
@@ -1382,6 +1391,7 @@ def curate_corpus_v2(
         text_col="text",
         id_col="id",
         bigrams=True,
+        hash_fn=dsir_hash,
     )
     return surv.join(sel, "id").select(
         F.col("id").alias(id_col),

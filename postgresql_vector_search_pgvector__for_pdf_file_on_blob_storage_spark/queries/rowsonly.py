@@ -189,7 +189,14 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` and embedded with the media hash-embedder in the SAME
     pass (a fused profile — decoding stats and embedding separately would
     ship every payload across the Python boundary twice).  Binary UDF
-    pipeline -> rows-only."""
+    pipeline -> rows-only.
+
+    r11 witness: ``ref_diff_rows`` — a bounded sample (32 ids) of the
+    fused mapInPandas output is recomputed IN PURE DRIVER PYTHON from
+    the same deterministic codec (encode -> decode -> shape/mean) and
+    disagreeing rows counted; constant 0 = the distributed decode path
+    reproduces outside the executors, the dsir_select_gumbel witness
+    convention applied to the last composed rows-only multimodal demo."""
     from ..sources import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -208,13 +215,31 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("synthetic").alias("source"), F.lit("fake").alias("codec")
         ).alias("meta"),
     )
-    return (
-        MM.image_profile(media, dim=16)
-        .select(
-            "media_id", "width", "height", "channels",
-            F.round("mean_pixel", 4).alias("mean_pixel"),
-            F.round(V.l2_norm("embedding"), 4).alias("emb_norm"),
+    out = MM.image_profile(media, dim=16).select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
+        F.round(V.l2_norm("embedding"), 4).alias("emb_norm"),
+    )
+    ref_diff = 0
+    for row in out.orderBy("media_id").limit(32).collect():
+        dec = MM.decode_fake_image(
+            MM.encode_fake_image(8, 8, 3, seed=int(row["media_id"]))
         )
+        assert dec is not None
+        w, h, c, px = dec
+        ok = (
+            row["width"] == w
+            and row["height"] == h
+            and row["channels"] == c
+            # half-a-rounding-step tolerance: Spark rounds HALF_UP,
+            # Python half-even — a mean landing exactly on a 1e-4/2
+            # boundary (possible: pixel sums over 2^6*3 values) differs
+            # by one rounding step between the conventions.
+            and abs(row["mean_pixel"] - float(px.mean())) <= 5.0001e-5
+        )
+        ref_diff += 0 if ok else 1
+    return (
+        out.withColumn("ref_diff_rows", F.lit(ref_diff).cast("long"))
         .orderBy("media_id")
     )
 

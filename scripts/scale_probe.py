@@ -116,9 +116,12 @@ def _curation_v2_main(n_cur: int, strip_spans: bool = False) -> None:
     # (recorded in BASELINE.md) measured the composed run without it
     # paying ~2x its staged-eager stage sum re-evaluating the exact-dedup
     # survivor subtree for the pair-graph/split/surv consumers.
+    # dsir_hash="xx64": at corpus scale the DSIR stage is hash-bound and
+    # xx64 (the engine-native family, 2.45M feat/s recorded) roughly
+    # halves it vs the oracle-checkable md5 default.
     out = D.curate_corpus_v2(
         cur, min_stops=0, use_minhash=True, k_select=n_cur // 20,
-        checkpoint_kept=True, strip_spans=strip_spans,
+        checkpoint_kept=True, strip_spans=strip_spans, dsir_hash="xx64",
     ).cache()
     survivors = out.count()
     results["wall_sec"] = round(time.time() - t0, 2)
@@ -193,6 +196,7 @@ def _curation_v2_main(n_cur: int, strip_spans: bool = False) -> None:
         text_col="text",
         id_col="id",
         bigrams=True,
+        hash_fn="xx64",
     )
     stages["dsir_selected"] = sel.filter("selected").count()
     stages["dsir_sec"] = round(time.time() - t, 2)

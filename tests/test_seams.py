@@ -85,7 +85,13 @@ def test_sse_http_gateway_end_to_end(spark, sf_dir, tmp_path):
         chunks, _ = P.ingest_documents(docs)
         probes_src = str(tmp_path / "probes_src")
         spark.createDataFrame(
-            [("alice", "spark vector search"), ("bob", "join shuffle")],
+            [
+                ("alice", "spark vector search"),
+                ("bob", "join shuffle"),
+                # hostile user id: the SSE client must percent-encode it
+                # or the GET queries the wrong key (ADVICE r10)
+                ("eve & mallory?=x", "parquet scan"),
+            ],
             "user_id string, query_text string",
         ).write.parquet(probes_src)
         probes_stream = spark.readStream.schema(
@@ -99,7 +105,7 @@ def test_sse_http_gateway_end_to_end(spark, sf_dir, tmp_path):
             k=3,
         )
         q.awaitTermination()
-        for user in ("alice", "bob"):
+        for user in ("alice", "bob", "eve & mallory?=x"):
             payloads = SV.read_sse_events(url, user)
             assert len(payloads) == 9, user  # 3 hits x 3 event types
             types = [json.loads(p)["type"] for p in payloads]
