@@ -231,8 +231,10 @@ IDLE_BAND_SF01 = {
     "ivfpq_search": 5.10,
     # r10 member — idle A/B level at the post-checkpoint-boundary HEAD.
     "curation_v2_pipeline": 12.9,
-    # r11 member — first idle recording (bench run at the r11 HEAD,
-    # loadavg ~5, min-of-3).
+    # r11 member — band pinned r12 from the two r11 datapoints per the
+    # r10/r11 convention: builder idle run 12.96 s (loadavg ~5,
+    # min-of-3) and the BENCH_r11 driver run 13.49 s → band
+    # 12.96–13.49 s (BASELINE.md).  Level = the idle floor.
     "curation_v3_pipeline": 12.96,
 }
 
