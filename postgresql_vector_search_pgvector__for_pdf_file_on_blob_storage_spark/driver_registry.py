@@ -305,6 +305,13 @@ ROWS_ONLY_SUITES: dict[str, list[str]] = {
         # curate_corpus(use_minhash=True, max_df=None) (witness
         # batch_diff_rows — VERDICT r10 next-round #7).
         "streaming_curation_maintenance",
+        # r12: V2 maintenance — the corpus-stat stages too (tercile LM
+        # from per-epoch token-frequency partials, DSIR from per-doc
+        # bucket stores, leakage-safe split) composed per arrival batch;
+        # survivor+selection view converges to curate_corpus_v2(
+        # min_stops=0, use_minhash=True, max_df=None) on all 13 columns
+        # (witness batch_diff_rows — VERDICT r11 next-round #1).
+        "streaming_curation_v2_maintenance",
     ],
     # r9: the Gumbel resampling mode with its numpy witness columns —
     # numpy_flag_diff_rows == 0 iff the seeded sample reproduces

@@ -1150,7 +1150,27 @@ def curation_v2_gated(
     composition's ``localCheckpoint`` boundary truncates out of its own
     golden signature (ADVICE r10, same move as
     :func:`curation_v1_survivors`)."""
-    from .textstats import gopher_quality_flags, surprisal_tercile_buckets
+    from .textstats import surprisal_tercile_buckets
+
+    gated = curation_v2_gate(docs, text_col, id_col, lang_col, min_stops)
+    terc = surprisal_tercile_buckets(gated, "text", "id")
+    return gated.join(terc.filter(F.col("bucket") != F.lit("tail")), "id")
+
+
+def curation_v2_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_stops: int = 2,
+) -> DataFrame:
+    """The Gopher quality gate alone — the PURE per-document first stage
+    of :func:`curate_corpus_v2`, normalized to ``(id, lang, text,
+    n_words)``.  Factored out (r12) so the incremental curation stream
+    (streaming/curation.py) gates arrival batches with the IDENTICAL
+    predicates: the gate is per-doc pure, so the gated set is
+    append-only under arrival and stream == batch by construction."""
+    from .textstats import gopher_quality_flags
 
     flags = gopher_quality_flags(
         docs, text_col, id_col, keep_cols=(lang_col, text_col)
@@ -1162,14 +1182,12 @@ def curation_v2_gated(
         & (F.col("symbol_word_ppm") <= 100_000)
         & (F.col("n_gopher_stops") >= int(min_stops))
     )
-    gated = flags.filter(gate).select(
+    return flags.filter(gate).select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
         F.col(text_col).alias("text"),
         F.col("n_words"),
     )
-    terc = surprisal_tercile_buckets(gated, "text", "id")
-    return gated.join(terc.filter(F.col("bucket") != F.lit("tail")), "id")
 
 
 def curation_v2_kept(
@@ -1233,6 +1251,69 @@ def curation_v2_kept(
     )
 
 
+# checkpoint_kept size-dispatch thresholds (VERDICT r11 #5).  The A/B
+# evidence: off wins ~1.5 s at sf0.1 (5k docs) and still wins at sf1
+# (50k); on is measured -30% at 3M docs (BASELINE.md r11).  1M sits at
+# the scale where the r11 probes first showed repeated-kept evaluation
+# dominating the composed wall; the byte twin assumes the probes'
+# ~500 B/doc synthetic rows.
+CHECKPOINT_KEPT_MIN_DOCS = 1_000_000
+CHECKPOINT_KEPT_MIN_BYTES = 512 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's ``sizeInBytes`` estimate for ``df`` — the zero-action
+    size signal the ``checkpoint_kept`` auto-dispatch reads (file size
+    for scans, accurate in-memory size for cached inputs).  ``None``
+    when the JVM internals are unreachable (the dispatch then keeps the
+    fixture-honest False)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+def _stage_table(spark, root: str, name: str, build) -> DataFrame:
+    """One boundary of the STAGED composed pipeline (VERDICT r11 #2):
+    materialize ``build()`` as the parquet stage table ``<root>/<name>``
+    — unless a COMPLETED table (``_SUCCESS`` marker) is already there,
+    in which case ``build`` is never even CALLED (the tercile and
+    selection stages run driver-side folds at DataFrame-construction
+    time, so skipping must skip construction, not just execution) — and
+    return a scan of the table.  A run killed between stages leaves its
+    finished stages' tables complete and at most one torn directory (no
+    ``_SUCCESS``; overwritten on resume), so re-invoking with the same
+    ``staged_root`` resumes from the first unfinished stage and pays
+    only the remaining-stage cost.  The Hadoop ``FileSystem`` API keeps
+    the check scheme-agnostic (file://, hdfs://, s3a://, abfss://) —
+    this is the multi-job form a 100 TB curation run needs where the
+    session-lifetime ``localCheckpoint`` boundaries die with the JVM."""
+    path = f"{root.rstrip('/')}/{name}"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _resolve_checkpoint_kept(
+    docs: DataFrame, checkpoint_kept: bool | None, n_docs: int | None
+) -> bool:
+    """The ``checkpoint_kept`` auto-dispatch: an explicit bool wins; a
+    caller-supplied ``n_docs`` size contract is next (zero actions, the
+    similarity_join ``sizes=`` precedent); else the Catalyst byte
+    estimate.  Unit-tested directly in tests/test_dedup.py."""
+    if checkpoint_kept is not None:
+        return bool(checkpoint_kept)
+    if n_docs is not None:
+        return int(n_docs) >= CHECKPOINT_KEPT_MIN_DOCS
+    sz = _plan_size_bytes(docs)
+    return sz is not None and sz >= CHECKPOINT_KEPT_MIN_BYTES
+
+
 def curate_corpus_v2(
     docs: DataFrame,
     text_col: str = "text",
@@ -1248,8 +1329,10 @@ def curate_corpus_v2(
     strip_spans: bool = False,
     strip_n: int = 8,
     strip_min_docs: int = 2,
-    checkpoint_kept: bool = False,
+    checkpoint_kept: bool | None = None,
+    n_docs: int | None = None,
     dsir_hash: str = "md5",
+    staged_root: str | None = None,
     observation=None,
 ) -> DataFrame:
     """The composed pretraining-data curation pipeline a real corpus run
@@ -1312,18 +1395,46 @@ def curate_corpus_v2(
     ``checkpoint_kept=True`` adds a lazy boundary on the exact-dedup
     survivor set — the corpus-scale setting (r11 3M probe: the composed
     run otherwise pays ~2x its staged-eager stage sum re-evaluating that
-    subtree for the pair graph / split / surv consumers); off by default
-    because at fixture scale the copy measurably loses (~1.5 s at
-    sf0.1).  With ``strip_spans=True`` the boundary is always on (the
-    strip subtree tips the tradeoff at every scale measured).
+    subtree for the pair graph / split / surv consumers); at fixture
+    scale the copy measurably loses (~1.5 s at sf0.1).  The default
+    ``None`` SIZE-DISPATCHES it (VERDICT r11 #5, the similarity_join
+    ``sizes=`` precedent): callers that know the corpus size pass
+    ``n_docs`` and the boundary auto-enables at
+    ``CHECKPOINT_KEPT_MIN_DOCS`` (1M — between the sf1 50k where off
+    still wins and the 3M where on is measured -30%); otherwise a
+    ZERO-action Catalyst ``sizeInBytes`` estimate of ``docs`` stands in
+    at ``CHECKPOINT_KEPT_MIN_BYTES`` (512 MiB ≈ 1M docs at the probes'
+    ~500 B/doc).  Fixture queries (sf0.1, ~5 MB) dispatch to off —
+    bench rows unchanged; the corpus probes dispatch to on.  With
+    ``strip_spans=True`` the boundary is always on (the strip subtree
+    tips the tradeoff at every scale measured).
 
     ``min_stops`` exists because the stop-word rule is corpus-specific:
     on non-English or synthetic corpora (the driver fixtures are
     multilingual token soup with zero English function words) the
     faithful ``>= 2`` keeps nothing; the fixture query runs
     ``min_stops=0`` (the rule trivially true, the other four rules
-    live) and says so."""
+    live) and says so.
+
+    ``staged_root`` (VERDICT r11 #2) switches every boundary from a
+    session-lifetime ``localCheckpoint`` to a PERSISTED parquet stage
+    table (``<root>/{gated2,kept,pairs,surv}``) with skip-if-present
+    resume: a run killed between stages is re-invoked with the same
+    root and recomputes only the unfinished stages (see
+    :func:`_stage_table`) — the multi-job form a corpus-scale curation
+    run needs, bit-identical to the in-session form (pinned in
+    tests/test_dedup.py).  The ``checkpoint_kept`` knob is moot in this
+    mode (stage tables ARE durable boundaries)."""
     from .selection import dsir_select as _dsir_select
+
+    if staged_root is not None:
+        return _curate_corpus_v2_staged(
+            docs, text_col, id_col, lang_col, target_lang, min_stops,
+            jaccard_threshold, max_df, k_select, m_buckets, use_minhash,
+            strip_spans, strip_n, strip_min_docs, dsir_hash, staged_root,
+            observation,
+        )
+    checkpoint_kept = _resolve_checkpoint_kept(docs, checkpoint_kept, n_docs)
 
     # The gate+tercile survivor set feeds FIVE downstream consumers
     # (fingerprint agg, kept join, pair graph, split join, survivor
@@ -1383,6 +1494,93 @@ def curate_corpus_v2(
     # roughly halves it.  Selection SEMANTICS are hash-family-independent
     # (both are uniform bucket maps); only the exact bucket assignment
     # differs, which is why the oracle pins one family.
+    sel = _dsir_select(
+        surv.select("id", "lang", "text"),
+        F.col("lang") == F.lit(target_lang),
+        k=k_select,
+        m=m_buckets,
+        text_col="text",
+        id_col="id",
+        bigrams=True,
+        hash_fn=dsir_hash,
+    )
+    return surv.join(sel, "id").select(
+        F.col("id").alias(id_col),
+        "lang",
+        "n_words",
+        "bits_per_token_ppm",
+        "bucket",
+        "exact_dups",
+        "stripped_tokens",
+        "near_dups",
+        "split",
+        "n_feats",
+        "score_bits",
+        "mean_milli",
+        "selected",
+    )
+
+
+def _curate_corpus_v2_staged(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    target_lang: str,
+    min_stops: int,
+    jaccard_threshold: float,
+    max_df: int | None,
+    k_select: int,
+    m_buckets: int,
+    use_minhash: bool,
+    strip_spans: bool,
+    strip_n: int,
+    strip_min_docs: int,
+    dsir_hash: str,
+    staged_root: str,
+    observation,
+) -> DataFrame:
+    """The resumable multi-job form of :func:`curate_corpus_v2` — the
+    SAME stage operators in the SAME order, with every boundary a
+    persisted parquet stage table instead of a ``localCheckpoint``
+    (:func:`_stage_table`: skip-if-``_SUCCESS`` resume, the build thunk
+    never constructed for a finished stage).  Stage list = the four
+    subtrees the in-session form already boundaries (gated2, kept,
+    pairs, surv); the final DSIR join is the returned result, not a
+    stage.  Bit-identity with the in-session form and kill-between-
+    stages resume are pinned in tests/test_dedup.py."""
+    from .selection import dsir_select as _dsir_select
+
+    spark = docs.sparkSession
+    gated2 = _stage_table(
+        spark, staged_root, "gated2",
+        lambda: curation_v2_gated(docs, text_col, id_col, lang_col, min_stops),
+    )
+    kept = _stage_table(
+        spark, staged_root, "kept",
+        lambda: curation_v2_kept(gated2, strip_spans, strip_n, strip_min_docs),
+    )
+    pair_fn = minhash_lsh_pairs if use_minhash else jaccard_pairs
+    pairs = _stage_table(
+        spark, staged_root, "pairs",
+        lambda: pair_fn(
+            kept, "text", "id", n=3, threshold=jaccard_threshold,
+            max_df=max_df, observation=observation,
+        ),
+    )
+
+    def _build_surv() -> DataFrame:
+        assign = leakage_safe_split(kept, "text", "id", pairs=pairs)
+        csize = assign.groupBy("cluster_rep").agg(
+            F.count("*").cast("long").alias("near_dups")
+        )
+        return (
+            kept.join(assign, "id")
+            .filter(F.col("id") == F.col("cluster_rep"))
+            .join(csize, "cluster_rep")
+        )
+
+    surv = _stage_table(spark, staged_root, "surv", _build_surv)
     sel = _dsir_select(
         surv.select("id", "lang", "text"),
         F.col("lang") == F.lit(target_lang),

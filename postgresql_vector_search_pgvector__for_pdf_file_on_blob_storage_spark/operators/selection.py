@@ -278,6 +278,114 @@ def cross_entropy_diff_scores(
     )
 
 
+def doc_feature_buckets(
+    df: DataFrame,
+    m: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-document hashed-feature bucket counts ``(id, bucket, cnt)`` —
+    a PURE per-doc function of the text (the same tokenizer / bigram
+    fold / bucket hash as :func:`cross_entropy_diff_scores`), exposed
+    (r12) as the arrival-time DSIR partial the incremental curation
+    stream appends per epoch: featurize+hash — the corpus-scale cost —
+    is paid ONCE when a document arrives, and the survivor-restricted
+    bucket LMs are then sums over these rows at view time
+    (:func:`cross_entropy_diff_scores_from_buckets`).  One (id, bucket)
+    exchange per batch — batch-sized, never corpus-sized."""
+    occ = _exploded_features(df, m, text_col, id_col, bigrams, None, hash_fn)
+    return occ.groupBy("id", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cross_entropy_diff_scores_from_buckets(
+    doc_buckets: DataFrame,
+    base_ids: DataFrame,
+    m: int = 1024,
+) -> DataFrame:
+    """:func:`cross_entropy_diff_scores` recomputed from STORED per-doc
+    bucket counts instead of raw text — the incremental curation view's
+    DSIR stage (r12, VERDICT r11 #1).  ``doc_buckets`` carries
+    ``(id, is_t, bucket, cnt)`` (``cnt`` = occurrences of the bucket in
+    the doc — sums over these rows equal sums over occurrences, the
+    ``_exploded_features`` identity); ``base_ids`` is one ``(id)`` row
+    per scored document (docs with zero features score 0, exactly the
+    batch operator's left-join convention).  Every arithmetic step —
+    add-one whole-bit surprisal delta on BIGINTs, the single
+    double-multiply/divide/floor for ``mean_milli`` — is the IDENTICAL
+    op sequence, so the output is bit-for-bit the batch operator's on
+    the same corpus."""
+    bucket = doc_buckets.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+        F.sum("cnt").alias("cs"),
+    )
+    tot = bucket.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
+    delta = bucket.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            _whole_bits(f"(ts + {int(m)})", "(cs + 1)")
+            - _whole_bits(f"(tt + {int(m)})", "(ct + 1)")
+        ).alias("d"),
+    )
+    per = (
+        doc_buckets.join(F.broadcast(delta), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("d")).alias("score_bits"),
+        )
+    )
+    out = base_ids.select("id").join(per, "id", "left").select(
+        "id",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("score_bits", F.lit(0)).cast("long").alias("score_bits"),
+    )
+    return out.withColumn(
+        "mean_milli",
+        F.when(
+            F.col("n_feats") > 0,
+            F.floor(
+                F.col("score_bits").cast("double")
+                * F.lit(1000.0)
+                / F.col("n_feats").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def topk_flag(
+    scores: DataFrame, rank_key, k: int, id_col: str
+) -> DataFrame:
+    """The windowless top-k ``selected`` flag of :func:`dsir_select`
+    (TakeOrderedAndProject threshold -> broadcast -> tuple compare; see
+    dsir_select's docstring for why this is exact and global-window-
+    free), extracted (r12) so the incremental curation view flags its
+    selection with the IDENTICAL mechanism — one implementation, two
+    callers."""
+    ranked = F.struct(
+        rank_key.alias("key"), (-F.col(id_col)).alias("neg_id")
+    )
+    thr = (
+        scores.select(ranked.alias("r"))
+        .orderBy(F.col("r").desc())
+        .limit(int(k))
+        .agg(F.min("r").alias("thr"))
+    )
+    return scores.crossJoin(F.broadcast(thr)).withColumn(
+        "selected",
+        F.when(F.col("thr").isNull(), F.lit(False)).otherwise(
+            ranked >= F.col("thr")
+        ),
+    ).drop("thr")
+
+
 def dsir_select(
     df: DataFrame,
     is_target: Column,
@@ -364,21 +472,7 @@ def dsir_select(
             * F.lit(0.6931471805599453)
             + gumbel
         )
-    ranked = F.struct(
-        rank_key.alias("key"), (-F.col(id_col)).alias("neg_id")
-    )
-    thr = (
-        scores.select(ranked.alias("r"))
-        .orderBy(F.col("r").desc())
-        .limit(int(k))
-        .agg(F.min("r").alias("thr"))
-    )
-    out = scores.crossJoin(F.broadcast(thr)).withColumn(
-        "selected",
-        F.when(F.col("thr").isNull(), F.lit(False)).otherwise(
-            ranked >= F.col("thr")
-        ),
-    ).drop("thr")
+    out = topk_flag(scores, rank_key, k, id_col)
     if emit_key:
         # The raw ranking key, for external witnesses (the Gumbel
         # gallery recomputes it from (id, mean_milli) in pure Python
@@ -558,6 +652,7 @@ def train_logreg_hashed(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    grad_norms: list[float] | None = None,
 ) -> tuple[np.ndarray, float, list[float]]:
     """Distributed full-batch logistic regression over hashed unigram
     features (the fastText-style quality-classifier TRAINING stage).
@@ -696,6 +791,13 @@ def train_logreg_hashed(
         losses.append(
             loss_sum / n_docs + 0.5 * l2 * float(np.dot(w, w))
         )
+        if grad_norms is not None:
+            # Full-gradient L2 norm (weights + bias) per iteration — the
+            # convergence trajectory the 1M-doc probe records (VERDICT
+            # r11 #8); caller passes a list, signature unchanged.
+            grad_norms.append(
+                float(np.sqrt(np.dot(gvec, gvec) + gbias * gbias))
+            )
         w = w - lr * gvec
         b = b - lr * gbias
     assembled.unpersist()

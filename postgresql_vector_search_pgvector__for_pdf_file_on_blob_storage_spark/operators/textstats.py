@@ -465,7 +465,24 @@ def surprisal_tercile_buckets(
         .select(id_col, "bits_per_token_ppm")
         .localCheckpoint(eager=True)
     )
-    milli = F.expr("bits_per_token_ppm div 1000")  # exact integer div
+    t1, t2 = tercile_cut_points(scores)
+    return scores.select(
+        id_col,
+        F.col("bits_per_token_ppm").cast("long").alias("bits_per_token_ppm"),
+        tercile_bucket_expr(t1, t2).alias("bucket"),
+    )
+
+
+def tercile_cut_points(
+    scores: DataFrame, ppm_col: str = "bits_per_token_ppm"
+) -> tuple[int, int]:
+    """The bounded-histogram tercile fold of
+    :func:`surprisal_tercile_buckets`, exposed (r12) so the INCREMENTAL
+    curation view (streaming/curation.py) computes its cut points with
+    the IDENTICAL rule over scores derived from its token stores —
+    one implementation, two callers.  The driver-side fold is over the
+    bounded ``milli`` value domain (~40k rows max), never documents."""
+    milli = F.expr(f"{ppm_col} div 1000")  # exact integer div
     hist = sorted(
         (r["m"], r["c"])
         for r in scores.groupBy(milli.alias("m"))
@@ -482,15 +499,20 @@ def surprisal_tercile_buckets(
             t1 = m
         if t2 is None and cum >= k2:
             t2 = m
-    bucket = (
+    return t1, t2
+
+
+def tercile_bucket_expr(
+    t1: int, t2: int, ppm_col: str = "bits_per_token_ppm"
+):
+    """Value-based bucket assignment against broadcast cut points — the
+    other half of the shared tercile rule (see
+    :func:`tercile_cut_points`)."""
+    milli = F.expr(f"{ppm_col} div 1000")
+    return (
         F.when(milli <= F.lit(t1), F.lit("head"))
         .when(milli <= F.lit(t2), F.lit("middle"))
         .otherwise(F.lit("tail"))
-    )
-    return scores.select(
-        id_col,
-        F.col("bits_per_token_ppm").cast("long").alias("bits_per_token_ppm"),
-        bucket.alias("bucket"),
     )
 
 

@@ -112,16 +112,16 @@ def _curation_v2_main(n_cur: int, strip_spans: bool = False) -> None:
     cur = cur.cache()
     cur.count()
     t0 = time.time()
-    # checkpoint_kept=True is the corpus-scale setting: the r11 3M A/B
-    # (recorded in BASELINE.md) measured the composed run without it
-    # paying ~2x its staged-eager stage sum re-evaluating the exact-dedup
-    # survivor subtree for the pair-graph/split/surv consumers.
+    # n_docs=n_cur: the r12 size contract — the checkpoint_kept
+    # auto-dispatch (operators/dedup._resolve_checkpoint_kept) enables
+    # the corpus-scale kept boundary at >= 1M docs, the r11 3M A/B's
+    # measured -30% setting, with zero eager actions.
     # dsir_hash="xx64": at corpus scale the DSIR stage is hash-bound and
     # xx64 (the engine-native family, 2.45M feat/s recorded) roughly
     # halves it vs the oracle-checkable md5 default.
     out = D.curate_corpus_v2(
         cur, min_stops=0, use_minhash=True, k_select=n_cur // 20,
-        checkpoint_kept=True, strip_spans=strip_spans, dsir_hash="xx64",
+        n_docs=n_cur, strip_spans=strip_spans, dsir_hash="xx64",
     ).cache()
     survivors = out.count()
     results["wall_sec"] = round(time.time() - t0, 2)

@@ -509,6 +509,92 @@ def test_curate_corpus_v2_checkpoint_kept_is_pure_optimization(spark, sf_dir):
     assert a == b and a
 
 
+def test_checkpoint_kept_size_dispatch(spark, sf_dir):
+    """The r12 auto-dispatch (VERDICT r11 #5): explicit bool wins; an
+    ``n_docs`` size contract flips at CHECKPOINT_KEPT_MIN_DOCS with zero
+    actions; the Catalyst byte-estimate fallback keeps fixture-scale
+    inputs on the measured-faster False path; and the auto path's output
+    is bit-identical to both explicit paths (pure optimization)."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as DD,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = DD._resolve_checkpoint_kept
+    assert r(docs, True, None) is True
+    assert r(docs, False, 10**9) is False  # explicit beats size contract
+    assert r(docs, None, DD.CHECKPOINT_KEPT_MIN_DOCS) is True
+    assert r(docs, None, DD.CHECKPOINT_KEPT_MIN_DOCS - 1) is False
+    # fixture documents table is ~MBs — the byte estimate dispatches off
+    assert r(docs, None, None) is False
+    # bit-identity of the two physical paths is pinned by
+    # test_curate_corpus_v2_checkpoint_kept_is_pure_optimization (whose
+    # default arm IS the auto dispatch now).
+
+
+def test_curate_corpus_v2_staged_resume(spark, sf_dir, tmp_path):
+    """The staged/resumable composed pipeline (VERDICT r11 #2): with
+    ``staged_root`` every boundary persists as a parquet stage table and
+    the output is bit-identical to the in-session form; a run killed
+    between stages (simulated by deleting the later stage tables AND
+    poisoning the input) resumes from the finished stages without ever
+    reconstructing them; a torn stage directory (no ``_SUCCESS``) is
+    overwritten, not trusted."""
+    import os
+    import shutil
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as DD,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = sorted(map(tuple, DD.curate_corpus_v2(docs, min_stops=0).collect()))
+    root = str(tmp_path / "stages")
+    staged = sorted(
+        map(
+            tuple,
+            DD.curate_corpus_v2(docs, min_stops=0, staged_root=root).collect(),
+        )
+    )
+    assert staged == base and base
+    for s in ("gated2", "kept", "pairs", "surv"):
+        assert os.path.exists(f"{root}/{s}/_SUCCESS"), s
+    # Kill-between-stages: later stages gone, one torn (no _SUCCESS),
+    # input poisoned EMPTY — if resume touched the input for gated2/kept
+    # (or trusted the torn pairs dir) the output could not equal base.
+    shutil.rmtree(f"{root}/surv")
+    shutil.rmtree(f"{root}/pairs")
+    os.makedirs(f"{root}/pairs")
+    with open(f"{root}/pairs/part-torn.parquet", "w") as fh:
+        fh.write("torn")
+    poisoned = docs.limit(0)
+    resumed = sorted(
+        map(
+            tuple,
+            DD.curate_corpus_v2(
+                poisoned, min_stops=0, staged_root=root
+            ).collect(),
+        )
+    )
+    assert resumed == base
+    # All stages present: only the final DSIR join recomputes.
+    resumed2 = sorted(
+        map(
+            tuple,
+            DD.curate_corpus_v2(
+                poisoned, min_stops=0, staged_root=root
+            ).collect(),
+        )
+    )
+    assert resumed2 == base
+
+
 def test_curation_v3_invariants(spark, sf_dir):
     """The v3 composition (r11): the stop-word gate runs LIVE (every odd
     doc_id — no overlay, zero fixture stop words — is gated out; every

@@ -2586,3 +2586,108 @@ def test_curation_maintenance_stream_replay_and_restart(spark, tmp_path):
     assert surv == twin
     assert (1, 2) in surv  # rep of the exact-dup pair, dup counted
     assert all(i != 20 for i, _ in surv)  # gate
+
+
+def test_curation_v2_maintenance_converges_to_batch(spark, sf_dir, tmp_path):
+    """Incremental V2 curation (streaming/curation.py, r12 — VERDICT r11
+    #1): after draining the same corpus in EITHER arrival order, the
+    survivor+selection view equals ``curate_corpus_v2(min_stops=0,
+    use_minhash=True, max_df=None)`` on ALL 13 output columns.  The
+    corpus-stat stages are what's new vs the v1 test: the tercile LM is
+    recomposed from the per-epoch token-frequency partials, per-doc
+    surprisal from the doc-token store, and the DSIR bucket LMs from
+    survivor-restricted sums over the per-doc feature-bucket store —
+    none of which may depend on arrival order."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as D,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        curation as SC,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    lo, hi = docs.filter(F.col("doc_id") <= mid), docs.filter(
+        F.col("doc_id") > mid
+    )
+    twin = {
+        tuple(r)
+        for r in D.curate_corpus_v2(
+            docs, min_stops=0, use_minhash=True, max_df=None
+        ).collect()
+    }
+    assert twin
+    for name, parts in {"fwd": [lo, hi], "rev": [hi, lo]}.items():
+        store = str(tmp_path / f"store2_{name}")
+        for part in parts:
+            SC.curation_v2_maintain_batch(part, store, min_stops=0)
+        got = {
+            tuple(r)
+            for r in SC.curation_v2_survivors(spark, store).collect()
+        }
+        assert got == twin, name
+
+
+def test_curation_v2_maintenance_stream_restart(spark, sf_dir, tmp_path):
+    """The real streaming path for the v2 maintenance: two arrival files
+    drained (maxFilesPerTrigger=1), then a RESTART with a third — the
+    checkpoint skips processed files, the five stores carry state, and
+    the final view equals the batch composition over all three arrivals
+    exactly once."""
+    import os as _os
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as D,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        curation as SC,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    slices = [
+        docs.filter(F.col("doc_id") <= c1),
+        docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        docs.filter(F.col("doc_id") > c2),
+    ]
+    src = str(tmp_path / "src2")
+    _os.makedirs(src)
+    store = str(tmp_path / "store2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def add_file(i: int) -> None:
+        stage = str(tmp_path / f"stage2_{i}")
+        slices[i].coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in _os.listdir(stage) if f.endswith(".parquet")
+        )
+        _os.rename(f"{stage}/{part}", f"{src}/batch{i}.parquet")
+
+    add_file(0)
+    add_file(1)
+    SC.curation_v2_maintenance_stream(
+        spark, src, "doc_id long, lang string, text string", store, ckpt,
+        min_stops=0, max_files_per_trigger=1,
+    ).awaitTermination()
+    add_file(2)
+    SC.curation_v2_maintenance_stream(
+        spark, src, "doc_id long, lang string, text string", store, ckpt,
+        min_stops=0, max_files_per_trigger=1,
+    ).awaitTermination()
+    got = {
+        tuple(r)
+        for r in SC.curation_v2_survivors(spark, store).collect()
+    }
+    twin = {
+        tuple(r)
+        for r in D.curate_corpus_v2(
+            docs, min_stops=0, use_minhash=True, max_df=None
+        ).collect()
+    }
+    assert got == twin and twin
