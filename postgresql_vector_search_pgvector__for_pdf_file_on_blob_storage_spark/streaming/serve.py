@@ -156,7 +156,9 @@ def serve_push_stream(
     return writer.start()
 
 
-def sse_http_server(drain_timeout_s: float = 2.0):
+def sse_http_server(
+    drain_timeout_s: float = 2.0, max_queue_events: int | None = None
+):
     """A REAL ``text/event-stream`` gateway for :func:`serve_push_stream`
     (r10 — closes SURVEY §7.4 item 3's "no web server" gap as far as a
     sandbox can): the reference streams per-hit JSON events to the
@@ -180,19 +182,65 @@ def sse_http_server(drain_timeout_s: float = 2.0):
     over real sockets — the same gateway topology a production
     deployment has (executors -> gateway -> SSE clients), minus TLS and
     auth.  Returns ``(server, url)``; ``server.shutdown()`` when done.
-    """
+
+    **Backpressure (r12, VERDICT r11 #6)**: ``max_queue_events`` bounds
+    each user's queue.  Policy = DROP-OLDEST-WITH-MARKER: when a push
+    would exceed the cap, the oldest queued event is discarded and
+    counted, and the reader's stream carries an ``event: dropped`` frame
+    (``data: <n>`` = events lost before this point) the next time it
+    drains — so a STALLED reader costs the gateway at most
+    ``max_queue_events`` strings while every live reader is unaffected,
+    and the loss is explicit on the wire, never silent.  This mirrors
+    the reference's envelope, which is also lossy-by-recency rather
+    than blocking: its per-user sink replays only the last 10 ms to a
+    (re)subscriber (``Sinks...replay().limit(Duration.ofMillis(10))``,
+    SSEOpenAIController.java:133) and paces emission at 20 ms
+    (:339-346) — a reader lagging beyond the window misses events
+    silently there; here the bound is by COUNT and the miss is marked.
+    Blocking the push instead would let one stalled browser stall an
+    executor partition — exactly what a push gateway exists to prevent.
+    Default ``None`` keeps the unbounded r10/r11 behavior.
+    ``server.queue_stats()`` exposes per-user depth + drop counts (the
+    512-user probe's witness surface)."""
     import queue as _queue
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
-    queues: dict[str, _queue.Queue] = {}
+    class _UserQ:
+        """One user's bounded event queue + drop accounting (cap=None =
+        unbounded).  A lock serializes put/drop/take_dropped — pushes
+        come from many executor POSTs, reads from the user's GET."""
+
+        def __init__(self, cap: int | None):
+            self.q: _queue.Queue = _queue.Queue()
+            self.cap = cap
+            self.dropped = 0
+            self.lk = threading.Lock()
+
+        def put(self, line: str) -> None:
+            with self.lk:
+                if self.cap is not None:
+                    while self.q.qsize() >= self.cap:
+                        try:
+                            self.q.get_nowait()
+                            self.dropped += 1
+                        except _queue.Empty:  # pragma: no cover — raced
+                            break
+                self.q.put(line)
+
+        def take_dropped(self) -> int:
+            with self.lk:
+                n, self.dropped = self.dropped, 0
+                return n
+
+    queues: dict[str, _UserQ] = {}
     lock = threading.Lock()
 
-    def q_of(user: str) -> _queue.Queue:
+    def q_of(user: str) -> _UserQ:
         with lock:
             if user not in queues:
-                queues[user] = _queue.Queue()
+                queues[user] = _UserQ(max_queue_events)
             return queues[user]
 
     class Handler(BaseHTTPRequestHandler):
@@ -220,10 +268,16 @@ def sse_http_server(drain_timeout_s: float = 2.0):
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            q = q_of(user)
+            uq = q_of(user)
             while True:
+                d = uq.take_dropped()
+                if d:
+                    self.wfile.write(
+                        b"event: dropped\ndata: " + str(d).encode() + b"\n\n"
+                    )
+                    self.wfile.flush()
                 try:
-                    line = q.get(timeout=drain_timeout_s)
+                    line = uq.q.get(timeout=drain_timeout_s)
                 except _queue.Empty:
                     self.wfile.write(b"event: done\ndata: \n\n")
                     self.wfile.flush()
@@ -238,6 +292,15 @@ def sse_http_server(drain_timeout_s: float = 2.0):
             pass
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+
+    def queue_stats() -> dict[str, dict[str, int]]:
+        with lock:
+            return {
+                u: {"depth": uq.q.qsize(), "dropped": uq.dropped}
+                for u, uq in queues.items()
+            }
+
+    server.queue_stats = queue_stats  # type: ignore[attr-defined]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server, f"http://127.0.0.1:{server.server_address[1]}"
 
@@ -275,15 +338,25 @@ def http_push_sink_factory(base_url: str):
     return factory
 
 
-def read_sse_events(base_url: str, user: str, timeout_s: float = 30.0):
+def read_sse_events(
+    base_url: str,
+    user: str,
+    timeout_s: float = 30.0,
+    with_markers: bool = False,
+):
     """Minimal SSE client (stdlib): GET ``/events?user=`` and return the
     list of ``data:`` payload strings up to the ``event: done`` frame —
     what a browser's EventSource would observe, for tests and the driver
-    query."""
+    query.  ``with_markers=True`` returns ``(payloads, dropped_total)``
+    instead, summing any ``event: dropped`` backpressure markers (whose
+    ``data:`` line is a count, not an event payload — see
+    :func:`sse_http_server`)."""
     import urllib.parse
     import urllib.request
 
     out: list[str] = []
+    dropped_total = 0
+    next_is_marker = False
     # The server parses the query string with parse_qs, so a user id with
     # spaces / '&' / non-ASCII must be percent-encoded here or the GET
     # queries the wrong key (ADVICE r10).
@@ -295,9 +368,16 @@ def read_sse_events(base_url: str, user: str, timeout_s: float = 30.0):
             line = raw.decode("utf-8").rstrip("\n")
             if line.startswith("event: done"):
                 break
+            if line.startswith("event: dropped"):
+                next_is_marker = True
+                continue
             if line.startswith("data: ") and line != "data: ":
-                out.append(line[len("data: "):])
-    return out
+                if next_is_marker:
+                    dropped_total += int(line[len("data: "):])
+                    next_is_marker = False
+                else:
+                    out.append(line[len("data: "):])
+    return (out, dropped_total) if with_markers else out
 
 
 def serve_search_stream(

@@ -39,6 +39,139 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark impor
 )
 
 
+def probe_sse_backpressure(
+    spark,
+    n_users: int,
+    n_queries: int,
+    tmp: str,
+    max_queue_events: int,
+) -> dict:
+    """r12 (VERDICT r11 #6): N users with BOUNDED per-user gateway queues
+    and ONE deliberately-stalled reader (user000 never connects while
+    the push runs).  Probes delivered as n_queries FILES
+    (maxFilesPerTrigger=1 -> one micro-batch per query, 15 events per
+    user per batch), so a live reader drains between bursts and the cap
+    only has to absorb one burst; the stalled user accumulates all
+    n_queries*15 events against the cap and overflows by drop-oldest-
+    with-marker.  Asserts: every LIVE reader order-clean and lossless;
+    the stalled user's server-side depth == cap, the dropped marker
+    equals total-cap, and the retained payloads are the exact cyclic
+    SUFFIX of the create/createLink/addMessage pattern."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark import (  # noqa: E501
+        pipeline as P,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (  # noqa: E501
+        serve as SV,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (  # noqa: E501
+        load_table,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    docs = load_table(spark, sf_dir, "documents")
+    chunks, _ = P.ingest_documents(docs)
+    chunks = chunks.cache()
+    chunks.count()
+
+    src = f"{tmp}/probes_bp_src"
+    os.makedirs(src)
+    for q in range(n_queries):
+        rows = [
+            (f"user{u:03d}", f"query {q} spark vector shuffle join {u}")
+            for u in range(n_users)
+        ]
+        stage = f"{tmp}/probes_bp_stage{q}"
+        spark.createDataFrame(
+            rows, "user_id string, query_text string"
+        ).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.rename(f"{stage}/{part}", f"{src}/batch{q:02d}.parquet")
+    probes_stream = (
+        spark.readStream.schema("user_id string, query_text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    server, url = SV.sse_http_server(
+        drain_timeout_s=30.0, max_queue_events=max_queue_events
+    )
+    try:
+        got: dict[str, list[str]] = {}
+        drops: dict[str, int] = {}
+        errs: list[str] = []
+
+        def read(user: str) -> None:
+            try:
+                got[user], drops[user] = SV.read_sse_events(
+                    url, user, timeout_s=600.0, with_markers=True
+                )
+            except Exception as exc:  # pragma: no cover — probe surface
+                errs.append(f"{user}: {exc}")
+
+        # LIVE readers attach BEFORE the push (user000 stays stalled).
+        threads = [
+            threading.Thread(target=read, args=(f"user{u:03d}",))
+            for u in range(1, n_users)
+        ]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        SV.serve_push_stream(
+            probes_stream,
+            chunks,
+            SV.http_push_sink_factory(url),
+            checkpoint=f"{tmp}/ckpt_bp",
+            k=5,
+        ).awaitTermination()
+        push_wall = time.time() - t0
+        for t in threads:
+            t.join()
+        total_wall = time.time() - t0
+        assert not errs, errs[:3]
+
+        per_user = n_queries * 5 * 3
+        live_ok = sum(
+            1
+            for u, payloads in got.items()
+            if len(payloads) == per_user
+            and drops[u] == 0
+            and [json.loads(p)["type"] for p in payloads]
+            == ["create", "createLink", "addMessage"] * (n_queries * 5)
+        )
+        stalled = server.queue_stats().get("user000", {})
+        # Now drain the stalled reader: expect the capped suffix + marker.
+        s_payloads, s_dropped = SV.read_sse_events(
+            url, "user000", timeout_s=60.0, with_markers=True
+        )
+        cycle = ["create", "createLink", "addMessage"]
+        lost = per_user - max_queue_events
+        suffix_ok = [json.loads(p)["type"] for p in s_payloads] == [
+            cycle[(lost + i) % 3] for i in range(len(s_payloads))
+        ]
+        return {
+            "n_users": n_users,
+            "n_queries_per_user": n_queries,
+            "max_queue_events": max_queue_events,
+            "live_readers": n_users - 1,
+            "live_order_and_lossless_ok": live_ok,
+            "push_wall_s": round(push_wall, 2),
+            "total_wall_s": round(total_wall, 2),
+            "events_delivered_live": sum(len(v) for v in got.values()),
+            "stalled_depth_at_cap": int(stalled.get("depth", -1)),
+            "stalled_dropped_pending": int(stalled.get("dropped", -1)),
+            "stalled_payloads": len(s_payloads),
+            "stalled_dropped_marker": s_dropped,
+            "stalled_suffix_order_ok": bool(suffix_ok),
+        }
+    finally:
+        server.shutdown()
+
+
 def probe_sse(spark, n_users: int, n_queries: int, tmp: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -194,9 +327,18 @@ def probe_embed(spark, n_docs: int, tmp: str) -> dict:
 def main() -> None:
     import tempfile
 
-    n_users = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_users = int(args[0]) if args else 32
+    n_docs = int(args[1]) if len(args) > 1 else 2000
     spark = get_spark(app_name="seam-probe")
+    if "--backpressure" in sys.argv[1:]:
+        # r12 form: N users, bounded queues (cap 32 < the 60-event
+        # per-user total, >= the 15-event per-burst live load), one
+        # stalled reader.
+        with tempfile.TemporaryDirectory(prefix="seamprobe_") as tmp:
+            bp = probe_sse_backpressure(spark, n_users, 4, tmp, 32)
+        print(json.dumps({"sse_backpressure": bp}))
+        return
     with tempfile.TemporaryDirectory(prefix="seamprobe_") as tmp:
         sse = probe_sse(spark, n_users, 4, tmp)
         emb = probe_embed(spark, n_docs, tmp)

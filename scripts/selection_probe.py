@@ -126,14 +126,18 @@ def main() -> None:
     # 2. Distributed logistic-regression training (5 iterations).
     labeled = docs.withColumn("y", F.col("is_target").cast("int"))
     iters = 5
+    gnorms: list[float] = []
     t0 = time.time()
     w, b, losses = S.train_logreg_hashed(
-        labeled, "y", m=m, iters=iters, lr=4.0, l2=0.0, hash_fn=hash_fn
+        labeled, "y", m=m, iters=iters, lr=4.0, l2=0.0, hash_fn=hash_fn,
+        grad_norms=gnorms,
     )
     train_sec = time.time() - t0
     results["train_iters"] = iters
     results["train_total_sec"] = round(train_sec, 2)
     results["train_per_iter_sec"] = round(train_sec / iters, 2)
+    results["train_loss_trajectory"] = [round(x, 4) for x in losses]
+    results["train_grad_norm_trajectory"] = [round(x, 5) for x in gnorms]
     results["train_loss_first"] = round(losses[0], 4)
     results["train_loss_last"] = round(losses[-1], 4)
 

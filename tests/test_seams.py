@@ -197,3 +197,45 @@ def test_blob_event_stream_ingest_parity(spark, tmp_path):
     assert fails[0]["status"] == "FAILED_BLOB_FETCH"
     # and nothing from note.txt / ghost.pdf / c.pdf reached the chunks
     assert {f for f, _, _ in got_names} == {"a.pdf", "b.pdf"}
+
+
+def test_sse_gateway_backpressure_drop_oldest_with_marker():
+    """r12 (VERDICT r11 #6): with ``max_queue_events`` set, a stalled
+    reader's queue is capped by drop-oldest, the retained events are the
+    exact ordered SUFFIX, and the loss surfaces as an ``event: dropped``
+    marker with the exact count — while a second user under the cap is
+    untouched.  Pure loopback HTTP, no Spark."""
+    import urllib.request
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        serve as SV,
+    )
+
+    server, url = SV.sse_http_server(
+        drain_timeout_s=0.5, max_queue_events=3
+    )
+    try:
+        lines = [f'alice\t{i}\t{i}\t{{"n":{i}}}' for i in range(10)]
+        lines += ['bob\t0\t0\t{"n":100}', 'bob\t0\t1\t{"n":101}']
+        req = urllib.request.Request(
+            f"{url}/push", data="\n".join(lines).encode(), method="POST"
+        )
+        urllib.request.urlopen(req, timeout=5.0).close()
+        stats = server.queue_stats()
+        assert stats["alice"] == {"depth": 3, "dropped": 7}
+        assert stats["bob"] == {"depth": 2, "dropped": 0}
+        a_payloads, a_dropped = SV.read_sse_events(
+            url, "alice", timeout_s=10.0, with_markers=True
+        )
+        assert a_payloads == ['{"n":7}', '{"n":8}', '{"n":9}']
+        assert a_dropped == 7
+        b_payloads, b_dropped = SV.read_sse_events(
+            url, "bob", timeout_s=10.0, with_markers=True
+        )
+        assert b_payloads == ['{"n":100}', '{"n":101}']
+        assert b_dropped == 0
+        # default plain-list return shape is unchanged for callers that
+        # don't ask for markers (the r10/r11 gallery surface)
+        assert SV.read_sse_events(url, "bob", timeout_s=2.0) == []
+    finally:
+        server.shutdown()
