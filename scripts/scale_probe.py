@@ -56,28 +56,13 @@ def synthetic_vectors(spark, n: int, dim: int = 64, parts: int = 32):
     )
 
 
-def _curation_v2_main(n_cur: int, strip_spans: bool = False) -> None:
-    """Focused probe for the COMPOSED curation run at corpus scale (r10):
-    ``curate_corpus_v2(use_minhash=True)`` — gopher gate -> ccnet
-    terciles -> exact dedup -> banded pair graph shared by the
-    leakage-safe split and the near-dup drop -> DSIR top-5% — over an
-    N-doc corpus with 10% planted exact dups, ~1% planted near-dups
-    (3-gram Jaccard ~0.95), a df=N hot 5-gram prefix the banding's df
-    cap must drop, and 60-word docs (the Gopher word-count floor is 50;
-    the fixture-scale pipeline runs min_stops=0 and so does this —
-    synthetic word salad has one stop word, "the", in the hot prefix).
-
-    Run: ``python scripts/scale_probe.py [n_docs] --curation-v2``
-    (default 300,000).  ``--curation-v3`` additionally turns on the r11
-    span-strip stage (``strip_spans=True`` — corpus-duplicated 8-gram
-    spans cut between exact dedup and the pair graph; the hot prefix and
-    the planted near-dups guarantee the stage is non-vacuous at scale)
-    and reports stripped-token stats.  Prints one JSON line,
-    BASELINE.md-ready.
-    """
-    spark = get_spark(app_name="scale-probe-curation-v2")
-    form = "curation-v3" if strip_spans else "curation-v2"
-    results: dict = {"form": form, "n_docs": n_cur}
+def _synthetic_curation_corpus(spark, n_cur: int):
+    """The curation probes' shared synthetic corpus: 10% planted exact
+    dups, ~1% planted near-dups (3-gram Jaccard ~0.95), a df=N hot
+    5-gram prefix the banding's df cap must drop, 60-word docs.  Cached
+    + materialized (see the comment at the call site in
+    ``_curation_v2_main`` for why feeding the raw generator tree would
+    time expression re-evaluation instead of the operator)."""
     n_base = int(n_cur * 0.9)
     base = F.pmod(F.col("id"), F.lit(n_base))
     near = F.when(F.pmod(base, F.lit(101)) == 100, base - 1).otherwise(base)
@@ -103,14 +88,96 @@ def _curation_v2_main(n_cur: int, strip_spans: bool = False) -> None:
             F.pmod(F.hash(base, F.lit(99)), F.lit(1_000_000)).cast("string"),
         ).alias("text"),
     )
+    cur = cur.cache()
+    cur.count()
+    return cur
+
+
+def _staged_main(n_cur: int) -> None:
+    """r12 (VERDICT r11 #2): the STAGED/resumable composed pipeline at
+    corpus scale — run ``curate_corpus_v2(staged_root=...)`` end-to-end,
+    simulate a kill between stages (delete the pairs/surv stage tables,
+    POISON the input empty), resume, and record resume cost vs the full
+    wall plus bit-identity of the outputs.  Run:
+    ``python scripts/scale_probe.py [n_docs] --staged``."""
+    import shutil
+    import tempfile
+
+    spark = get_spark(app_name="scale-probe-staged")
+    results: dict = {"form": "curation-v2-staged", "n_docs": n_cur}
+    cur = _synthetic_curation_corpus(spark, n_cur)
+    root = tempfile.mkdtemp(prefix="staged_probe_")
+    kw = dict(
+        min_stops=0, use_minhash=True, k_select=n_cur // 20,
+        dsir_hash="xx64", staged_root=root,
+    )
+    t0 = time.time()
+    out = D.curate_corpus_v2(cur, **kw).cache()
+    survivors = out.count()
+    results["full_wall_sec"] = round(time.time() - t0, 2)
+    results["survivors"] = survivors
+    full_hash = out.selectExpr(
+        "sum(hash(doc_id, lang, n_words, bits_per_token_ppm, bucket,"
+        " exact_dups, stripped_tokens, near_dups, split, n_feats,"
+        " score_bits, mean_milli, selected)) AS h"
+    ).first()["h"]
+    out.unpersist()
+    # Kill-between-stages: the two most expensive downstream stages are
+    # recomputed from the persisted kept table; gated2/kept (the gate +
+    # tercile + exact-dedup subtrees) must NOT rerun — the input is
+    # poisoned empty to prove it.
+    shutil.rmtree(f"{root}/pairs")
+    shutil.rmtree(f"{root}/surv")
+    t0 = time.time()
+    out2 = D.curate_corpus_v2(cur.limit(0), **kw).cache()
+    n2 = out2.count()
+    results["resume_wall_sec"] = round(time.time() - t0, 2)
+    resume_hash = out2.selectExpr(
+        "sum(hash(doc_id, lang, n_words, bits_per_token_ppm, bucket,"
+        " exact_dups, stripped_tokens, near_dups, split, n_feats,"
+        " score_bits, mean_milli, selected)) AS h"
+    ).first()["h"]
+    out2.unpersist()
+    results["rows_equal"] = bool(n2 == survivors)
+    results["hash_equal"] = bool(resume_hash == full_hash)
+    # All stages present: only the final DSIR join recomputes.
+    t0 = time.time()
+    n3 = D.curate_corpus_v2(cur.limit(0), **kw).count()
+    results["warm_wall_sec"] = round(time.time() - t0, 2)
+    results["warm_rows_equal"] = bool(n3 == survivors)
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(results))
+
+
+def _curation_v2_main(n_cur: int, strip_spans: bool = False) -> None:
+    """Focused probe for the COMPOSED curation run at corpus scale (r10):
+    ``curate_corpus_v2(use_minhash=True)`` — gopher gate -> ccnet
+    terciles -> exact dedup -> banded pair graph shared by the
+    leakage-safe split and the near-dup drop -> DSIR top-5% — over an
+    N-doc corpus with 10% planted exact dups, ~1% planted near-dups
+    (3-gram Jaccard ~0.95), a df=N hot 5-gram prefix the banding's df
+    cap must drop, and 60-word docs (the Gopher word-count floor is 50;
+    the fixture-scale pipeline runs min_stops=0 and so does this —
+    synthetic word salad has one stop word, "the", in the hot prefix).
+
+    Run: ``python scripts/scale_probe.py [n_docs] --curation-v2``
+    (default 300,000).  ``--curation-v3`` additionally turns on the r11
+    span-strip stage (``strip_spans=True`` — corpus-duplicated 8-gram
+    spans cut between exact dedup and the pair graph; the hot prefix and
+    the planted near-dups guarantee the stage is non-vacuous at scale)
+    and reports stripped-token stats.  Prints one JSON line,
+    BASELINE.md-ready.
+    """
+    spark = get_spark(app_name="scale-probe-curation-v2")
+    form = "curation-v3" if strip_spans else "curation-v2"
+    results: dict = {"form": form, "n_docs": n_cur}
     # Materialize the synthetic corpus (as every probe section does): a
     # real corpus is storage-backed; feeding the raw 54-expression
     # generator tree instead lets CollapseProject inline the text
     # construction into EVERY downstream token expression (measured 164 s
     # for the tercile stage alone at 5k docs vs ~2 s cached — the probe
     # would time expression re-evaluation, not the operator).
-    cur = cur.cache()
-    cur.count()
+    cur = _synthetic_curation_corpus(spark, n_cur)
     t0 = time.time()
     # n_docs=n_cur: the r12 size contract — the checkpoint_kept
     # auto-dispatch (operators/dedup._resolve_checkpoint_kept) enables
@@ -205,6 +272,10 @@ def _curation_v2_main(n_cur: int, strip_spans: bool = False) -> None:
 
 
 def main() -> None:
+    if "--staged" in sys.argv[1:]:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        _staged_main(int(args[0]) if args else 1_000_000)
+        return
     if "--curation-v2" in sys.argv[1:] or "--curation-v3" in sys.argv[1:]:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
         _curation_v2_main(
