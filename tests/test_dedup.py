@@ -595,6 +595,58 @@ def test_curate_corpus_v2_staged_resume(spark, sf_dir, tmp_path):
     assert resumed2 == base
 
 
+def test_curate_corpus_v2_maintained_pairs(spark, sf_dir, tmp_path):
+    """``pairs=`` (r12): feeding the incremental band store's matches log
+    into the batch composition reproduces the from-scratch run
+    bit-for-bit — the maintained pair graph replaces the top per-stage
+    wall (the banded pair computation) at corpus scale.  The stream
+    registers EVERY gated doc, so the matches cover more endpoints than
+    the operator's own kept-only pair set; the kept-kept restriction
+    must absorb the difference."""
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.operators import (
+        dedup as DD,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.streaming import (
+        curation as SC,
+    )
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    base = sorted(
+        map(
+            tuple,
+            DD.curate_corpus_v2(
+                docs, min_stops=0, use_minhash=True, max_df=None
+            ).collect(),
+        )
+    )
+    store = str(tmp_path / "pairstore")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    SC.curation_v2_maintain_batch(
+        docs.filter(F.col("doc_id") <= mid), store, min_stops=0
+    )
+    SC.curation_v2_maintain_batch(
+        docs.filter(F.col("doc_id") > mid), store, min_stops=0
+    )
+    matches = spark.read.parquet(f"{store}/matches").select(
+        F.col("new_id").alias("id_a"), F.col("matched_id").alias("id_b")
+    )
+    got = sorted(
+        map(
+            tuple,
+            DD.curate_corpus_v2(
+                docs, min_stops=0, use_minhash=True, max_df=None,
+                pairs=matches,
+            ).collect(),
+        )
+    )
+    assert got == base and base
+
+
 def test_curation_v3_invariants(spark, sf_dir):
     """The v3 composition (r11): the stop-word gate runs LIVE (every odd
     doc_id — no overlay, zero fixture stop words — is gated out; every
