@@ -70,9 +70,69 @@ def synth_batch(spark, start: int, n: int, n_total: int, parts: int = 16):
     )
 
 
+def main_v2(n_batches: int, batch_docs: int) -> None:
+    """r12 (VERDICT r11 #1): the V2 maintenance at scale — same arrival
+    structure, but every batch additionally writes the corpus-stat
+    partials (doc-token counts, per-epoch LM sums, DSIR feature
+    buckets), and the survivor+selection view recomposes the FULL
+    13-column ``curate_corpus_v2`` output from the stores.  Records
+    per-batch walls (bounded-growth question unchanged), the view wall,
+    and the all-column bag-diff vs the batch composition.  Run:
+    ``python scripts/curation_stream_probe.py [n_batches] [batch_docs]
+    --v2``."""
+    n_total = n_batches * batch_docs
+    spark = get_spark(app_name="curation-stream-probe-v2")
+    results: dict = {
+        "form": "curation-stream-v2",
+        "n_batches": n_batches,
+        "batch_docs": batch_docs,
+    }
+    k_sel = n_total // 20
+    with tempfile.TemporaryDirectory(prefix="curstream2_probe_") as tmp:
+        store = f"{tmp}/store"
+        walls = []
+        for b in range(n_batches):
+            batch = synth_batch(
+                spark, b * batch_docs, batch_docs, n_total
+            ).cache()
+            batch.count()
+            t0 = time.time()
+            SC.curation_v2_maintain_batch(batch, store, min_stops=0)
+            walls.append(round(time.time() - t0, 2))
+            batch.unpersist()
+        results["per_batch_wall_sec"] = walls
+        t0 = time.time()
+        surv = SC.curation_v2_survivors(spark, store, k_select=k_sel).cache()
+        results["survivors"] = surv.count()
+        results["survivor_view_sec"] = round(time.time() - t0, 2)
+        results["selected"] = surv.filter("selected").count()
+        t0 = time.time()
+        full = synth_batch(spark, 0, n_total, n_total, parts=64).cache()
+        full.count()
+        twin = D.curate_corpus_v2(
+            full, min_stops=0, use_minhash=True, max_df=None,
+            k_select=k_sel, n_docs=n_total,
+        ).withColumnRenamed("doc_id", "id")
+        cols = [
+            "id", "lang", "n_words", "bits_per_token_ppm", "bucket",
+            "exact_dups", "stripped_tokens", "near_dups", "split",
+            "n_feats", "score_bits", "mean_milli", "selected",
+        ]
+        a, bb = surv.select(cols), twin.select(cols)
+        results["batch_diff_rows"] = (
+            a.exceptAll(bb).count() + bb.exceptAll(a).count()
+        )
+        results["batch_twin_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(results))
+
+
 def main() -> None:
-    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    batch_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_batches = int(args[0]) if args else 10
+    batch_docs = int(args[1]) if len(args) > 1 else 100_000
+    if "--v2" in sys.argv[1:]:
+        main_v2(n_batches, batch_docs)
+        return
     n_total = n_batches * batch_docs
     spark = get_spark(app_name="curation-stream-probe")
     results: dict = {
