@@ -269,7 +269,11 @@ def pack_token_bins(
 
 
 def unigram_surprisal(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_freq: bool | None = None,
+    vocab_broadcast_max: int = 4_000_000,
 ) -> DataFrame:
     """Unigram-LM quality filter (the CCNet / Wenzek et al. 2020
     perplexity-filtering shape), made INTEGER-EXACT so it is
@@ -287,36 +291,64 @@ def unigram_surprisal(
     of corpus-common tokens (boilerplate, lists); high = rare-token noise
     (mojibake, code dumps) — the two tails a quality gate trims.
 
-    100 TB shape: one explode -> (doc, token) partial-agg, one
-    Heaps'-law-small token-frequency aggregate, one equi-join back, one
-    per-doc integer sum — all map-side-combinable, no Python, and the
-    integer sum is exactly associative so no ordering discipline is
-    needed (unlike double sums)."""
+    100 TB shape (r12 — the ``_exploded_features`` occurrence-fold
+    lesson applied here, after the 30M single-node probe measured the
+    old tf-first shape spilling >45 GB): the token-frequency aggregate
+    is map-side-combined to ~vocab rows per partition (a tiny exchange),
+    and when the vocabulary fits a broadcast
+    (``<= vocab_broadcast_max`` distinct tokens — Heaps-law true for
+    any natural corpus at this threshold) each token OCCURRENCE scores
+    map-side against the broadcast table and the per-doc fold
+    partial-aggregates to ~one row per doc BEFORE its exchange — the
+    corpus-sized (doc, token) shuffle and the token-keyed sort-merge
+    join of the old shape both disappear (they were ~90 GB of scratch
+    at 30M docs, the binding constraint of the in-session composed
+    probe).  Past the threshold the tf-first join form is kept — a
+    billion-token vocabulary cannot broadcast, and joining occurrences
+    directly would shuffle MORE than the tf table.  ``broadcast_freq``
+    forces either form; ``None`` dispatches on one vocab-row count
+    against the lazily-checkpointed freq subtree (the similarity_join
+    ``sizes=`` precedent: one cheap action, never a silent plan flip).
+    Integer bits per occurrence sum associatively, so BOTH forms are
+    bit-identical — sum over occurrences of bits == sum over (doc,
+    token) of tf x bits; the oracle pins one answer."""
     toks = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(X.word_tokens(text_col)).alias("token"),
     )
-    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
-    freq = tf.groupBy("token").agg(F.sum("tf").alias("freq"))
+    freq = toks.groupBy("token").agg(
+        F.count("*").alias("freq")
+    ).localCheckpoint(eager=False)  # feeds dispatch count + join + total
     total = freq.agg(F.sum("freq").alias("total"))
-    scored = (
-        tf.join(freq, "token")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "bits",
-            F.col("tf")
-            * (
-                F.length(
-                    F.bin(F.expr("total div freq").cast("long"))
-                )
-                - F.lit(1)
-            ).cast("long"),
+    if broadcast_freq is None:
+        broadcast_freq = (
+            freq.limit(int(vocab_broadcast_max) + 1).count()
+            <= int(vocab_broadcast_max)
         )
-    )
-    per_doc = scored.groupBy("id").agg(
-        F.sum("tf").alias("n_tokens"),
-        F.sum("bits").alias("surprisal_bits"),
-    )
+    bits_of = (
+        F.length(F.bin(F.expr("total div freq").cast("long"))) - F.lit(1)
+    ).cast("long")
+    if broadcast_freq:
+        scored = (
+            toks.join(F.broadcast(freq), "token")
+            .crossJoin(F.broadcast(total))
+            .select("id", bits_of.alias("bits"))
+        )
+        per_doc = scored.groupBy("id").agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bits").alias("surprisal_bits"),
+        )
+    else:
+        tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+        scored = (
+            tf.join(freq, "token")
+            .crossJoin(F.broadcast(total))
+            .withColumn("bits", F.col("tf") * bits_of)
+        )
+        per_doc = scored.groupBy("id").agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum("bits").alias("surprisal_bits"),
+        )
     base = df.select(F.col(id_col).alias("id"))
     out = base.join(per_doc, "id", "left").select(
         F.col("id").alias(id_col),

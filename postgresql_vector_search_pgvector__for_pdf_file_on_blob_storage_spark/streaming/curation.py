@@ -326,8 +326,16 @@ def curation_v2_survivors(
     lm = spark.read.option("basePath", f"{store_root}/lm").parquet(
         f"{store_root}/lm"
     ).select("token", "cnt")
-    freq = lm.groupBy("token").agg(F.sum("cnt").alias("freq"))
+    freq = lm.groupBy("token").agg(F.sum("cnt").alias("freq")).localCheckpoint(
+        eager=False
+    )  # feeds the broadcast-dispatch count, the join, and the total
     total = freq.agg(F.sum("freq").alias("total"))
+    # Same vocab-broadcast dispatch as unigram_surprisal (r12): when the
+    # merged vocabulary fits a broadcast, the doc-token store scores
+    # map-side and never shuffles by token — the view's only remaining
+    # corpus-sized exchange is the per-doc fold.
+    if freq.limit(4_000_001).count() <= 4_000_000:
+        freq = F.broadcast(freq)
     scored = (
         doctoks.join(freq, "token")
         .crossJoin(F.broadcast(total))
