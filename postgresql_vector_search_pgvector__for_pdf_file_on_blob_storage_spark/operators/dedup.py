@@ -128,6 +128,13 @@ def jaccard_pairs(
     by tests.  Costs one extra regroup shuffle; the named-metric default
     keeps the measured-faster single-grouping plan.
     """
+    # r12 (guide §2.3 — shuffle fewer bytes): the shingle STRING never
+    # needs to cross an exchange; bucket grouping only needs identity, so
+    # each distinct shingle rides as its 8-byte xxhash64 instead of a
+    # ~25-byte 3-word string.  Same move (and the same collision math) as
+    # ngram_dup_stats: a 64-bit collision would merge two shingle
+    # buckets, p ≈ G²/2⁶⁵ for G distinct shingles — negligible below
+    # ~1e8, and the fixture oracles stay string-free-verified bit-for-bit.
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
@@ -135,9 +142,9 @@ def jaccard_pairs(
     if max_df is None:
         sh = sh.withColumn("n_sh", F.size("shingles"))
         ex = sh.select(
-            F.explode("shingles").alias("s"),
+            F.explode("shingles").alias("s0"),
             F.struct(F.col("id"), F.col("n_sh")).alias("m"),
-        )
+        ).select(F.xxhash64("s0").alias("s"), "m")
         # sort_array makes bucket order (and thus id_a < id_b) deterministic
         # under nondeterministic collect_list ordering.
         buckets = (
@@ -178,7 +185,9 @@ def jaccard_pairs(
 
     import uuid
 
-    ex = sh.select(F.col("id"), F.explode("shingles").alias("s"))
+    ex = sh.select(F.col("id"), F.explode("shingles").alias("s0")).select(
+        "id", F.xxhash64("s0").alias("s")
+    )
     all_buckets = ex.groupBy("s").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
@@ -1154,16 +1163,29 @@ def curation_v2_gated(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     min_stops: int = 2,
+    checkpoint_gate: bool = True,
 ) -> DataFrame:
     """The pre-checkpoint gate+tercile subtree of :func:`curate_corpus_v2`
     (Gopher quality gate -> CCNet tercile join, ``tail`` dropped) —
     exposed so the plan gate can pin these upstream stages, which the
     composition's ``localCheckpoint`` boundary truncates out of its own
     golden signature (ADVICE r10, same move as
-    :func:`curation_v1_survivors`)."""
+    :func:`curation_v1_survivors`).
+
+    ``checkpoint_gate`` (r12, guide §2.4): the gate output feeds THREE
+    consumers inside this subtree (the surprisal token explode, the
+    per-doc left-join base, and the tercile join back) — without a
+    boundary each re-runs the scan + the interpreted Gopher HOF
+    projection.  One lazy boundary on the gate output measured
+    ~13.4 -> ~10.9 s for curation_v2_pipeline at sf0.1 (min-of-3,
+    alternating A/B); at corpus scale it is the standard
+    stage-the-gated-corpus move.  The plan probes pass ``False`` so the
+    golden signature still pins the un-truncated subtree."""
     from .textstats import surprisal_tercile_buckets
 
     gated = curation_v2_gate(docs, text_col, id_col, lang_col, min_stops)
+    if checkpoint_gate:
+        gated = gated.localCheckpoint(eager=False)
     terc = surprisal_tercile_buckets(gated, "text", "id")
     return gated.join(terc.filter(F.col("bucket") != F.lit("tail")), "id")
 

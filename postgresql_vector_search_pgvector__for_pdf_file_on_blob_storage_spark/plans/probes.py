@@ -35,7 +35,7 @@ def _v2_pre_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # min_stops=0, matching the curation_v2_pipeline driver query.
-    return D.curation_v2_gated(docs, min_stops=0)
+    return D.curation_v2_gated(docs, min_stops=0, checkpoint_gate=False)
 
 
 def _v3_strip_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,7 +54,8 @@ def _v3_strip_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WITHOUT the gated2 checkpoint, so the signature pins gate ->
     # terciles -> fingerprint dedup -> span strip in one plan.
     return D.curation_v2_kept(
-        D.curation_v2_gated(docs, min_stops=2), strip_spans=True
+        D.curation_v2_gated(docs, min_stops=2, checkpoint_gate=False),
+        strip_spans=True
     )
 
 
