@@ -1171,6 +1171,13 @@ def bloom_substring_stream(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         nonlocal index_bc, desc_bc, k_hashes, m_bytes, n_hist
         verify_before = verify_acc.value
+        # r12 (guide §2.4): materialize the shingle projection ONCE.
+        # base and g were each eager-checkpointed straight off the
+        # un-materialized raw, so the whole-batch word_shingles HOF
+        # projection (the dominant per-batch compute) ran twice.  One
+        # boundary on (id, grams, n_windows) and both derive from the
+        # in-memory gram arrays instead; base needs no boundary of its
+        # own (single consumer, cheap scan of the checkpoint).
         raw = spread(batch_df).select(
             F.col(id_col).cast("long").alias("id"),
             word_shingles(text_col, n).alias("grams"),
@@ -1179,10 +1186,10 @@ def bloom_substring_stream(
             )
             .cast("long")
             .alias("n_windows"),
-        )
+        ).localCheckpoint(eager=True)
         base = raw.select(
             "id", "n_windows", F.size("grams").cast("long").alias("n_grams")
-        ).localCheckpoint(eager=True)
+        )
         g = (
             raw.select("id", F.explode("grams").alias("__g"))
             .select("id", F.xxhash64("__g").alias("gk"))
