@@ -57,16 +57,31 @@ def nearest_centroid_col(centroids, vec_col: str):
     Both paths break ties to the first (lowest) index."""
     cents = np.asarray(centroids, dtype=np.float64)
     if cents.size <= 16_384:
-        dists = F.array(
+        # r12 (guide §1.3/§4): argmin as a SINGLE-reference expression
+        # chain.  The former array_position(dists, array_min(dists))
+        # names the k-aggregate dists array twice, and lambda-bearing
+        # expressions are excluded from Spark's subexpression
+        # elimination, so all 2k interpreted zip_with folds ran per row.
+        # array_min over (d, i) structs keeps the exact per-distance
+        # arithmetic and the ties-to-lowest-index convention (struct
+        # ordering is lexicographic), and the filter drops null
+        # distances (null / wrong-dim / null-element vectors — all
+        # dists null together) so array_min of the emptied array yields
+        # the same null cluster_id as array_position-on-null did.
+        structs = F.array(
             *[
-                V.squared_l2_distance(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in c]),
+                F.struct(
+                    V.squared_l2_distance(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
                 )
-                for c in centroids
+                for i, c in enumerate(centroids)
             ]
         )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        valid = F.filter(structs, lambda s: s["d"].isNotNull())
+        return F.array_min(valid)["i"].cast("int")
 
     c_norms = (cents * cents).sum(1)
     dim = cents.shape[1]

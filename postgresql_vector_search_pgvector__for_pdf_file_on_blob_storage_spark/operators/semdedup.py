@@ -153,15 +153,27 @@ def assign_to_centroids(
     load path).  NULL vectors are excluded — they have no cluster."""
     from ..functions import vector as V
 
-    dists = F.array(
+    # r12 (guide §1.3/§4): single-reference argmin — see
+    # ann.nearest_centroid_col for the rationale (the former
+    # array_position(dists, array_min(dists)) evaluated the
+    # k-aggregate distance array twice per row because lambda-bearing
+    # expressions are excluded from subexpression elimination).  Struct
+    # ordering is lexicographic (d, then i): exact same arithmetic,
+    # same ties-to-lowest-cluster-id convention.
+    structs = F.array(
         *[
-            V.squared_l2_distance(
-                F.col(vec_col), F.array(*[F.lit(x) for x in c])
+            F.struct(
+                V.squared_l2_distance(
+                    F.col(vec_col), F.array(*[F.lit(x) for x in c])
+                ).alias("d"),
+                F.lit(i).alias("i"),
             )
-            for c in centroids
+            for i, c in enumerate(centroids)
         ]
     )
-    cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    cid = F.array_min(F.filter(structs, lambda s: s["d"].isNotNull()))[
+        "i"
+    ].cast("int")
     return df.filter(F.col(vec_col).isNotNull()).withColumn(
         "cluster_id", cid
     )
