@@ -648,7 +648,16 @@ def minhash_lsh_pairs(
     # the materialized signature/shingle table every production MinHash
     # pipeline keeps anyway.
     sh = sh.localCheckpoint(eager=False)
-    banded = minhash_band_keys(sh, num_hashes=num_hashes, bands=bands)
+    # r12 (guide §2.4): the band-key table self-joins for candidates, so
+    # without its own boundary BOTH join sides re-run the signature
+    # pipeline (num_hashes xxhash64 minima per doc) from the shingle
+    # checkpoint.  The banded table is tiny — ``bands`` 24-byte rows per
+    # doc — so materializing it once halves the signature work per
+    # action; this is the persisted band-index table every production
+    # MinHash pipeline keeps anyway.
+    banded = minhash_band_keys(
+        sh, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
