@@ -38,6 +38,25 @@ def _v2_pre_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.curation_v2_gated(docs, min_stops=0, checkpoint_gate=False)
 
 
+def _minhash_band_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as D
+    from ..utils import spread
+
+    # The signature -> band-key subtree of minhash_lsh_pairs (driver
+    # params: n=3, num_hashes=32, bands=8, max_df=None), WITHOUT the r12
+    # ``banded`` localCheckpoint, so the golden pins the num_hashes-way
+    # MinHash fold + band explode that the boundary truncates out of the
+    # final plan's signature.
+    docs = load_table(spark, sf_dir, "documents")
+    sh = spread(docs).select(
+        F.col("doc_id").alias("id"),
+        D.word_shingles("text", 3).alias("shingles"),
+    )
+    return D.minhash_band_keys(sh, num_hashes=32, bands=8)
+
+
 def _v3_strip_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -71,4 +90,8 @@ PLAN_PROBES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (the v3 final plan truncates at the surv boundary, which would
     # otherwise leave the strip stage's shape unpinned).
     "curation_v3_pipeline__strip_stage": _v3_strip_stage,
+    # minhash_lsh_pairs' signature -> band-key subtree (the r12 ``banded``
+    # boundary truncates it out of the final plan's golden — the two
+    # Generate nodes the pre-r12 signature carried).
+    "minhash_lsh_pairs__band_stage": _minhash_band_stage,
 }
