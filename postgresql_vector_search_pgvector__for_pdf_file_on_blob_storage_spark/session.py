@@ -42,6 +42,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r12 (guide §4.4 — stop the optimizer duplicating expensive
+        # expressions): InferFiltersFromGenerate turns every
+        # explode(expensive_expr) into a SECOND full evaluation of that
+        # expression inside a Filter (`size(expr) > 0 AND isnotnull`),
+        # which predicate pushdown then sinks below the nearest exchange
+        # onto the scan — and Filter-context evaluation of lambda-bearing
+        # HOFs is interpreted WITHOUT subexpression elimination, so e.g.
+        # the word_shingles chain re-runs split+filter per array element
+        # (O(tokens^2) per doc).  Measured at sf0.1:
+        # explode(word_shingles) 2.97 s -> 0.37 s, jaccard_similar_pairs
+        # 3.8 s -> 1.0 s.  The inferred filter's only benefit is pruning
+        # zero-output rows before an exchange that precedes the Generate;
+        # non-outer explode drops those rows anyway, so for this engine's
+        # HOF-heavy generators (shingles, token explodes, band keys) the
+        # rule is a strict loss at every scale.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
