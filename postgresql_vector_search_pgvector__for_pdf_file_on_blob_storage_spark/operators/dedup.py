@@ -887,12 +887,69 @@ def connected_components(
     return labels.select(F.col("node"), F.col("cluster"))
 
 
+# Size dispatch for connected_components_star (r12, guide §1.2 — fix the
+# algorithm before the per-task work): an edge set at or below this many
+# rows is collected and contracted with exact min-id union-find on the
+# driver instead of running the O(log n) distributed loop.  Each
+# distributed round costs ~6 exchanges plus two actions (the eager
+# checkpoint and the subtract convergence check); on the bench-path
+# graphs (25–500 edges: banded/df-capped near-dup pairs, within-cluster
+# cosine edges) that is pure job overhead around milliseconds of actual
+# contraction.  The collect is BOUNDED by the cap — the broadcast-join
+# envelope (1M (long,long) edges ≈ 16 MB of data) — and the output is
+# provably identical: both paths label every endpoint with the minimum
+# id of its component.  Above the cap the distributed loop runs
+# unchanged (edges of a 100 TB near-dup graph are proportional to real
+# duplication and can be billions of rows).  Conf-tunable for cluster
+# deployments: spark.graft.components.localMaxEdges (0 disables).
+COMPONENTS_LOCAL_MAX_EDGES = 1_000_000
+
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _components_local(e: DataFrame) -> DataFrame:
+    """Exact min-id connected components of a BOUNDED edge list on the
+    driver: union-find with path halving, then one pass mapping every
+    node to its component minimum.  Same (node, cluster) contract as the
+    distributed star contraction — used only below the size cap."""
+    a_type = e.schema["a"].dataType
+    rows = e.collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        if node < comp_min.get(r, node + 1):
+            comp_min[r] = node
+    out = [(n, comp_min[find(n)]) for n in parent]
+    schema = T.StructType(
+        [
+            T.StructField("node", a_type, True),
+            T.StructField("cluster", a_type, True),
+        ]
+    )
+    return e.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
     on_max_iter: str = "raise",
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -916,6 +973,13 @@ def connected_components_star(
     Equality with the min-label operator is pinned on random graphs in
     tests; the ``dedup_clusters`` recursive-CTE oracle checks it
     end-to-end.
+
+    ``local_max_edges`` (default: the
+    ``spark.graft.components.localMaxEdges`` conf, else
+    ``COMPONENTS_LOCAL_MAX_EDGES``): edge lists at or below this bound
+    are contracted with exact min-id union-find on the driver instead —
+    identical output, none of the per-round job overhead (see the
+    dispatch comment above).  0 forces the distributed loop.
     """
     if on_max_iter not in ("raise", "warn"):
         raise ValueError(f"on_max_iter must be 'raise' or 'warn', got {on_max_iter!r}")
@@ -932,6 +996,29 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .localCheckpoint(eager=False)
     )
+    # r12 size dispatch (see COMPONENTS_LOCAL_MAX_EDGES above): a bounded
+    # edge list is contracted exactly on the driver; the count runs over
+    # the checkpointed projection, so the expensive pair subtree is still
+    # evaluated exactly once either way.  Integral ids only — Python and
+    # UTF8String disagree on string ordering in edge cases, so non-
+    # integral ids always take the distributed path.
+    if local_max_edges is None:
+        try:
+            local_max_edges = int(
+                e.sparkSession.conf.get(
+                    "spark.graft.components.localMaxEdges",
+                    str(COMPONENTS_LOCAL_MAX_EDGES),
+                )
+            )
+        except Exception:
+            local_max_edges = COMPONENTS_LOCAL_MAX_EDGES
+    if (
+        local_max_edges > 0
+        and isinstance(e.schema["a"].dataType, _INTEGRAL_TYPES)
+        and e.schema["a"].dataType == e.schema["b"].dataType
+        and e.count() <= local_max_edges
+    ):
+        return _components_local(e)
     # Lazy boundary: consumed once by the final join; materializing it
     # from the checkpointed ``e`` is one id-only shuffle.
     nodes = (

@@ -336,11 +336,57 @@ def test_star_components_match_min_label(spark):
             r["node"]: r["cluster"]
             for r in D.connected_components(pairs, max_iter=80).collect()
         }
-        got = {
+        # Both arms of the r12 size dispatch: the driver union-find
+        # (default below COMPONENTS_LOCAL_MAX_EDGES) and the distributed
+        # star loop (forced with local_max_edges=0) must agree with the
+        # min-label reference exactly.
+        got_local = {
             r["node"]: r["cluster"]
             for r in D.connected_components_star(pairs).collect()
         }
-        assert got == want
+        got_dist = {
+            r["node"]: r["cluster"]
+            for r in D.connected_components_star(
+                pairs, local_max_edges=0
+            ).collect()
+        }
+        assert got_local == want
+        assert got_dist == want
+
+
+def test_star_components_local_dispatch(spark):
+    """The r12 size dispatch: a bounded integral-id edge list takes the
+    driver union-find path (a LocalTableScan source — zero distributed
+    rounds), the distributed loop can be forced with local_max_edges=0
+    or the spark.graft.components.localMaxEdges conf, and string-id
+    graphs never dispatch locally (Python vs UTF8String ordering)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    local = D.connected_components_star(pairs)
+    assert "Scan ExistingRDD" in plan(local) and "Join" not in plan(local)
+    dist = D.connected_components_star(pairs, local_max_edges=0)
+    assert "Join" in plan(dist)
+    # conf-driven override
+    spark.conf.set("spark.graft.components.localMaxEdges", "0")
+    try:
+        via_conf = D.connected_components_star(pairs)
+        assert "Join" in plan(via_conf)
+    finally:
+        spark.conf.unset("spark.graft.components.localMaxEdges")
+    # string ids: always distributed, identical labeling to min-label
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    sgot = D.connected_components_star(spairs)
+    assert "Join" in plan(sgot)
+    assert {r["node"]: r["cluster"] for r in sgot.collect()} == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+    }
 
 
 def test_star_components_converge_fast_on_long_chain(spark):
