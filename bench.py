@@ -218,24 +218,39 @@ IDLE_BAND_SF01 = {
     "token_frequencies_top100": 0.48,
     "doc_quality_scores": 0.51,
     "doc_rolling_fingerprints": 0.79,
-    "jaccard_similar_pairs": 4.01,
+    # r12: the InferFiltersFromGenerate exclusion removed the second
+    # interpreted word_shingles pass (OPTIMIZATION_r12.md §7) — idle
+    # min-of-3 0.92 s; band pinned at the 1.6 s contended-floor
+    # recording (loadavg 4-8 full-bench min) so a mildly loaded driver
+    # host does not false-flag.  Old level 4.01 s.
+    "jaccard_similar_pairs": 1.6,
     "minhash_lsh_pairs": 1.45,
     "embedding_near_dup": 1.17,
     "chunk_explode": 0.54,
-    # pipeline suite (r9 recorded idle levels)
-    "semantic_dedup_fixed_centroids": 4.14,
+    # pipeline suite (r9 recorded idle levels; r12 re-pins below where a
+    # structural change moved the floor — each from two r12 datapoints,
+    # the in-session A/B min and the final full-bench min, taking the
+    # HIGHER so contended driver runs do not false-flag).
+    # r12: components size dispatch (OPTIMIZATION_r12.md §8) — A/B min
+    # 2.70 s, final bench 2.15 s.  Old level 4.14 s.
+    "semantic_dedup_fixed_centroids": 2.7,
     "dsir_select": 2.27,
     "quality_classifier_1iter": 2.59,
-    "corpus_curation_pipeline": 9.08,
-    "bloom_stream_arrival": 6.64,
+    # r12: generator-filter exclusion + components dispatch — A/B min
+    # 2.72 s, final bench 2.78 s.  Old level 9.08 s.
+    "corpus_curation_pipeline": 2.8,
+    # r12: single-pass batch shingle projection (§4) — best recorded
+    # 4.2 s idle, 4.26-4.91 s across the three full benches.
+    "bloom_stream_arrival": 4.3,
     "ivfpq_search": 5.10,
-    # r10 member — idle A/B level at the post-checkpoint-boundary HEAD.
-    "curation_v2_pipeline": 12.9,
-    # r11 member — band pinned r12 from the two r11 datapoints per the
-    # r10/r11 convention: builder idle run 12.96 s (loadavg ~5,
-    # min-of-3) and the BENCH_r11 driver run 13.49 s → band
-    # 12.96–13.49 s (BASELINE.md).  Level = the idle floor.
-    "curation_v3_pipeline": 12.96,
+    # r10 member 12.9; r12: components-star single materialization (§1),
+    # gate staging (§2), generator-filter exclusion (§7), components
+    # dispatch (§8) — idle 4.71 s (loadavg ~0-3), full-bench mins
+    # 6.70-7.62 s (loadavg 4-10).  Band = the contended floor.
+    "curation_v2_pipeline": 6.7,
+    # r11 member 12.96; r12 (same changes + always-on strip boundary):
+    # idle 5.06 s, full-bench mins 7.71-9.65 s.  Band = contended floor.
+    "curation_v3_pipeline": 7.8,
 }
 
 RETRY_TRIGGER = 1.5  # min > 1.5x band -> extra passes
