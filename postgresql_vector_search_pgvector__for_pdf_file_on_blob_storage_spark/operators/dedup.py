@@ -1036,6 +1036,16 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     converged = False
+    # r12 (guide §2.4 — fewer exchanges per round): the fixpoint check
+    # `out == edges` used to run a 2-exchange `subtract` EVERY round.
+    # Both sides are distinct sets (each round's output passes
+    # .distinct()), so unequal COUNTS already prove inequality — and the
+    # count of an eager-checkpointed set is a scan of in-memory
+    # partitions, no exchange.  The subtract now runs only on rounds
+    # where the counts match (the candidate-fixpoint rounds — typically
+    # just the final one), which is exact: |A| = |B| and A ⊈ B is what
+    # the subtract then decides, same as before.
+    n_edges = edges.count()
     for _ in range(max_iter):
         # Large-star over the symmetrized edge set: for each u, neighbors
         # v > u point at m = min(N(u) ∪ {u}).  Output keeps a > b.
@@ -1066,8 +1076,13 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = out.subtract(edges).limit(1).count()
-        edges = out
+        n_out = out.count()
+        changed = (
+            1
+            if n_out != n_edges
+            else out.subtract(edges).limit(1).count()
+        )
+        edges, n_edges = out, n_out
         if changed == 0:
             converged = True
             break
