@@ -49,9 +49,24 @@ ORDER BY l_returnflag, l_linestatus
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan -> filter -> 8-agg hash aggregate.  Partial
-    (map-side) aggregation + 2-col group key; the scan prunes to 7 columns."""
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        F.expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+    (map-side) aggregation + 2-col group key; the scan prunes to 7 columns.
+
+    ``spread``: the fixture lineitem is ONE single-row-group parquet file,
+    so the scan — and with it the per-row DECIMAL(18,6) multiply chain and
+    the five distinct decimal partial sums, Q1's dominant cost — runs on
+    one core (guide §2.5 "input skew: one huge unsplittable file...
+    repartition immediately after the read").  Results are bit-identical
+    by construction: the sums are exact decimals (order-independent), so
+    no partitioning can change them.  Measured at sf0.1: 1.5-1.8 s ->
+    0.9-1.4 s (alternating A/B, 4 reps).  No-op on many-file corpora /
+    cluster deployments (spark.graft.spread.enabled, and partitions
+    already >= cores).  The same move measurably LOSES on q18 / the
+    events windows (their subtrees feed keyed exchanges anyway), so it is
+    applied only here."""
+    l = spread(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+        )
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

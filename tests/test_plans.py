@@ -63,7 +63,10 @@ def test_relational_queries_have_no_python(spark, sf_dir):
 def test_exchange_counts_bounded(spark, sf_dir):
     """Shape regression guard: the canonical queries must not grow extra
     shuffles (AQE may reuse, but the static plan shouldn't inflate)."""
-    assert E.num_exchanges(Q.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)) <= 2
+    # r12: q1 spreads the single-row-group fixture scan before its
+    # decimal-heavy aggregate (queries/relational.py tpch_q1 docstring) —
+    # one deliberate round-robin exchange on top of the agg + sort pair.
+    assert E.num_exchanges(Q.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)) <= 3
     assert E.num_exchanges(Q.QUERIES["window_running_total"](spark, sf_dir)) <= 2
     # sessionize shares one partitioning across both window functions
     assert E.num_exchanges(Q.QUERIES["sessionize_events"](spark, sf_dir)) <= 2
