@@ -133,3 +133,44 @@ def test_bench_pipeline_queries_resolve():
     assert set(bench.PIPELINE_FROZEN_R10) < set(p)
     assert len(bench.PIPELINE_FROZEN_R10) == 8
     assert all(callable(f) for f in p.values())
+
+
+def test_bench_summary_line_carries_per_query_seconds():
+    """VERDICT r12 #1: the driver keeps only the final 2,000 stdout chars
+    and reads per-query seconds from the LAST JSON line.  Pin that the
+    summary payload (a) has the driver-contract shape (metric/value/unit/
+    queries/sf), (b) carries EVERY headline and pipeline member (the one
+    name collision, minhash_lsh_pairs, added under a distinct new name),
+    and (c) serializes under 2,000 chars with realistic values."""
+    import json
+
+    import bench
+
+    timings = {n: 12.345 for n in bench.HEADLINE}
+    ptimings = {n: 12.345 for n in bench._pipeline_queries()}
+    payload = bench._summary_payload(
+        timings,
+        ptimings,
+        321.012,
+        123.456,
+        99.999,
+        111.111,
+        0.1,
+        [12.34, 12.34, 12.34],
+        [12.34, 12.34, 12.34],
+        0,
+        {"curation_v3_pipeline": 1.62},
+        {},
+    )
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in payload, key
+    q = payload["queries"]
+    for name in bench.HEADLINE:
+        assert name in q, name
+    for name in ptimings:
+        assert name in q or f"{name}_pipeline" in q, name
+    # headline + pipeline with exactly one collision-renamed member
+    assert len(q) == len(timings) + len(ptimings)
+    assert "minhash_lsh_pairs_pipeline" in q
+    line = json.dumps(payload)
+    assert len(line) < 2000, len(line)
